@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Star-schema relational surface (EXT per SURVEY.md §2.3): scans,
+  * filters, joins, aggregations, sorts/top-k, set ops, window shapes.
+  *
+  * Scale stance (100 TB): lineitem/orders are the fact tables — every
+  * plan keeps them on the probe side; dimension tables (region,
+  * nation, customer, supplier, part — KBs to low GBs even at SF100k)
+  * are explicitly `broadcast()` so fact tables are never shuffled for
+  * a dim join. Fact⋈fact (lineitem⋈orders) is a shuffle hash/sort-merge
+  * join on the shared key — at scale both sides would be bucketed by
+  * orderkey to make it shuffle-free; AQE handles skew splits.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem with a pushed-down
+    * date filter. Single shuffle (groupBy), map-side partials; the
+    * 6 aggregate expressions all ride the same shuffle. */
+  def q1Pricing(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: fact⋈fact join + group + top-k revenue.
+    * customer is broadcast; lineitem⋈orders shuffles on orderkey. */
+  def q3TopRevenue(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, d)
+    val l = Tables.lineitem(spark, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3TopRevenueSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: snowflake join chain through supplier→nation→
+    * region with all three dims broadcast — the fact table never
+    * shuffles for the dims, only for the final groupBy. */
+  def q5RegionRevenue(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count("*").as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def q5RegionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Semi-join: customers that have at least one open order. */
+  def semiJoinCustomers(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  def semiJoinCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti-join: customers with no orders at all. */
+  def antiJoinCustomers(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def antiJoinCustomersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Outer join + null handling: per-customer order stats including
+    * customers with no orders (COALESCE'd zeros). */
+  def outerJoinOrderStats(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  def outerJoinOrderStatsSql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** Aggregate breadth: min/max/avg/count distinct + HAVING. */
+  def aggStatsByPriority(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count("*").as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderpriority")
+
+  def aggStatsByPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+      |FROM orders GROUP BY o_orderpriority
+      |HAVING COUNT(*) > 0 ORDER BY o_orderpriority""".stripMargin
+
+  /** Scalar-function surface: date (year/month/date_trunc), math
+    * (revenue expression), string (concat/substr), conditional
+    * (CASE WHEN) — monthly order rollup. */
+  def monthlyOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        col("o_totalprice"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .groupBy("yr", "mo", "bucket")
+      .agg(count("*").as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr", "mo", "bucket")
+
+  def monthlyOrdersSql: String =
+    """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'small' END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo, bucket""".stripMargin
+
+  /** Top-k with deterministic tie-break (orderBy + limit → Spark
+    * TakeOrderedAndProject: O(k) memory, no global sort). */
+  def topOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  def topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Set operations: union / intersect / except over customer keys by
+    * segment, tagged so one result exercises all three. */
+  def setOpsSegments(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val big = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val both = big.intersect(building).withColumn("tag", lit("both"))
+    val onlyBig = big.except(building).withColumn("tag", lit("rich_only"))
+    val either = big.union(building).distinct().withColumn("tag", lit("either"))
+    both.union(onlyBig).union(either).orderBy("tag", "c_custkey")
+  }
+
+  def setOpsSegmentsSql: String =
+    """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM building)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM building)
+      |UNION ALL
+      |SELECT DISTINCT c_custkey, 'either' AS tag FROM (SELECT * FROM big UNION SELECT * FROM building)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** Rollup (grouping sets) over the region→nation hierarchy. */
+  def rollupRevenue(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count("*").as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  def rollupRevenueSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Window functions over the fact table: per-customer order ranking
+    * + running spend (one shuffle on the partition key). */
+  def windowOrderRank(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("order_seq"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  def windowOrderRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER w AS order_seq,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+}

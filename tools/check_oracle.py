@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name>/ parquet (Spark result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
+tables, sorts columns by name + rows by all values, and compares
+exactly (with a float report when exact fails).
+"""
+import json, math, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = os.path.join(outdir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} vs {wc}"); n_fail += 1; continue
+        g = got[gc].sort_values(gc, kind="mergesort").reset_index(drop=True)
+        w = want[wc].sort_values(wc, kind="mergesort").reset_index(drop=True)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        bad = []
+        for c in gc:
+            for i, (a, b) in enumerate(zip(g[c], w[c])):
+                if a is None and b is None:
+                    continue
+                try:
+                    if isinstance(a, float) or isinstance(b, float):
+                        if a == b or (isinstance(a, float) and isinstance(b, float)
+                                      and math.isnan(a) and math.isnan(b)):
+                            continue
+                        bad.append((c, i, a, b,
+                                    abs(a - b) if a is not None and b is not None else None))
+                    elif a != b and str(a) != str(b):
+                        bad.append((c, i, a, b, None))
+                except Exception:
+                    bad.append((c, i, a, b, None))
+                if len(bad) > 3:
+                    break
+            if len(bad) > 3:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(g)} rows, first diffs: {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    # queries without oracle: rows-only
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
