@@ -36,6 +36,25 @@ object SparkEntry {
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
+    // Events (windows / sessionization / JSON / distinct)
+    "evt_hourly"       -> (EventOps.hourly _),
+    "evt_sessions"     -> (EventOps.sessions _),
+    "evt_json"         -> (EventOps.jsonExtract _),
+    "evt_daily_active" -> (EventOps.dailyActive _),
+    // Deduplication suite (training-data pipeline extensions)
+    "dedup_exact"         -> (DedupOps.dedupExact _),
+    "dedup_minhash"       -> (DedupOps.dedupMinhash _),
+    "dedup_simhash"       -> (DedupOps.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
+    // Similarity search
+    "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
+    "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
+    // Text analysis
+    "text_token_stats" -> (TextAnalysisOps.tokenStats _),
+    "text_lang_id"     -> (TextAnalysisOps.langId _),
+    "text_quality"     -> (TextAnalysisOps.qualityScore _),
+    "text_fingerprint" -> (TextAnalysisOps.fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +75,20 @@ object SparkEntry {
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
+    "evt_hourly"        -> EventOps.hourlySql,
+    "evt_sessions"      -> EventOps.sessionsSql,
+    "evt_json"          -> EventOps.jsonExtractSql,
+    "evt_daily_active"  -> EventOps.dailyActiveSql,
+    "dedup_exact"         -> DedupOps.dedupExactSql,
+    "dedup_minhash"       -> DedupOps.dedupMinhashSql,
+    "dedup_simhash"       -> DedupOps.dedupSimhashSql,
+    "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
+    "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
+    "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
+    // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest
+    "text_token_stats" -> TextAnalysisOps.tokenStatsSql,
+    "text_lang_id"     -> TextAnalysisOps.langIdSql,
+    "text_quality"     -> TextAnalysisOps.qualityScoreSql,
+    "text_fingerprint" -> TextAnalysisOps.fingerprintSql,
   )
 }

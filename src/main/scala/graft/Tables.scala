@@ -22,7 +22,21 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = table(spark, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
+    * as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true,
+    * set in Verify/Bench/test sessions). Convert to a microsecond
+    * TimestampType here with integer division — ns epoch values
+    * (~1.7e18) exceed double's exact-integer range, so `div`, not `/`.
+    * DuckDB truncates ns→µs the same way on read. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Deduplication operators over `documents` — the training-data-
+  * pipeline extensions (north star; SURVEY.md §2.3 EXT).
+  *
+  * Scale stance: none of these do an all-pairs O(n²) compare over the
+  * full corpus. Exact dedup is a hash-groupBy (one shuffle on the
+  * content hash). MinHash goes shingle→signature→band→bucket-join, so
+  * the candidate join is an equi-join on band keys — the standard LSH
+  * trick that keeps 100 TB dedup near-linear. Only the final jaccard
+  * verification touches candidate pairs. The sampled brute-force
+  * n-gram query exists to cross-check LSH quality, and is explicitly
+  * bounded (1-in-10 doc sample).
+  *
+  * All hashes are the cross-engine md5-based [[OpsUtil.xhash60]] so
+  * every stage is reproducible in the DuckDB oracle.
+  */
+object DedupOps {
+
+  /** Exact dedup: hash-groupBy on content. Output: surviving doc per
+    * distinct text + multiplicity. (One shuffle on md5(text); at scale
+    * group on the hash, never the full text bytes.) */
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count("*").as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+
+  def dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // MinHash parameters: 12 hash functions in 4 bands × 3 rows
+  // (s-curve threshold ≈ (1/4)^(1/3) ≈ 0.63).
+  private val NumHashes = 12
+  private val Bands = 4
+  private val RowsPerBand = 3
+
+  /** doc_id + distinct 3-token shingle array (docs with ≥3 tokens). */
+  private def shingled(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
+
+  private def shingledSql: String =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs, jaccard-verified at ≥ 0.6.
+    *
+    * signature: 12 × min-over-shingles of salted xhash60;
+    * banding: md5 over each 3-signature slice; candidates: equi-join
+    * on (band index, band key); verify: exact shingle jaccard. */
+  def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingled(spark, d)
+    val sig = sh.select(
+      (col("doc_id") +: col("sh") +:
+        (0 until NumHashes).map(j =>
+          array_min(transform(col("sh"), s => xhash60(s, j))).as(s"h$j"))): _*)
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until Bands).map { b =>
+        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("d2"), col("sh").as("sh2"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2")) -
+            size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
+      .distinct()
+    pairs.where(col("jaccard") >= 0.6).orderBy("d1", "d2")
+  }
+
+  def dedupMinhashSql: String = {
+    val sigCols = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(sh, s -> ${xhash60Sql("s", j)})) AS h$j").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, sh, $b AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingledSql,
+       |sig AS (SELECT doc_id, sh,
+       |    $sigCols
+       |  FROM shingled),
+       |banded AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY d1, d2""".stripMargin
+  }
+
+  /** SimHash: 60-bit per-document fingerprint (sign of per-bit vote
+    * over token hashes). One explode + one groupBy — linear, single
+    * shuffle; near-dup candidates would then band on fingerprint
+    * chunks exactly like MinHash. */
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tokn"))
+      .select(col("doc_id"), xhash60(col("tokn"), 0).as("h"))
+    val voteExprs = (0 until 60).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$bit"))
+    val votes = tok.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
+    val fp = (0 until 60).map(bit =>
+      when(col(s"c$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  def dedupSimhashSql: String = {
+    val votes = (0 until 60).map(bit =>
+      s"SUM(CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS c$bit").mkString(",\n    ")
+    val fp = (0 until 60).map(bit =>
+      s"(CASE WHEN c$bit > 0 THEN (1::BIGINT << $bit) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS tokn FROM documents),
+       |h AS (SELECT doc_id, ${xhash60Sql("tokn", 0)} AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** Brute-force bigram jaccard over a bounded 1-in-10 doc sample —
+    * the quality cross-check for the LSH path (explicitly NOT the
+    * scale path; see class doc). Top-20 pairs, deterministic
+    * tie-break. */
+  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(spark, d)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))).as("g"))
+    val a = grams.select(col("doc_id").as("d1"), col("g").as("g1"))
+    val b = grams.select(col("doc_id").as("d2"), col("g").as("g2"))
+    a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          (size(col("g1")) + size(col("g2")) -
+            size(array_intersect(col("g1"), col("g2"))))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  def dedupNgramJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents WHERE doc_id % 10 = 0),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |           i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM toks WHERE len(tk) >= 2)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+       |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** Embedding near-duplicate detection: top-50 highest-cosine pairs.
+    * Brute-force here (500-2000 vectors); the scale path is the LSH
+    * bucketing in [[SimilarityOps.annLsh]]. */
+  def dedupEmbedding(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.crossJoin(b).where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine9(col("e1"), col("e2")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+      .limit(50)
+  }
+
+  def dedupEmbeddingSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  ${cosine9Sql("a.v", "b.v")} AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, v1, v2 LIMIT 50""".stripMargin
+}

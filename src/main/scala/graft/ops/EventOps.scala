@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Batch analytics over the `events` stream table: tumbling windows,
+  * sessionization, JSON extraction, daily actives. The streaming
+  * equivalents (watermark + windowed agg over readStream) live in
+  * graft.streaming and are asserted equal to these batch results in
+  * StreamingSpec — keeping the declared queries DuckDB-checkable
+  * (SURVEY.md §2.3 Streaming).
+  *
+  * Time arithmetic is done in epoch milliseconds (BIGINT) on both
+  * engines — no float time math, no timezone ambiguity (session TZ is
+  * pinned to UTC).
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows: count + exact value sum per (hour,
+    * event_type). Single shuffle; at scale the input would be
+    * date-partitioned so the scan prunes to the queried range. */
+  def hourly(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count("*").as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hr", "event_type")
+
+  def hourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  /** Sessionization: per-user sessions split on 30-minute inactivity
+    * gaps (lag + cumulative-sum of gap flags), then per-session stats.
+    * Two window passes over one user-partitioned shuffle; in
+    * Structured Streaming this is the mapGroupsWithState shape (see
+    * graft.streaming.SessionizeStream). */
+  def sessions(spark: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val evs = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    evs.groupBy("user_id", "session_seq")
+      .agg(
+        count("*").as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  def sessionsSql: String =
+    """WITH evs AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+      |    LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 30*60*1000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM evs),
+      |sessions AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Semi-structured extraction: pull `k` out of the JSON `props`
+    * column, aggregate per event type. JSON parsing stays inside
+    * codegen (get_json_object), no UDF. */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def jsonExtractSql: String =
+    """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Daily actives: exact distinct users per day + event volume.
+    * countDistinct is the exact path; the approx_count_distinct
+    * variant (no oracle — HLL internals differ per engine) is
+    * exercised in EventSpec. */
+  def dailyActive(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"), count("*").as("n_events"))
+      .orderBy("day")
+
+  def dailyActiveSql: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+}

@@ -32,4 +32,40 @@ object OpsUtil {
     * /root/reference/tests/testdata/exec/wc_map.sh:12.) */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** DuckDB-side mirror of [[tokens]] applied to an expression. */
+  def tokensSql(e: String): String =
+    s"list_filter(string_split_regex(lower($e), '\\s+'), tok -> tok <> '')"
+
+  /** Cross-engine deterministic 60-bit hash: first 15 hex digits of
+    * md5("<salt>:" + s) as a non-negative long. Identical in DuckDB as
+    * [[xhash60Sql]] — the shared primitive under MinHash/SimHash/LSH/
+    * fingerprint operators, chosen over Spark's Murmur3 `hash()`
+    * because the oracle must reproduce it (SURVEY.md §2.4.2 precedent:
+    * reference partitions by md5, worker/__main__.py:142-144). */
+  def xhash60(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 15), 16, 10).cast("long")
+
+  def xhash60Sql(e: String, salt: Int): String =
+    s"('0x' || substr(md5('$salt:' || $e), 1, 15))::BIGINT"
+
+  /** Sequential-order dot/cosine pieces over array<double>; mirrored in
+    * SQL via list_transform + list_sum so both engines sum in array
+    * order (then rounded to 9 decimals to absorb any last-ulp drift). */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  def cosine9(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+    round(dotd(ad, bd) / (sqrt(norm2(ad)) * sqrt(norm2(bd))), 9)
+  }
+
+  /** DuckDB mirror of [[cosine9]] for two DOUBLE[] expressions. */
+  def cosine9Sql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))
+       | / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |    * sqrt(list_sum(list_transform($b, x -> x*x)))), 9)""".stripMargin.replace("\n", "")
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  * Two paths, per the north star:
+  *  - [[bruteTopK]]: exact cosine top-k — a broadcast of the (small)
+  *    query set against the full corpus, so the big side streams
+  *    through one codegen stage with no shuffle. The correctness
+  *    baseline.
+  *  - [[annLsh]]: random-hyperplane LSH (sign-of-projection buckets,
+  *    multi-table) — candidates come from equi-joins on bucket keys,
+  *    never an all-pairs compare. This is the 100 TB path: bucket
+  *    cardinality scales with corpus size, each query probes T
+  *    buckets. Recall vs the brute-force baseline is asserted in
+  *    SimilaritySpec.
+  */
+object SimilarityOps {
+
+  private val K = 5
+
+  /** Exact top-k neighbors for query vectors (vec_id < 10): broadcast
+    * queries × corpus, rank per query. Ties broken by neighbor id so
+    * output is deterministic. */
+  def bruteTopK(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy("qid", "rank")
+  }
+
+  def bruteTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS nid, ${cosine9Sql("qv", "e.v")} AS cos_sim
+       |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
+  // LSH configuration: T hash tables × B hyperplanes each. Plane
+  // weights are derived from the cross-engine xhash60 so the whole
+  // index is deterministic and rebuildable anywhere.
+  private val Tabs = 6
+  private val Bits = 5
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeWeight(table: Int, bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$table:$bit:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val v = java.lang.Long.parseLong(hex, 16)
+    (v % 2000001L) / 1000000.0 - 1.0
+  }
+
+  /** Approximate top-k via multi-table sign-LSH. Output: per query
+    * (vec_id < 10) the top-3 candidates found in its buckets. No
+    * oracle entry — approximate results are verified against
+    * [[bruteTopK]] recall in ScalaTest instead. */
+  def annLsh(spark: SparkSession, d: String): DataFrame = {
+    val planes: Map[Int, Seq[Seq[Double]]] = (0 until Tabs).map { t =>
+      t -> (0 until Bits).map(b => (0 until Dim).map(i => planeWeight(t, b, i)))
+    }.toMap
+    // bucket key for table t: Bits-bit sign signature of projections
+    def bucketKey(v: org.apache.spark.sql.Column, t: Int) =
+      (0 until Bits).map { b =>
+        val plane = array(planes(t)(b).map(lit): _*)
+        when(dotd(v.cast("array<double>"), plane) >= 0, shiftleft(lit(1), b)).otherwise(0)
+      }.reduce(_ + _)
+
+    val e = Tables.embeddings(spark, d)
+    val withBuckets = e.select(
+      (col("vec_id") +: col("embedding").as("v") +:
+        (0 until Tabs).map(t => bucketKey(col("embedding"), t).as(s"b$t"))): _*)
+    val buckets = withBuckets.select(col("vec_id"), col("v"),
+      posexplode(array((0 until Tabs).map(t => col(s"b$t")): _*)).as(Seq("tab", "bkt")))
+    val q = buckets.where(col("vec_id") < 10)
+      .select(col("tab"), col("bkt"), col("vec_id").as("qid"), col("v").as("qv"))
+    val c = buckets.select(col("tab"), col("bkt"), col("vec_id").as("nid"), col("v").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    broadcast(q).join(c, Seq("tab", "bkt"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting (north-star extensions).
+  *
+  * Everything is per-document map-side work (no shuffle except final
+  * ordering / the lang-ID argmax): at 100 TB these run as one codegen
+  * pass over the corpus scan. No UDFs — all built-in expressions, so
+  * whole-stage codegen fuses scan → compute → project.
+  */
+object TextAnalysisOps {
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex pass
+    * (letter runs / digit runs / single other chars — the shape of a
+    * byte-pair pre-tokenizer), plus char stats. */
+  def tokenStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"),
+        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"))
+      .orderBy("doc_id")
+
+  def tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(${tokensSql("text")}) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       |  length(text) AS n_chars,
+       |  len(list_distinct(${tokensSql("text")})) AS n_unique_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Tiny per-language stopword lists for the n-gram/stopword language
+  // heuristic. Deliberately inline (broadcast lookup) — at scale this
+  // is a broadcast join against a dictionary table.
+  private val Stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "en" -> "data", "en" -> "order", "en" -> "key", "en" -> "row", "en" -> "table",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "es",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "et", "fr" -> "est",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "das")
+
+  private def stopwordsValuesSql: String =
+    Stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  /** Language ID: argmax of stopword hits per language (ties → first
+    * language alphabetically; zero hits → 'und'). The heuristic is a
+    * broadcast dictionary join + argmax — the n-gram-profile classic
+    * with a word-level profile. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dict = Stopwords.toDF("sl_lang", "sl_word")
+    val docs = Tables.documents(spark, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tokn"))
+    val hits = tok.join(broadcast(dict), tok("tokn") === dict("sl_word"))
+      .groupBy(col("doc_id"), col("sl_lang")).agg(count("*").as("n_hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_hits").desc, col("sl_lang"))
+    val best = hits.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("sl_lang").as("pred_lang"), col("n_hits"))
+    docs.select(col("doc_id"), col("lang").as("meta_lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("meta_lang"))
+      .orderBy("doc_id")
+  }
+
+  def langIdSql: String =
+    s"""WITH dict(sl_lang, sl_word) AS (VALUES $stopwordsValuesSql),
+       |tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tokn FROM documents),
+       |hits AS (
+       |  SELECT doc_id, sl_lang, COUNT(*) AS n_hits
+       |  FROM tok JOIN dict ON tokn = sl_word
+       |  GROUP BY doc_id, sl_lang),
+       |best AS (
+       |  SELECT doc_id, sl_lang AS pred_lang, n_hits,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, sl_lang) AS rnk
+       |  FROM hits)
+       |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       |  COALESCE(b.n_hits, 0) AS n_hits, d.lang AS meta_lang
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
+       |  ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Quality scoring: unique-token ratio, stopword ratio, length
+    * normalization → weighted score. Pure arithmetic on counts, so the
+    * score is bit-deterministic across engines. */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dict = Stopwords.map(_._2).distinct.toDF("sw")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+    val swArr = array(Stopwords.map(_._2).distinct.map(lit): _*)
+    val scored = docs.select(
+      col("doc_id"),
+      size(col("tk")).as("n_tokens"),
+      (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("uniq_ratio"),
+      (size(filter(col("tk"), t => array_contains(swArr, t))).cast("double") /
+        size(col("tk"))).as("stop_ratio"),
+      least(size(col("tk")).cast("double") / 100.0, lit(1.0)).as("len_norm"))
+    scored.select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+        col("stop_ratio"), col("len_norm"),
+        round(col("uniq_ratio") * 0.4 + col("stop_ratio") * 0.3 +
+          col("len_norm") * 0.3, 9).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreSql: String = {
+    val swList = Stopwords.map(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |scored AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio,
+       |    CAST(len(list_filter(tk, t -> list_contains([$swList], t))) AS DOUBLE)
+       |      / len(tk) AS stop_ratio,
+       |    least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) AS len_norm
+       |  FROM docs WHERE len(tk) > 0)
+       |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, len_norm,
+       |  round(uniq_ratio * 0.4 + stop_ratio * 0.3 + len_norm * 0.3, 9) AS quality
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the token
+    * stream (order-sensitive, unlike the set-based dedup hashes) —
+    * fold of (acc * 31 + tokenhash) mod 1e9+7. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    val M = 1000000007L
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(tokens(col("text")), t => pmod(xhash60(t, 7), lit(M))),
+          lit(0L),
+          (acc, h) => pmod(acc * 31 + h, lit(M))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  def fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(${tokensSql("text")},
+       |        t -> ${xhash60Sql("t", 7)} % 1000000007)),
+       |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
