@@ -115,10 +115,10 @@ object RelationalOps {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
-  /** Anti-join: customers with no orders at all. */
+  /** Anti-join: customers that never placed an urgent order. */
   def antiJoinCustomers(spark: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(spark, d)
-    val o = Tables.orders(spark, d)
+    val o = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -126,7 +126,9 @@ object RelationalOps {
 
   def antiJoinCustomersSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** Outer join + null handling: per-customer order stats including

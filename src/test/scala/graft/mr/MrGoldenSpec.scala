@@ -1,0 +1,106 @@
+package graft.mr
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Golden tests against the reference's own committed artifacts
+  * (SURVEY.md §5): word count and grep over
+  * /root/reference/tests/testdata/input, compared to
+  * correct/word_count_correct.txt and correct/grep_correct.txt, plus
+  * the per-partition-file goldens inlined in test_worker_08.py:226-257
+  * and the merge-grouping fixture from test_worker_07.
+  */
+class MrGoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val refData = "/root/reference/tests/testdata"
+
+  private def readLines(p: String): Seq[String] =
+    Files.readAllLines(Paths.get(p)).asScala.toSeq
+
+  /** All lines across part-* files of an output dir, in file order. */
+  private def partLines(outDir: Path): Seq[String] =
+    Files.list(outDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .flatMap(p => Files.readAllLines(p).asScala)
+
+  private def tmpOut(name: String): Path = {
+    val d = Files.createTempDirectory(s"graft-$name")
+    Files.delete(d) // runner expects to create it
+    d
+  }
+
+  test("native word count matches word_count_correct.txt (order-insensitive union)") {
+    val out = tmpOut("wc")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = s"$refData/input",
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 4, numReducers = 2))
+    val got = partLines(out).sorted
+    val want = readLines(s"$refData/correct/word_count_correct.txt").sorted
+    assert(got === want)
+  }
+
+  test("native grep matches grep_correct.txt byte-exactly with R=1") {
+    val out = tmpOut("grep")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = s"$refData/input",
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.grepMap()),
+      reducer = FnSpec(Workloads.grepReduce),
+      numMappers = 2, numReducers = 1))
+    // Reference output is the sorted merged stream projected to
+    // values; R=1 makes the single part file byte-comparable
+    // (test_integration_00.py:34-38 does filecmp after sort).
+    val got = partLines(out)
+    val want = readLines(s"$refData/correct/grep_correct.txt")
+    assert(got === want)
+  }
+
+  test("per-partition reduce outputs match test_worker_08 goldens (md5-mod parity)") {
+    // Inputs file01+file02 only, R=2 — expected part files inlined at
+    // tests/test_worker_08.py:245-257.
+    val in = Files.createTempDirectory("graft-wc08-in")
+    Seq("file01", "file02").foreach { f =>
+      Files.copy(Paths.get(s"$refData/input/$f"), in.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = tmpOut("wc08")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 2, numReducers = 2))
+    assert(readLines(s"$out/part-00000") === Seq("\t2", "bye\t1", "hello\t2"))
+    assert(readLines(s"$out/part-00001") === Seq("goodbye\t1", "hadoop\t2", "world\t2"))
+  }
+
+  test("shuffle reproduces the test_worker_07 k-way merge + grouping") {
+    // The fixture's two pre-sorted map outputs, run through the
+    // engine's shuffle + adjacency-grouping reduce; expected output
+    // from tests/test_worker_07.py:131-135.
+    val in = Files.createTempDirectory("graft-wc07-in")
+    Seq("maptask00000-part00000", "maptask00001-part00000").foreach { f =>
+      Files.copy(Paths.get(s"$refData/test_worker_07/$f"), in.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = tmpOut("wc07")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(identity), // intermediate data is already key TAB value
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 2, numReducers = 1))
+    assert(readLines(s"$out/part-00000") === Seq("\t2", "bye\t1", "hello\t2"))
+  }
+
+  test("empty-string keys survive tokenization and grouping (SURVEY.md §2.4.3)") {
+    val got = Workloads.wcMapSh(Iterator("Hello  World")).toSeq
+    assert(got === Seq("hello\t1", "\t1", "world\t1"))
+  }
+}
