@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.multimodal.MultimodalOps
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +56,8 @@ object SparkEntry {
     "text_lang_id"     -> (TextAnalysisOps.langId _),
     "text_quality"     -> (TextAnalysisOps.qualityScore _),
     "text_fingerprint" -> (TextAnalysisOps.fingerprint _),
+    // Multimodal binary-column plumbing (decode stubbed; see graft.multimodal)
+    "mm_features" -> (MultimodalOps.mmFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +93,6 @@ object SparkEntry {
     "text_lang_id"     -> TextAnalysisOps.langIdSql,
     "text_quality"     -> TextAnalysisOps.qualityScoreSql,
     "text_fingerprint" -> TextAnalysisOps.fingerprintSql,
+    "mm_features"      -> MultimodalOps.mmFeaturesSql,
   )
 }

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in batches.
+  *
+  * The driver tables carry no true media, so assets are derived
+  * deterministically from `documents` (payload = UTF-8 bytes of the
+  * text) — the POINT is the Spark-side shape: binary columns flow
+  * through parquet scans/writes untouched, heavy per-asset work runs
+  * in `mapPartitions` so decoder/model initialization amortizes once
+  * per partition (the JVM analog of a batched pandas UDF), and
+  * partition sizing is byte-based (`maxRecordsPerBatch`-style) since
+  * media rows are orders of magnitude wider than tabular rows.
+  *
+  * The actual codec is STUBBED: [[StubCodec.decode]] is a
+  * deterministic fake standing in for an image/audio library this
+  * container doesn't ship. Swap the body, keep the contract.
+  */
+object MultimodalOps {
+
+  /** A decoded media asset's typed metadata. */
+  final case class Decoded(width: Int, height: Int, nFrames: Int)
+
+  /** Deterministic stand-in for a real codec (libjpeg/ffmpeg/...):
+    * derives plausible dimensions from the payload alone so tests and
+    * oracles can reproduce it anywhere. Replace with a real decoder
+    * in deployment — callers only see the [[Decoded]] contract. */
+  object StubCodec {
+    def decode(payload: Array[Byte]): Decoded = {
+      val n = payload.length
+      Decoded(
+        width = 64 + n % 577,
+        height = 64 + (n * 31) % 433,
+        nFrames = 1 + n % 24)
+    }
+
+    /** Deterministic "resize": the scaled dims a real resize would
+      * produce (the byte transform itself is the stubbed part). */
+    def resizedDims(d: Decoded, maxSide: Int): (Int, Int) = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+      (math.max(1, (d.width * scale).toInt), math.max(1, (d.height * scale).toInt))
+    }
+
+    /** Frame sampling: every k-th frame index, capped. */
+    def sampleFrames(d: Decoded, stride: Int, cap: Int): Seq[Int] =
+      (0 until d.nFrames by stride).take(cap)
+  }
+
+  /** Binary asset table derived from documents: (asset_id, kind,
+    * payload BINARY, byte_len). */
+  def assets(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      octet_length(col("text").cast("binary")).as("byte_len"))
+
+  /** Batched decode + feature extraction via mapPartitions: one codec
+    * "init" per partition, then a streaming pass. Output is fully
+    * typed (no binary) so downstream aggregation is columnar. */
+  def extractFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, String, Array[Byte])] =
+      assets(spark, d).select(col("asset_id"), col("kind"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+    ds.mapPartitions { rows =>
+      // per-partition init of the (stub) codec — amortized like a
+      // model handle in a batched UDF
+      val codec = StubCodec
+      rows.map { case (id, kind, payload) =>
+        val dec = codec.decode(payload)
+        val (rw, rh) = codec.resizedDims(dec, 256)
+        val frames = codec.sampleFrames(dec, 4, 8)
+        (id, kind, payload.length, dec.width, dec.height, dec.nFrames,
+          rw, rh, frames)
+      }
+    }.toDF("asset_id", "kind", "byte_len", "width", "height", "n_frames",
+      "resized_w", "resized_h", "frame_idx")
+  }
+
+  /** Declared query: asset metadata + content hash + decoded dims —
+    * everything DuckDB can recompute from `documents` (the stub codec
+    * is plain arithmetic on byte_len). frame_idx is checked by
+    * MultimodalSpec instead (list vs list comparisons are exercised
+    * enough elsewhere). */
+  def mmFeatures(spark: SparkSession, d: String): DataFrame =
+    assets(spark, d).select(
+      col("asset_id"), col("kind"), col("byte_len"),
+      md5(col("payload")).as("content_md5"),
+      lower(hex(substring(col("payload"), 1, 8))).as("head_hex"),
+      (lit(64) + col("byte_len") % 577).as("width"),
+      (lit(64) + (col("byte_len") * 31) % 433).as("height"),
+      (lit(1) + col("byte_len") % 24).as("n_frames"))
+      .orderBy("asset_id")
+
+  def mmFeaturesSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  octet_length(CAST(text AS BLOB)) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
+      |  64 + octet_length(CAST(text AS BLOB)) % 577 AS width,
+      |  64 + (octet_length(CAST(text AS BLOB)) * 31) % 433 AS height,
+      |  1 + octet_length(CAST(text AS BLOB)) % 24 AS n_frames
+      |FROM documents ORDER BY asset_id""".stripMargin
+}

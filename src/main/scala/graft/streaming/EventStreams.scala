@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.ops.OpsUtil.dsum
+
+/** Structured Streaming equivalents of the batch event analytics
+  * (graft.ops.EventOps). The reference is strictly batch (SURVEY.md
+  * §2.3 Streaming: "none"), so this module is pure extension surface:
+  * the same queries, expressed over `readStream`, with watermarks
+  * bounding state.
+  *
+  * Design for scale: all aggregations are keyed so state partitions
+  * by (window × type) or user_id; the 1-hour watermark bounds state
+  * retention regardless of stream length. StreamingSpec drives these
+  * with the parquet events table as a file stream and asserts the
+  * results equal the batch counterparts — the standard
+  * batch/streaming unification check.
+  */
+object EventStreams {
+
+  /** The events schema as Spark reads it with nanosAsLong (ts arrives
+    * as ns BIGINT; normalized to TimestampType here like
+    * Tables.events). */
+  private val rawSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  /** File-based event stream from a directory of parquet drops. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming mirror of EventOps.hourly: tumbling 1-hour windows
+    * with a 1-hour watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count("*").as("n"), dsum(col("value")).as("total_value"))
+      .select(col("win.start").as("hr"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session window (30-minute gap) — Spark's native session_window,
+    * the streaming analog of EventOps.sessions. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count("*").as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sess.start").as("start_ts"),
+        col("sess.end").as("end_ts"), col("n_events"), col("total_value"))
+
+  /** Custom state machine via mapGroupsWithState: running per-user
+    * event count + last-seen timestamp — the arbitrary-stateful shape
+    * (KeyValueGroupedDataset) the built-in windows can't express. */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    case class UserState(n: Long, total: Double, lastMs: Long)
+    val typed = events.select(col("user_id").as("uid"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[(Long, Double, Long)]) =>
+          val prev = state.getOption.getOrElse((0L, 0.0, 0L))
+          val (n, total, last) = rows.foldLeft(prev) { case ((c, t, l), (_, ms, v)) =>
+            (c + 1, t + v, math.max(l, ms))
+          }
+          state.update((n, total, last))
+          (uid, n, total, last)
+      }
+      .toDF("user_id", "n_events", "total_value", "last_ms")
+  }
+
+  /** Run a streaming DataFrame to completion against a static input
+    * (file stream) and return the result via a memory sink. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The multimodal plumbing: binary columns survive a parquet
+  * round-trip, the mapPartitions feature pass agrees with the
+  * expression-based query, and the stub codec honors its contracts. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("binary payloads round-trip through parquet unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    MultimodalOps.assets(spark, sf).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("payload").dataType.typeName === "binary")
+    val orig = MultimodalOps.assets(spark, sf)
+      .select("asset_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    back.select("asset_id", "payload").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](1).toSeq === orig(r.getLong(0)))
+    }
+  }
+
+  test("mapPartitions feature extraction agrees with the declared query") {
+    val fromDs = MultimodalOps.extractFeatures(spark, sf)
+      .select("asset_id", "byte_len", "width", "height", "n_frames")
+    val fromExpr = MultimodalOps.mmFeatures(spark, sf)
+      .select("asset_id", "byte_len", "width", "height", "n_frames")
+    assert(fromDs.exceptAll(fromExpr).isEmpty && fromExpr.exceptAll(fromDs).isEmpty)
+  }
+
+  test("frame sampling respects stride and cap") {
+    val d = MultimodalOps.StubCodec.decode(Array.fill[Byte](100)(1))
+    val frames = MultimodalOps.StubCodec.sampleFrames(d, 4, 8)
+    assert(frames.size <= 8)
+    assert(frames.forall(i => i >= 0 && i < d.nFrames))
+    assert(frames === frames.sorted)
+  }
+
+  test("resize never upscales and preserves positivity") {
+    val d = MultimodalOps.Decoded(width = 640, height = 100, nFrames = 1)
+    val (w, h) = MultimodalOps.StubCodec.resizedDims(d, 256)
+    assert(w === 256 && h > 0 && h <= 100)
+    val small = MultimodalOps.Decoded(width = 10, height = 10, nFrames = 1)
+    assert(MultimodalOps.StubCodec.resizedDims(small, 256) === ((10, 10)))
+  }
+}

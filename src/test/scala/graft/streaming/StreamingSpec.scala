@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ops.EventOps
+
+/** Batch/streaming unification: the streaming pipelines must produce
+  * the same results as their batch counterparts when fed the whole
+  * events table as one file-stream drop. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventsStreamDir: String = {
+    // file streams need a directory of files; stage the single
+    // parquet into a temp dir once
+    val d = Files.createTempDirectory("graft-evstream")
+    val src = Paths.get(s"$sf/events.parquet")
+    Files.copy(src, d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val stream = EventStreams.readEvents(spark, eventsStreamDir)
+    val got = EventStreams.runToMemory(spark, EventStreams.hourlyAgg(stream), "hourly_out")
+      .select("hr", "event_type", "n", "total_value")
+    val want = EventOps.hourly(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming session windows cover the same events as batch sessions") {
+    val stream = EventStreams.readEvents(spark, eventsStreamDir)
+    val got = EventStreams.runToMemory(spark, EventStreams.sessionAgg(stream), "sess_out")
+    // batch sessionization and session_window use the same 30-min gap
+    // rule; event totals must agree per user
+    val gotPerUser = got.groupBy("user_id")
+      .agg(sum("n_events").as("n"), count("*").as("n_sessions"))
+    val wantPerUser = EventOps.sessions(spark, sf).groupBy("user_id")
+      .agg(sum("n_events").as("n"), count("*").as("n_sessions"))
+    assert(gotPerUser.exceptAll(wantPerUser).isEmpty
+      && wantPerUser.exceptAll(gotPerUser).isEmpty)
+  }
+
+  test("mapGroupsWithState running totals match batch per-user counts") {
+    val stream = EventStreams.readEvents(spark, eventsStreamDir)
+    val got = EventStreams.userRunningTotals(spark, stream)
+    val res = EventStreams.runToMemory(spark, got.toDF(), "state_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .select("user_id", "n_events")
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count("*").as("n_events"))
+    assert(res.exceptAll(want).isEmpty && want.exceptAll(res).isEmpty)
+  }
+}
