@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd dot product over two array<double> columns.
+  *
+  * The interpreted equivalent — `aggregate(zip_with(a, b, _*_), 0d,
+  * _+_)` — evaluates lambda closures per element and dominated the
+  * embedding benchmarks (~170 s for 2M pairs at sf0.1). This
+  * expression emits a tight primitive loop inside whole-stage codegen
+  * instead, with IDENTICAL numerics: a sequential left-to-right sum,
+  * so oracle results are unchanged bit-for-bit.
+  *
+  * Null handling follows BinaryExpression's default null-intolerant
+  * contract (null array → null). Arrays are assumed equal-length
+  * (embedding dim is fixed); the loop guards with min(len) to avoid
+  * OOB on malformed rows.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<double>, array<double>), got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_dot"
+}
+
+object ArrayDot {
+  /** Column API: dot product of two array<double> columns. */
+  def array_dot(a: Column, b: Column): Column =
+    Bridge.toColumn(ArrayDotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+}

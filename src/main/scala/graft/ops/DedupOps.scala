@@ -37,10 +37,18 @@ object DedupOps {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   // MinHash parameters: 12 hash functions in 4 bands × 3 rows
-  // (s-curve threshold ≈ (1/4)^(1/3) ≈ 0.63).
+  // (s-curve threshold ≈ (1/4)^(1/3) ≈ 0.63). The 12 functions are a
+  // universal family h_j(x) = (A_j·x + B_j) mod P over ONE md5-derived
+  // base hash per shingle — md5 is the expensive part, so it runs
+  // once per shingle, not once per (shingle × hash function).
   private val NumHashes = 12
   private val Bands = 4
   private val RowsPerBand = 3
+  private val P = 1000000007L
+  private val As = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L,
+    1000099L, 1000117L, 1000121L, 1000133L, 1000151L, 1000159L, 1000171L)
+  private val Bs = Seq(15485863L, 15485867L, 15485917L, 15485927L, 15485933L,
+    15485941L, 15485959L, 15485989L, 15485993L, 15486013L, 15486041L, 15486047L)
 
   /** doc_id + distinct 3-token shingle array (docs with ≥3 tokens). */
   private def shingled(spark: SparkSession, d: String): DataFrame =
@@ -66,69 +74,84 @@ object DedupOps {
     * on (band index, band key); verify: exact shingle jaccard. */
   def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
     val sh = shingled(spark, d)
+      // one md5 per shingle; the 12 signature mins are cheap integer
+      // transforms of this base-hash array
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => xhash60(s, 0) % P).as("hx"))
     val sig = sh.select(
-      (col("doc_id") +: col("sh") +:
+      (col("doc_id") +:
         (0 until NumHashes).map(j =>
-          array_min(transform(col("sh"), s => xhash60(s, j))).as(s"h$j"))): _*)
+          array_min(transform(col("hx"), x => (lit(As(j)) * x + lit(Bs(j))) % P)).as(s"h$j"))): _*)
+    // band keys only — shingle arrays are NOT carried through the
+    // band explode/join (they'd multiply shuffle volume ×Bands);
+    // candidates join the shingles back afterwards.
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
       }: _*)).as(Seq("band_idx", "band_key")))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("d1"), col("sh").as("sh1"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("d2"), col("sh").as("sh2"))
-    val pairs = a.join(b, Seq("band_idx", "band_key"))
+    val candidates = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d1"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d2")),
+        Seq("band_idx", "band_key"))
       .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val shOnly = shingled(spark, d)
+    val pairs = candidates
+      .join(shOnly.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(shOnly.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           (size(col("sh1")) + size(col("sh2")) -
             size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
-      .distinct()
     pairs.where(col("jaccard") >= 0.6).orderBy("d1", "d2")
   }
 
   def dedupMinhashSql: String = {
     val sigCols = (0 until NumHashes).map(j =>
-      s"list_min(list_transform(sh, s -> ${xhash60Sql("s", j)})) AS h$j").mkString(",\n    ")
+      s"list_min(list_transform(hx, x -> (${As(j)} * x + ${Bs(j)}) % $P)) AS h$j")
+      .mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, sh, $b AS band_idx, md5($key) AS band_key FROM sig"
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $shingledSql,
-       |sig AS (SELECT doc_id, sh,
-       |    $sigCols
+       |hashed AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${xhash60Sql("s", 0)} % $P) AS hx
        |  FROM shingled),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hashed),
        |banded AS (
        |  $bandRows),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id)
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+       |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
+       |  FROM cands
+       |  JOIN shingled s1 ON s1.doc_id = d1
+       |  JOIN shingled s2 ON s2.doc_id = d2)
        |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY d1, d2""".stripMargin
   }
 
   /** SimHash: 60-bit per-document fingerprint (sign of per-bit vote
-    * over token hashes). One explode + one groupBy — linear, single
-    * shuffle; near-dup candidates would then band on fingerprint
-    * chunks exactly like MinHash. */
-  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tokn"))
-      .select(col("doc_id"), xhash60(col("tokn"), 0).as("h"))
-    val voteExprs = (0 until 60).map(bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$bit"))
-    val votes = tok.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
-    val fp = (0 until 60).map(bit =>
-      when(col(s"c$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
-  }
+    * over token-occurrence hashes). Pure map-side work — one fused
+    * loop per document via the codegen'd SimHash60 expression, no
+    * explode, no shuffle (beyond the output ordering); near-dup
+    * candidates would then band on fingerprint chunks exactly like
+    * MinHash. */
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash60(
+          transform(tokens(col("text")), t => xhash60(t, 0))).as("simhash"))
+      .orderBy("doc_id")
 
   def dedupSimhashSql: String = {
     val votes = (0 until 60).map(bit =>

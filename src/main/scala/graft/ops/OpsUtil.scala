@@ -51,12 +51,15 @@ object OpsUtil {
 
   /** Sequential-order dot/cosine pieces over array<double>; mirrored in
     * SQL via list_transform + list_sum so both engines sum in array
-    * order (then rounded to 9 decimals to absorb any last-ulp drift). */
+    * order (then rounded to 9 decimals to absorb any last-ulp drift).
+    * Backed by the codegen'd ArrayDotProduct expression — identical
+    * numerics to the interpreted HOF form, ~50× faster in pair loops
+    * (graft.functions.ArrayDot). */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDot.array_dot(a, b)
 
   def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDot.array_dot(a, a)
 
   def cosine9(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
