@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path utilities: the techniques that keep the engine's plans
+  * viable at 100 TB, packaged so they're testable at local scale.
+  *
+  *  - Bucketing: pre-shuffle fact tables on the join key so repeated
+  *    fact⋈fact joins are exchange-free (both sides read
+  *    co-partitioned buckets). ScaleSpec asserts the bucketed join
+  *    plan contains NO shuffle exchange.
+  *  - Salting: spread a hot key across `saltFactor` sub-keys for the
+  *    shuffle, then aggregate twice (partial per salt, final without)
+  *    — the manual fallback where AQE skew handling can't reach
+  *    (aggregations; AQE only splits skewed JOIN partitions).
+  */
+object ScaleOps {
+
+  /** Write a DataFrame bucketed+sorted by `key` into the session
+    * warehouse as `tableName` (bucket pruning + exchange-free joins
+    * for every downstream query keyed on `key`). */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      numBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName) // managed table in spark.sql.warehouse.dir
+  }
+
+  /** Join two bucketed tables on their bucket key — planner emits a
+    * sort-merge join with no Exchange when bucket specs line up. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Salted aggregation: groupBy(keys + salt) partial, then final
+    * groupBy(keys). `sum`-style partials compose; the caller provides
+    * partial and final agg column builders keyed by column name. */
+  def saltedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      saltFactor: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(valueCol)), lit(saltFactor)))
+    val partial = salted
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__partial"))
+    partial
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Custom Catalyst expressions: numerics vs the interpreted HOF
+  * equivalents, null handling, and SQL registration. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("array_dot equals interpreted aggregate/zip_with bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, 0.6)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val got = df.select(ArrayDot.array_dot($"a", $"b").as("d")).collect().map(_.getDouble(0))
+    val want = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d")
+    ).collect().map(_.getDouble(0))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("array_dot null propagation") {
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    val r = df.select(ArrayDot.array_dot($"a", $"b")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("simhash60 matches a reference implementation") {
+    def refSimhash(hs: Seq[Long]): Long = {
+      val votes = Array.fill(60)(0)
+      hs.foreach { h =>
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 60).foldLeft(0L) { (fp, b) => if (votes(b) > 0) fp | (1L << b) else fp }
+    }
+    val data = Seq(Seq(0x123456789abcdL, 0xfffffffffffffL, 0x1L), Seq(0L), Seq.empty[Long])
+    val df = data.toDF("hs")
+    val got = df.select(SimHash.simhash60($"hs")).collect().map(_.getLong(0))
+    assert(got.toSeq === data.map(refSimhash))
+  }
+
+  test("SQL registration via GraftFunctions.register") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+    val s = spark.sql("SELECT simhash60(array(7L)) AS s").collect().head.getLong(0)
+    assert(s === 7L)
+  }
+}

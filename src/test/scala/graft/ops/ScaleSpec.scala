@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestSession, Tables}
+
+/** Evidence for the 100 TB design claims: bucketed joins plan without
+  * a shuffle, and salted aggregation matches the direct aggregate. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed fact-fact join contains no shuffle exchange") {
+    ScaleOps.writeBucketed(Tables.lineitem(spark, sf), "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(
+      Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", "l_orderkey", 8)
+    val joined = ScaleOps.bucketedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"expected exchange-free bucketed join, found ${shuffles.size} shuffles:\n$finalPlan")
+  }
+
+  test("non-bucketed equivalent of the same join DOES shuffle (control)") {
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey")
+    // disable broadcast so the control exercises the shuffle path
+    val joined = li.hint("merge").join(ord, "l_orderkey")
+    joined.count()
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.collect { case s: ShuffleExchangeExec => s }.nonEmpty)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+        .as("sum_l_quantity"))
+    val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", 16)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+}
