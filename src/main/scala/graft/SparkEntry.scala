@@ -34,6 +34,8 @@ object SparkEntry {
     "agg_stats"         -> (RelationalOps.aggStatsByPriority _),
     "monthly_orders"    -> (RelationalOps.monthlyOrders _),
     "top_orders"        -> (RelationalOps.topOrders _),
+    "agg_percentiles"   -> (RelationalOps.percentiles _),
+    "agg_approx"        -> (RelationalOps.approxSketches _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
@@ -51,6 +53,7 @@ object SparkEntry {
     // Similarity search
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
+    "sim_ann_ivf"    -> (SimilarityOps.annIvf _),
     // Text analysis
     "text_token_stats" -> (TextAnalysisOps.tokenStats _),
     "text_lang_id"     -> (TextAnalysisOps.langId _),
@@ -75,6 +78,8 @@ object SparkEntry {
     "agg_stats"         -> RelationalOps.aggStatsByPrioritySql,
     "monthly_orders"    -> RelationalOps.monthlyOrdersSql,
     "top_orders"        -> RelationalOps.topOrdersSql,
+    "agg_percentiles"   -> RelationalOps.percentilesSql,
+    // agg_approx: engine-specific sketches — bounded vs exact in ScalaTest
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,

@@ -171,6 +171,39 @@ object RelationalOps {
       |FROM orders GROUP BY o_orderpriority
       |HAVING COUNT(*) > 0 ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation
+    * — the same definition as DuckDB's quantile_cont) + an
+    * approx_percentile cross-check exercised in ScalaTest only
+    * (sketch internals differ per engine). */
+  def percentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_price"))
+      .orderBy("o_orderpriority")
+
+  def percentilesSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.95) AS p95_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Approximate sketches — HLL++ distinct counts and quantile
+    * sketches. No DuckDB oracle (sketch internals are engine-
+    * specific); RelationalSketchSpec bounds them against the exact
+    * answers instead. At 100 TB these replace their exact
+    * counterparts: HLL state is KBs per group vs a full distinct
+    * shuffle. */
+  def approxSketches(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
+      .orderBy("o_orderpriority")
+
   /** Scalar-function surface: date (year/month/date_trunc), math
     * (revenue expression), string (concat/substr), conditional
     * (CASE WHEN) — monthly order rollup. */

@@ -105,4 +105,53 @@ object SimilarityOps {
       .where(col("rank") <= 3)
       .orderBy("qid", "rank")
   }
+
+  /** IVF (inverted-file) ANN: KMeans-partition the corpus, then each
+    * query probes only its `nprobe` nearest cells — the classic
+    * coarse-quantizer index. At 100 TB the cell assignment is a
+    * one-off indexing job and each query touches nprobe/k of the
+    * corpus. Seeded KMeans keeps the index deterministic for a given
+    * dataset; results are approximate, so ScalaTest bounds recall
+    * against [[bruteTopK]] (no SQL oracle). */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nprobe = 4
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+      .fit(e.select("fv"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    // query-side routing: nearest nprobe centroids per query vector
+    val centers = model.clusterCenters.map(_.toArray)
+    val queries = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val probes = queries.flatMap { case (qid, qv) =>
+      centers.zipWithIndex.map { case (c, ci) => (qid, ci, sqdist(qv, c)) }
+        .sortBy(_._3).take(nprobe).map { case (q, ci, _) => (q, ci) }
+    }.toSeq
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("qid", "cell"))
+    val qDf = broadcast(assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    probeDf.join(assigned, Seq("cell"))
+      .select(col("qid"), col("vec_id").as("nid"), col("v").as("nv"))
+      .join(qDf, Seq("qid"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
 }
