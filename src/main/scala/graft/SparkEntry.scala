@@ -35,6 +35,7 @@ object SparkEntry {
     "monthly_orders"    -> (RelationalOps.monthlyOrders _),
     "top_orders"        -> (RelationalOps.topOrders _),
     "agg_percentiles"   -> (RelationalOps.percentiles _),
+    "q14_promo"         -> (RelationalOps.promoRevenue _),
     "agg_approx"        -> (RelationalOps.approxSketches _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "monthly_orders"    -> RelationalOps.monthlyOrdersSql,
     "top_orders"        -> RelationalOps.topOrdersSql,
     "agg_percentiles"   -> RelationalOps.percentilesSql,
+    "q14_promo"         -> RelationalOps.promoRevenueSql,
     // agg_approx: engine-specific sketches — bounded vs exact in ScalaTest
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,

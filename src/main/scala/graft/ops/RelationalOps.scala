@@ -171,6 +171,32 @@ object RelationalOps {
       |FROM orders GROUP BY o_orderpriority
       |HAVING COUNT(*) > 0 ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q14 shape: conditional aggregation over a broadcast
+    * part-dimension join — promo revenue share per month. Covers the
+    * `part` table + CASE-inside-aggregate. */
+  def promoRevenue(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val p = Tables.part(spark, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(
+        dsum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
+        count("*").as("n_items"))
+      .orderBy("yr", "mo")
+  }
+
+  def promoRevenueSql: String =
+    """SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+      |  CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation
     * — the same definition as DuckDB's quantile_cont) + an
     * approx_percentile cross-check exercised in ScalaTest only
