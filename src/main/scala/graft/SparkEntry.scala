@@ -40,6 +40,8 @@ object SparkEntry {
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
+    "join_full_outer"   -> (RelationalOps.fullOuterNation _),
+    "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
     "evt_sessions"     -> (EventOps.sessions _),
@@ -60,6 +62,7 @@ object SparkEntry {
     "text_lang_id"     -> (TextAnalysisOps.langId _),
     "text_quality"     -> (TextAnalysisOps.qualityScore _),
     "text_fingerprint" -> (TextAnalysisOps.fingerprint _),
+    "text_winnow"      -> (TextAnalysisOps.winnow _),
     // Multimodal binary-column plumbing (decode stubbed; see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
   )
@@ -85,6 +88,8 @@ object SparkEntry {
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
+    "join_full_outer"   -> RelationalOps.fullOuterNationSql,
+    "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "evt_sessions"      -> EventOps.sessionsSql,
     "evt_json"          -> EventOps.jsonExtractSql,
@@ -100,6 +105,7 @@ object SparkEntry {
     "text_lang_id"     -> TextAnalysisOps.langIdSql,
     "text_quality"     -> TextAnalysisOps.qualityScoreSql,
     "text_fingerprint" -> TextAnalysisOps.fingerprintSql,
+    "text_winnow"      -> TextAnalysisOps.winnowSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
   )
 }

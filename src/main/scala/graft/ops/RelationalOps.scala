@@ -313,6 +313,52 @@ object RelationalOps {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Full-outer join: per-nation customer vs supplier presence,
+    * including nations with only one side (null-coalesced). */
+  def fullOuterNation(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count("*").as("n_customers"))
+    val s = Tables.supplier(spark, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count("*").as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  def fullOuterNationSql: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |           FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |           FROM supplier GROUP BY 1)
+      |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Pivot: yearly order totals spread across order-status columns.
+    * DuckDB mirror uses conditional aggregation (the portable pivot
+    * form), which is also exactly what Spark's pivot lowers to. */
+  def pivotStatus(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0.0)).as("total_f"),
+        coalesce(col("O"), lit(0.0)).as("total_o"),
+        coalesce(col("P"), lit(0.0)).as("total_p"))
+      .orderBy("yr")
+
+  def pivotStatusSql: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_f,
+      |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_o,
+      |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_p
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   /** Window functions over the fact table: per-customer order ranking
     * + running spend (one shuffle on the partition key). */
   def windowOrderRank(spark: SparkSession, d: String): DataFrame = {

@@ -133,6 +133,39 @@ object TextAnalysisOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every 3-token
+    * shingle, slide a window of 4 hashes, keep each window's minimum
+    * — the document's stable fingerprint set. Output is exploded to
+    * (doc_id, fp) rows so the oracle compares scalars, not arrays.
+    * Map-side only until the final ordering. */
+  def winnow(spark: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3 + W - 1)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => xhash60(concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)), 0)).as("hx"))
+    docs.select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("hx")) - (W - 1)),
+        i => array_min(slice(col("hx"), i, lit(W)))))).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  def winnowSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(range(1, len(tk)-1),
+       |    i -> ${xhash60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]", 0)}) AS hx
+       |  FROM toks WHERE len(tk) >= 6),
+       |wins AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(hx)-2),
+       |    i -> list_min(hx[i:i+3]))) AS fps
+       |  FROM hashed)
+       |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over the token
     * stream (order-sensitive, unlike the set-based dedup hashes) —
     * fold of (acc * 31 + tokenhash) mod 1e9+7. */

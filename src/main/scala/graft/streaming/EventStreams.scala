@@ -72,6 +72,16 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value", "last_ms")
   }
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on the
+    * event id — the streaming face of DedupOps.dedupExact. State
+    * holds one key per event inside the watermark horizon; late
+    * duplicates beyond it age out (the standard at-least-once →
+    * effectively-once pattern for training-data ingest). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   /** Run a streaming DataFrame to completion against a static input
     * (file stream) and return the result via a memory sink. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -44,6 +44,21 @@ class StreamingSpec extends AnyFunSuite {
       && wantPerUser.exceptAll(gotPerUser).isEmpty)
   }
 
+  test("streaming dedup removes duplicate event ids") {
+    // stage the events file TWICE — every event arrives duplicated
+    val d = Files.createTempDirectory("graft-evdup")
+    val src = Paths.get(s"$sf/events.parquet")
+    Files.copy(src, d.resolve("drop1.parquet"))
+    Files.copy(src, d.resolve("drop2.parquet"))
+    val stream = EventStreams.readEvents(spark, d.toString)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.dedupedEvents(stream).select("event_id"), "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val want = graft.Tables.events(spark, sf).select("event_id").distinct()
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState running totals match batch per-user counts") {
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
     val got = EventStreams.userRunningTotals(spark, stream)
