@@ -37,6 +37,16 @@ object ScaleOps {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Write a fact table hive-partitioned by a derived date column —
+    * the 100 TB layout for time-series facts: queries filtering on
+    * the partition column scan only matching directories (partition
+    * pruning), verified in ScaleSpec via the scan's PartitionFilters. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(path)
+
   /** Salted aggregation: groupBy(keys + salt) partial, then final
     * groupBy(keys). `sum`-style partials compose; the caller provides
     * partial and final agg column builders keyed by column name. */

@@ -42,6 +42,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(finalPlan.collect { case s: ShuffleExchangeExec => s }.nonEmpty)
   }
 
+  test("date-partitioned layout prunes partitions on a date filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    ScaleOps.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("p_date") === "2024-01-03")
+    assert(filtered.count() > 0)
+    val plan = filtered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // partition filter present, and only one of the ~30 day-partitions read
+    assert(scan.metadata("PartitionFilters").contains("p_date"))
+    val nSelected = scan.selectedPartitions.partitionCount
+    assert(scan.relation.location.inputFiles.length > nSelected,
+      "expected pruning to skip partitions")
+    assert(nSelected === 1)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy("l_returnflag")
