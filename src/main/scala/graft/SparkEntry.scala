@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash"       -> (DedupOps.dedupSimhash _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
+    "dedup_clusters"      -> (DedupOps.dedupClusters _),
     // Similarity search
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
+    "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
     // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest
     "text_token_stats" -> TextAnalysisOps.tokenStatsSql,

@@ -167,6 +167,57 @@ object DedupOps {
        |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-duplicate clustering: connected components over the MinHash
+    * pair graph via iterative min-label propagation (the Pregel
+    * pattern: join labels to neighbors, take the min, repeat to
+    * fixpoint; localCheckpoint truncates the growing lineage each
+    * round). Output: every document with its cluster id (= min doc_id
+    * reachable through near-dup edges) and whether it's the cluster's
+    * kept representative. The oracle recomputes the same closure with
+    * a recursive CTE. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true) // computed once; iterations reuse it
+    val docs = Tables.documents(spark, d).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(col("d1")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("d1"), "left_outer")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.select(col("doc_id"), col("cluster_id").as("new_cid"))
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old_cid")),
+          Seq("doc_id"))
+        .where(col("new_cid") =!= col("old_cid")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  def dedupClustersSql: String = {
+    val minhashPairs = dedupMinhashSql.replace("ORDER BY d1, d2", "")
+    s"""WITH RECURSIVE mh AS ($minhashPairs),
+       |edges AS (SELECT d1, d2 FROM mh UNION SELECT d2 AS d1, d1 AS d2 FROM mh),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d1, reach.r FROM edges e JOIN reach ON e.d2 = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept
+       |FROM clusters ORDER BY doc_id""".stripMargin
+  }
+
   /** Brute-force bigram jaccard over a bounded 1-in-10 doc sample —
     * the quality cross-check for the LSH path (explicitly NOT the
     * scale path; see class doc). Top-20 pairs, deterministic
