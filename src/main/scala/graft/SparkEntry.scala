@@ -47,6 +47,7 @@ object SparkEntry {
     "evt_sessions"     -> (EventOps.sessions _),
     "evt_json"         -> (EventOps.jsonExtract _),
     "evt_daily_active" -> (EventOps.dailyActive _),
+    "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "evt_sessions"      -> EventOps.sessionsSql,
     "evt_json"          -> EventOps.jsonExtractSql,
     "evt_daily_active"  -> EventOps.dailyActiveSql,
+    "evt_asof"          -> AsOfOps.eventAsOfPurchaseSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
