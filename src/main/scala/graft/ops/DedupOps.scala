@@ -258,11 +258,17 @@ object DedupOps {
     * Brute-force here (500-2000 vectors); the scale path is the LSH
     * bucketing in [[SimilarityOps.annLsh]]. */
   def dedupEmbedding(spark: SparkSession, d: String): DataFrame = {
+    // precompute each vector's norm once: pair scoring then does ONE
+    // codegen'd dot product instead of three (identical numerics —
+    // sqrt(dot(v,v)) is the same double wherever it's computed)
     val e = Tables.embeddings(spark, d)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("e2"), col("nrm").as("n2"))
     a.crossJoin(b).where(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cosine9(col("e1"), col("e2")).as("cos_sim"))
+      .select(col("v1"), col("v2"),
+        round(dotd(col("e1"), col("e2")) / (col("n1") * col("n2")), 9).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
       .limit(50)
   }

@@ -29,14 +29,17 @@ object SimilarityOps {
     * output is deterministic. */
   def bruteTopK(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
     val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
     broadcast(q).crossJoin(c)
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
+      .select(col("qid"), col("nid"),
+        round(dotd(col("qv"), col("nv")) / (col("qn") * col("nn")), 9).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .orderBy("qid", "rank")
