@@ -48,6 +48,7 @@ object SparkEntry {
     "evt_json"         -> (EventOps.jsonExtract _),
     "evt_daily_active" -> (EventOps.dailyActive _),
     "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
+    "evt_funnel"       -> (EventOps.funnel _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -65,6 +66,8 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysisOps.qualityScore _),
     "text_fingerprint" -> (TextAnalysisOps.fingerprint _),
     "text_winnow"      -> (TextAnalysisOps.winnow _),
+    "text_lang_ngram"  -> (TextAnalysisOps.langIdNgram _),
+    "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
     // Multimodal binary-column plumbing (decode stubbed; see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
   )
@@ -97,6 +100,7 @@ object SparkEntry {
     "evt_json"          -> EventOps.jsonExtractSql,
     "evt_daily_active"  -> EventOps.dailyActiveSql,
     "evt_asof"          -> AsOfOps.eventAsOfPurchaseSql,
+    "evt_funnel"        -> EventOps.funnelSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
@@ -110,6 +114,8 @@ object SparkEntry {
     "text_quality"     -> TextAnalysisOps.qualityScoreSql,
     "text_fingerprint" -> TextAnalysisOps.fingerprintSql,
     "text_winnow"      -> TextAnalysisOps.winnowSql,
+    "text_lang_ngram"  -> TextAnalysisOps.langIdNgramSql,
+    "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
   )
 }

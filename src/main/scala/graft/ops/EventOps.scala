@@ -98,6 +98,41 @@ object EventOps {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Conversion funnel: per user, first signup and first purchase at
+    * or after it; aggregated into per-day cohort conversion. Two
+    * small aggregations + one join on user_id. */
+  def funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_millis(col("ts"))).as("signup_ms"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    // the at-or-after condition lives in the JOIN, not a post-filter:
+    // a user whose purchases all precede signup must still appear
+    // (unconverted), which a post-filter would drop
+    signup.join(purchase,
+        signup("user_id") === purchase("user_id")
+          && purchase("p_ms") >= signup("signup_ms"), "left_outer")
+      .groupBy(signup("user_id"), col("signup_ms"))
+      .agg(min(col("p_ms")).as("first_purchase_ms"))
+      .select(signup("user_id"), col("signup_ms"), col("first_purchase_ms"),
+        col("first_purchase_ms").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
+  def funnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS signup_ms FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT user_id, epoch_ms(ts) AS p_ms FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.signup_ms, MIN(p.p_ms) AS first_purchase_ms,
+      |  MIN(p.p_ms) IS NOT NULL AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.p_ms >= s.signup_ms
+      |GROUP BY s.user_id, s.signup_ms
+      |ORDER BY s.user_id""".stripMargin
+
   /** Daily actives: exact distinct users per day + event volume.
     * countDistinct is the exact path; the approx_count_distinct
     * variant (no oracle — HLL internals differ per engine) is

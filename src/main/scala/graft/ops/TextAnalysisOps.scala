@@ -93,6 +93,94 @@ object TextAnalysisOps {
        |  ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Char-n-gram language ID — the classic n-gram-profile heuristic:
+    * build per-language top-20 character-bigram profiles from the
+    * corpus metadata, then classify each document by profile overlap
+    * (argmax, ties to the alphabetically first language). Train and
+    * apply in one DAG: profile building is an aggregation the
+    * optimizer shares; at 100 TB the profile side is tiny and
+    * broadcast. */
+  def langIdNgram(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val bigrams = docs.select(col("doc_id"), col("lang"),
+      array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
+    val exploded = bigrams.select(col("doc_id"), col("lang"),
+      explode(col("bgs")).as("bg"))
+    // per-language profile: top 20 bigrams by document frequency
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("bg"))
+    val profile = exploded.groupBy(col("lang"), col("bg"))
+      .agg(count("*").as("df"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 20)
+      .select(col("lang").as("p_lang"), col("bg"))
+    // score every doc against every language profile
+    val scored = exploded.select(col("doc_id"), col("bg"))
+      .join(broadcast(profile), Seq("bg"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count("*").as("overlap"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("p_lang"))
+    val best = scored.withColumn("rnk", row_number().over(wBest))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("overlap"))
+    docs.select(col("doc_id"), col("lang").as("meta_lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("meta_lang"))
+      .orderBy("doc_id")
+  }
+
+  def langIdNgramSql: String =
+    s"""WITH bigrams AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, length(text)),
+       |      i -> substr(lower(text), i, 2))) AS bgs
+       |  FROM documents),
+       |exploded AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bigrams),
+       |prof AS (
+       |  SELECT lang AS p_lang, bg FROM (
+       |    SELECT lang, bg, COUNT(*) AS df,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg) AS rnk
+       |    FROM exploded GROUP BY lang, bg)
+       |  WHERE rnk <= 20),
+       |scored AS (
+       |  SELECT doc_id, p_lang, COUNT(*) AS overlap
+       |  FROM exploded JOIN prof ON exploded.bg = prof.bg
+       |  GROUP BY doc_id, p_lang),
+       |best AS (
+       |  SELECT doc_id, p_lang AS pred_lang, overlap,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rnk
+       |  FROM scored)
+       |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       |  COALESCE(b.overlap, 0) AS overlap, d.lang AS meta_lang
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
+       |  ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus-level summary: one row of global stats. */
+  def corpusStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tok"))
+      .agg(
+        count("*").as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tok")).cast("double") / count("*")).as("avg_tokens"))
+
+  def corpusStatsSql: String =
+    s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       |  SUM(len(${tokensSql("text")})) AS total_tokens,
+       |  SUM(n_chars) AS total_chars,
+       |  CAST(SUM(len(${tokensSql("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM documents""".stripMargin
+
   /** Quality scoring: unique-token ratio, stopword ratio, length
     * normalization → weighted score. Pure arithmetic on counts, so the
     * score is bit-deterministic across engines. */
