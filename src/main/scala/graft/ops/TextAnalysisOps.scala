@@ -102,9 +102,11 @@ object TextAnalysisOps {
     * broadcast. */
   def langIdNgram(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
+    // classify on a 256-char prefix — the standard language-ID
+    // practice, and it bounds the per-doc work independent of doc size
     val bigrams = docs.select(col("doc_id"), col("lang"),
       array_distinct(transform(
-        sequence(lit(1), length(col("text")) - 1),
+        sequence(lit(1), least(length(col("text")), lit(256)) - 1),
         i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
     val exploded = bigrams.select(col("doc_id"), col("lang"),
       explode(col("bgs")).as("bg"))
@@ -138,7 +140,7 @@ object TextAnalysisOps {
   def langIdNgramSql: String =
     s"""WITH bigrams AS (
        |  SELECT doc_id, lang,
-       |    list_distinct(list_transform(range(1, length(text)),
+       |    list_distinct(list_transform(range(1, least(length(text), 256)),
        |      i -> substr(lower(text), i, 2))) AS bgs
        |  FROM documents),
        |exploded AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bigrams),
