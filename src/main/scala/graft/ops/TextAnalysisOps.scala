@@ -108,8 +108,12 @@ object TextAnalysisOps {
       array_distinct(transform(
         sequence(lit(1), least(length(col("text")), lit(256)) - 1),
         i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
+    // materialized once: both the profile build and the scoring pass
+    // consume it, and recomputing the substring explode would double
+    // the dominant cost
     val exploded = bigrams.select(col("doc_id"), col("lang"),
       explode(col("bgs")).as("bg"))
+      .localCheckpoint(true)
     // per-language profile: top 20 bigrams by document frequency
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("df").desc, col("bg"))
