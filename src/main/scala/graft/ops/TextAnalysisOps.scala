@@ -191,8 +191,6 @@ object TextAnalysisOps {
     * normalization → weighted score. Pure arithmetic on counts, so the
     * score is bit-deterministic across engines. */
   def qualityScore(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val dict = Stopwords.map(_._2).distinct.toDF("sw")
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) > 0)
