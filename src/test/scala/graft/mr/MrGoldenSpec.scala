@@ -103,4 +103,33 @@ class MrGoldenSpec extends AnyFunSuite {
     val got = Workloads.wcMapSh(Iterator("Hello  World")).toSeq
     assert(got === Seq("hello\t1", "\t1", "world\t1"))
   }
+
+  test("R larger than the key count still writes R part files (some empty)") {
+    val in = Files.createTempDirectory("graft-bigr-in")
+    Files.writeString(in.resolve("file01"), "a b\n")
+    val out = tmpOut("bigr")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 1, numReducers = 8))
+    val parts = Files.list(out).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq.sorted
+    assert(parts === (0 until 8).map(i => f"part-$i%05d"))
+    assert(partLines(out).sorted === Seq("a\t1", "b\t1"))
+  }
+
+  test("multi-TAB values keep the first-field key through the whole job") {
+    val in = Files.createTempDirectory("graft-tabs-in")
+    Files.writeString(in.resolve("file01"), "k\tv1\tv2\nk\tother\n")
+    val out = tmpOut("tabs")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(identity),
+      reducer = FnSpec(Workloads.wcReduceSh), // counts per first-TAB key
+      numMappers = 1, numReducers = 2))
+    assert(partLines(out) === Seq("k\t2"))
+  }
 }
