@@ -37,6 +37,7 @@ object SparkEntry {
     "agg_percentiles"   -> (RelationalOps.percentiles _),
     "q14_promo"         -> (RelationalOps.promoRevenue _),
     "agg_approx"        -> (RelationalOps.approxSketches _),
+    "validate_lineitem" -> (RelationalOps.validateLineitem _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
     "sim_ann_ivf"    -> (SimilarityOps.annIvf _),
+    "sim_quantize"   -> (SimilarityOps.quantizeError _),
     // Text analysis
     "text_token_stats" -> (TextAnalysisOps.tokenStats _),
     "text_lang_id"     -> (TextAnalysisOps.langId _),
@@ -68,6 +70,7 @@ object SparkEntry {
     "text_winnow"      -> (TextAnalysisOps.winnow _),
     "text_lang_ngram"  -> (TextAnalysisOps.langIdNgram _),
     "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
+    "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
     // Multimodal binary-column plumbing (decode stubbed; see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
   )
@@ -89,6 +92,7 @@ object SparkEntry {
     "top_orders"        -> RelationalOps.topOrdersSql,
     "agg_percentiles"   -> RelationalOps.percentilesSql,
     "q14_promo"         -> RelationalOps.promoRevenueSql,
+    "validate_lineitem" -> RelationalOps.validateLineitemSql,
     // agg_approx: engine-specific sketches — bounded vs exact in ScalaTest
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
@@ -108,6 +112,7 @@ object SparkEntry {
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
+    "sim_quantize"        -> SimilarityOps.quantizeErrorSql,
     // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest
     "text_token_stats" -> TextAnalysisOps.tokenStatsSql,
     "text_lang_id"     -> TextAnalysisOps.langIdSql,
@@ -116,6 +121,7 @@ object SparkEntry {
     "text_winnow"      -> TextAnalysisOps.winnowSql,
     "text_lang_ngram"  -> TextAnalysisOps.langIdNgramSql,
     "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
+    "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
   )
 }

@@ -197,6 +197,29 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** Data validation: constraint-violation counts over the fact
+    * table — the ingest-gate operator every training pipeline runs
+    * before accepting a batch. One scan, conditional sums. */
+  def validateLineitem(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).agg(
+      count("*").as("n_rows"),
+      sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("bad_quantity"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0)).as("bad_discount"),
+      sum(when(col("l_tax") < 0, 1).otherwise(0)).as("bad_tax"),
+      sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("bad_price"),
+      sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("null_shipdate"),
+      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("null_orderkey"))
+
+  def validateLineitemSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_quantity,
+      |  SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+      |  SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS bad_tax,
+      |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+      |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+      |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey
+      |FROM lineitem""".stripMargin
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation
     * — the same definition as DuckDB's quantile_cont) + an
     * approx_percentile cross-check exercised in ScalaTest only

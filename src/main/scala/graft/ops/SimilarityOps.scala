@@ -109,6 +109,36 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 scalar quantization round-trip: per vector, the symmetric
+    * scale (127/max|x|), quantize, dequantize, and report the max
+    * reconstruction error — the storage-reduction path for embedding
+    * corpora (4 bytes/dim → 1). Pure per-row arithmetic; the oracle
+    * recomputes it exactly. */
+  def quantizeError(spark: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val err = array_max(zip_with(v,
+      transform(v, x => round(x * scale) / scale),
+      (x, deq) => abs(x - deq)))
+    Tables.embeddings(spark, d)
+      .where(maxAbs > 0)
+      .select(col("vec_id"),
+        round(maxAbs, 9).as("max_abs"),
+        round(err, 9).as("max_q_err"))
+      .orderBy("vec_id")
+  }
+
+  def quantizeErrorSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+      |  FROM embeddings)
+      |SELECT vec_id, round(max_abs, 9) AS max_abs,
+      |  round(list_max(list_transform(v,
+      |    x -> abs(x - round(x * (127.0 / max_abs)) / (127.0 / max_abs)))), 9) AS max_q_err
+      |FROM e WHERE max_abs > 0 ORDER BY vec_id""".stripMargin
+
   /** IVF (inverted-file) ANN: KMeans-partition the corpus, then each
     * query probes only its `nprobe` nearest cells — the classic
     * coarse-quantizer index. At 100 TB the cell assignment is a

@@ -168,6 +168,51 @@ object TextAnalysisOps {
        |  ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Token co-occurrence: top-30 adjacent token bigrams by frequency
+    * with PMI (pointwise mutual information) — the word2vec-style
+    * association statistic. PMI is rounded to 6 decimals to absorb
+    * libm log differences between engines. */
+  def topBigramsPmi(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bigrams = toks.select(explode(transform(
+      sequence(lit(1), size(col("tk")) - 1),
+      i => struct(element_at(col("tk"), i).as("w1"),
+        element_at(col("tk"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .localCheckpoint(true)
+    val total = bigrams.count()
+    val w1c = bigrams.groupBy("w1").agg(count("*").as("c1"))
+    val w2c = bigrams.groupBy("w2").agg(count("*").as("c2"))
+    bigrams.groupBy("w1", "w2").agg(count("*").as("c12"))
+      .join(w1c, Seq("w1")).join(w2c, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * total /
+          (col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  def topBigramsPmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |bigrams AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS r
+       |  FROM toks WHERE len(tk) >= 2),
+       |flat AS (SELECT r.w1 AS w1, r.w2 AS w2 FROM bigrams),
+       |n AS (SELECT COUNT(*) AS total FROM flat),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+       |c2 AS (SELECT w2, COUNT(*) AS c2 FROM flat GROUP BY w2),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat GROUP BY w1, w2)
+       |SELECT c12.w1, c12.w2, c12.c12,
+       |  round(ln(CAST(c12.c12 AS DOUBLE) * n.total / (c1.c1 * c2.c2)), 6) AS pmi
+       |FROM c12, n
+       |JOIN c1 ON c12.w1 = c1.w1
+       |JOIN c2 ON c12.w2 = c2.w2
+       |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 30""".stripMargin
+
   /** Corpus-level summary: one row of global stats. */
   def corpusStats(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
