@@ -23,7 +23,7 @@ object AsOfOps {
     * back null when no prior right row exists. */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightPayload: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     val payloadType = right
       .select(struct(rightPayload.map(col): _*).as("p")).schema("p").dataType
     val l = left.select((leftCols.map(col) :+ lit(1).as("__side")
