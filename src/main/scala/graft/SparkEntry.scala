@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
     "dedup_clusters"      -> (DedupOps.dedupClusters _),
+    "agg_minhash_sig"     -> (DedupOps.groupMinhashSig _),
     // Similarity search
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
+    "agg_minhash_sig"     -> DedupOps.groupMinhashSigSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
     "sim_quantize"        -> SimilarityOps.quantizeErrorSql,
     // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest

@@ -254,6 +254,36 @@ object DedupOps {
        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Group-level set sketch via the custom MinHashSigAgg aggregate
+    * (TypedImperativeAggregate): each language's vocabulary reduced to
+    * a K=12 MinHash signature — the constant-size group summary whose
+    * slot-wise equality rate estimates cross-group jaccard. Exploded
+    * to scalar rows; the oracle recomputes every slot with a plain
+    * MIN over the same hash family. */
+  def groupMinhashSig(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tokn"))
+      .select(col("lang"), (xhash60(col("tokn"), 0) % P).as("h"))
+    tok.groupBy("lang")
+      .agg(graft.functions.MinHashSigAgg.minhash_sig(col("h")).as("sig"))
+      .select(col("lang"), posexplode(col("sig")).as(Seq("hash_idx", "min_val")))
+      .orderBy("lang", "hash_idx")
+  }
+
+  def groupMinhashSigSql: String = {
+    val aList = As.mkString("[", ", ", "]")
+    val bList = Bs.mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${tokensSql("text")}) AS tokn FROM documents),
+       |h AS (SELECT lang, ${xhash60Sql("tokn", 0)} % $P AS h FROM tok),
+       |sigs AS (
+       |  SELECT lang, t.j AS hash_idx,
+       |    MIN(($aList[t.j + 1] * h + $bList[t.j + 1]) % $P) AS min_val
+       |  FROM h CROSS JOIN (SELECT unnest(range(12)) AS j) t
+       |  GROUP BY lang, t.j)
+       |SELECT lang, hash_idx, min_val FROM sigs ORDER BY lang, hash_idx""".stripMargin
+  }
+
   /** Embedding near-duplicate detection: top-50 highest-cosine pairs.
     * Brute-force here (500-2000 vectors); the scale path is the LSH
     * bucketing in [[SimilarityOps.annLsh]]. */

@@ -38,4 +38,18 @@ object Formats {
 
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Parquet with an explicit codec — zstd for cold storage (best
+    * ratio), snappy/lz4 for hot paths; at 100 TB the codec choice is
+    * a double-digit-percent storage and scan-time decision. */
+  def writeParquet(df: DataFrame, path: String, codec: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .parquet(path)
 }

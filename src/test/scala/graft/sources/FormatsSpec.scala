@@ -26,6 +26,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip preserves orders") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(orders, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
+  test("zstd parquet round-trip preserves lineitem") {
+    val dir = Files.createTempDirectory("graft-zstd").toString
+    val li = graft.Tables.lineitem(spark, sf)
+    Formats.writeParquet(li, dir, "zstd")
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("text round-trip preserves document texts") {
     val dir = Files.createTempDirectory("graft-text").toString
     val texts = Tables.documents(spark, sf).select(col("text"))
