@@ -44,6 +44,44 @@ class StreamingSpec extends AnyFunSuite {
       && wantPerUser.exceptAll(gotPerUser).isEmpty)
   }
 
+  test("checkpointed file sink processes increments exactly once") {
+    val in = Files.createTempDirectory("graft-incr-in")
+    val out = Files.createTempDirectory("graft-incr-out").toString
+    val chk = Files.createTempDirectory("graft-incr-chk").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.readEvents(spark, in.toString)
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val base = graft.Tables.events(spark, sf)
+    val n = base.count()
+    // drop 1: the events table as-is
+    Files.copy(Paths.get(s"$sf/events.parquet"), in.resolve("drop1.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() === n)
+    // drop 2: new batch with distinct ids (offset past the first)
+    base.select((org.apache.spark.sql.functions.col("event_id") + 1000000).as("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("props"))
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts") * 1000) // ns
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2 * n)
+    // run 3: no new files -> checkpoint prevents reprocessing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2 * n)
+    assert(spark.read.parquet(out).select("event_id").distinct().count() === 2 * n)
+  }
+
   test("streaming dedup removes duplicate event ids") {
     // stage the events file TWICE — every event arrives duplicated
     val d = Files.createTempDirectory("graft-evdup")
