@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
     "dedup_clusters"      -> (DedupOps.dedupClusters _),
     "agg_minhash_sig"     -> (DedupOps.groupMinhashSig _),
+    "sample_hash"         -> (DedupOps.sampleHash _),
     // Similarity search
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "agg_minhash_sig"     -> DedupOps.groupMinhashSigSql,
+    "sample_hash"         -> DedupOps.sampleHashSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
     "sim_quantize"        -> SimilarityOps.quantizeErrorSql,
     // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest

@@ -254,6 +254,21 @@ object DedupOps {
        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Reproducible sampling: hash-mod selection instead of rand() —
+    * the same rows are selected on any cluster, any partitioning, any
+    * engine (rand(seed) is partitioning-dependent; content hashing is
+    * not). ~10% of documents, stratification visible via lang. */
+  def sampleHash(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .where(xhash60(col("doc_id").cast("string"), 3) % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  def sampleHashSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 3)} % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Group-level set sketch via the custom MinHashSigAgg aggregate
     * (TypedImperativeAggregate): each language's vocabulary reduced to
     * a K=12 MinHash signature — the constant-size group summary whose

@@ -120,6 +120,19 @@ class MrGoldenSpec extends AnyFunSuite {
     assert(partLines(out).sorted === Seq("a\t1", "b\t1"))
   }
 
+  test("non-ASCII keys hash as UTF-8 and survive the whole job") {
+    val in = Files.createTempDirectory("graft-utf8-in")
+    Files.writeString(in.resolve("file01"), "héllo wörld 中文 héllo\n")
+    val out = tmpOut("utf8")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 1, numReducers = 4))
+    assert(partLines(out).sorted === Seq("héllo\t2", "wörld\t1", "中文\t1"))
+  }
+
   test("multi-TAB values keep the first-field key through the whole job") {
     val in = Files.createTempDirectory("graft-tabs-in")
     Files.writeString(in.resolve("file01"), "k\tv1\tv2\nk\tother\n")
