@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_clusters"      -> (DedupOps.dedupClusters _),
     "agg_minhash_sig"     -> (DedupOps.groupMinhashSig _),
     "sample_hash"         -> (DedupOps.sampleHash _),
+    "dedup_editdist"      -> (DedupOps.dedupEditDistance _),
+    "agg_corr"            -> (RelationalOps.corrQtyPrice _),
     // Similarity search
     "sim_brute_topk" -> (SimilarityOps.bruteTopK _),
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
@@ -115,6 +117,8 @@ object SparkEntry {
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "agg_minhash_sig"     -> DedupOps.groupMinhashSigSql,
     "sample_hash"         -> DedupOps.sampleHashSql,
+    "dedup_editdist"      -> DedupOps.dedupEditDistanceSql,
+    "agg_corr"            -> RelationalOps.corrQtyPriceSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
     "sim_quantize"        -> SimilarityOps.quantizeErrorSql,
     // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest

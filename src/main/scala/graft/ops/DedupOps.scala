@@ -254,6 +254,32 @@ object DedupOps {
        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Edit-distance near-dup: levenshtein over 32-char prefixes of a
+    * bounded 1-in-25 sample — the character-level member of the dedup
+    * family (catches typo-level variants that token jaccard misses).
+    * Integer distances, exact in both engines. */
+  def dedupEditDistance(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .where(col("doc_id") % 25 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
+    val a = docs.select(col("doc_id").as("d1"), col("prefix").as("p1"))
+    val b = docs.select(col("doc_id").as("d2"), col("prefix").as("p2"))
+    a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .orderBy(col("edit_dist"), col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  def dedupEditDistanceSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+      |  WHERE doc_id % 25 = 0 AND doc_id < 5000)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  levenshtein(a.prefix, b.prefix) AS edit_dist
+      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |ORDER BY edit_dist, d1, d2 LIMIT 20""".stripMargin
+
   /** Reproducible sampling: hash-mod selection instead of rand() —
     * the same rows are selected on any cluster, any partitioning, any
     * engine (rand(seed) is partitioning-dependent; content hashing is

@@ -197,6 +197,46 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** Pearson correlation per group, built from decimal-exact moments
+    * (Σx, Σy, Σxy, Σx², Σy²) instead of the built-in corr() — the
+    * built-ins use engine-specific update formulas (Welford vs naive)
+    * that drift in the last ulps; exact moments cast to double give
+    * bit-identical results on both engines. */
+  def corrQtyPrice(spark: SparkSession, d: String): DataFrame = {
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count("*").cast("double").as("n"),
+        m(col("l_quantity")).as("sx"),
+        m(col("l_extendedprice")).as("sy"),
+        m(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        m(col("l_quantity") * col("l_quantity")).as("sxx"),
+        m(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"),
+        col("n").cast("long").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  def corrQtyPriceSql: String =
+    """WITH moments AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round((n * sxy - sx * sy) /
+      |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+      |  CAST(n AS BIGINT) AS n_rows
+      |FROM moments ORDER BY l_returnflag""".stripMargin
+
   /** Data validation: constraint-violation counts over the fact
     * table — the ingest-gate operator every training pipeline runs
     * before accepting a batch. One scan, conditional sums. */
