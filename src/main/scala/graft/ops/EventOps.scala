@@ -39,7 +39,6 @@ object EventOps {
     * Structured Streaming this is the mapGroupsWithState shape (see
     * graft.streaming.SessionizeStream). */
   def sessions(spark: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val evs = Tables.events(spark, d)
       .select(col("user_id"), col("event_id"), col("value"),
         unix_millis(col("ts")).as("ts_ms"))
@@ -70,8 +69,8 @@ object EventOps {
       |                 THEN 1 ELSE 0 END AS new_sess
       |  FROM evs),
       |sessions AS (
-      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
@@ -92,7 +91,7 @@ object EventOps {
       .orderBy("event_type")
 
   def jsonExtractSql: String =
-    """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MAX(k) AS max_k
+    """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events) t

@@ -252,12 +252,12 @@ object RelationalOps {
 
   def validateLineitemSql: String =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_quantity,
-      |  SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
-      |  SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS bad_tax,
-      |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
-      |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
-      |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      |  CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+      |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+      |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey
       |FROM lineitem""".stripMargin
 
   /** Exact percentiles (sort-based `percentile`, linear interpolation

@@ -108,12 +108,13 @@ object TextAnalysisOps {
       array_distinct(transform(
         sequence(lit(1), least(length(col("text")), lit(256)) - 1),
         i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
-    // materialized once: both the profile build and the scoring pass
-    // consume it, and recomputing the substring explode would double
-    // the dominant cost
+    // consumed by both the profile build and the scoring pass; the
+    // substring explode is recomputed per consumer rather than
+    // checkpointed — at 100 TB an O(corpus) materialization to build
+    // a tiny top-20-per-language profile is the wrong trade, and the
+    // explode is cheap codegen'd projection work
     val exploded = bigrams.select(col("doc_id"), col("lang"),
       explode(col("bgs")).as("bg"))
-      .localCheckpoint(true)
     // per-language profile: top 20 bigrams by document frequency
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("df").desc, col("bg"))
@@ -181,14 +182,19 @@ object TextAnalysisOps {
       i => struct(element_at(col("tk"), i).as("w1"),
         element_at(col("tk"), i + 1).as("w2")))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
-      .localCheckpoint(true)
-    val total = bigrams.count()
+    // the grand total is a 1-row aggregate cross-joined into the same
+    // DAG (mirrors the oracle's `FROM c12, n`) — no driver-side
+    // count(), no materialization of the full bigram stream. The
+    // bigram projection is recomputed per consumer, which at scale is
+    // cheaper than spilling O(total tokens) rows to executor storage.
+    val total = bigrams.agg(count("*").as("total"))
     val w1c = bigrams.groupBy("w1").agg(count("*").as("c1"))
     val w2c = bigrams.groupBy("w2").agg(count("*").as("c2"))
     bigrams.groupBy("w1", "w2").agg(count("*").as("c12"))
       .join(w1c, Seq("w1")).join(w2c, Seq("w2"))
+      .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
-        round(log(col("c12").cast("double") * total /
+        round(log(col("c12").cast("double") * col("total") /
           (col("c1") * col("c2"))), 6).as("pmi"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(30)
@@ -227,8 +233,8 @@ object TextAnalysisOps {
 
   def corpusStatsSql: String =
     s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-       |  SUM(len(${tokensSql("text")})) AS total_tokens,
-       |  SUM(n_chars) AS total_chars,
+       |  CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  CAST(SUM(len(${tokensSql("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
        |FROM documents""".stripMargin
 
