@@ -99,16 +99,19 @@ object MultimodalOps {
       (lit(1) + col("byte_len") % 24).as("n_frames"))
       .orderBy("asset_id")
 
+  // encode(text) = UTF-8 bytes (CAST(text AS BLOB) raises on non-ASCII);
+  // head_hex slices the first 8 BYTES via the hex string — byte-exact
+  // mirror of Spark's substring on BINARY even for multibyte UTF-8.
   def mmFeaturesSql: String =
     """SELECT doc_id AS asset_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
       |       WHEN doc_id % 3 = 1 THEN 'audio'
       |       ELSE 'video' END AS kind,
-      |  octet_length(CAST(text AS BLOB)) AS byte_len,
+      |  octet_length(encode(text)) AS byte_len,
       |  md5(text) AS content_md5,
-      |  lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
-      |  64 + octet_length(CAST(text AS BLOB)) % 577 AS width,
-      |  64 + (octet_length(CAST(text AS BLOB)) * 31) % 433 AS height,
-      |  1 + octet_length(CAST(text AS BLOB)) % 24 AS n_frames
+      |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+      |  64 + octet_length(encode(text)) % 577 AS width,
+      |  64 + (octet_length(encode(text)) * 31) % 433 AS height,
+      |  1 + octet_length(encode(text)) % 24 AS n_frames
       |FROM documents ORDER BY asset_id""".stripMargin
 }

@@ -188,16 +188,18 @@ object DedupOps {
     while (changed > 0 && iter < 20) {
       val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
         .groupBy(col("d1")).agg(min(col("cluster_id")).as("nbr_min"))
+      // the convergence indicator rides along in the propagation join
+      // itself (no separate old-vs-new join per round); the count after
+      // the eager checkpoint is a cheap scan of materialized partitions
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("d1"), "left_outer")
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .cast("long").as("__chg"))
         .localCheckpoint(true)
-      changed = next.select(col("doc_id"), col("cluster_id").as("new_cid"))
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old_cid")),
-          Seq("doc_id"))
-        .where(col("new_cid") =!= col("old_cid")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
+      labels = next.drop("__chg")
       iter += 1
     }
     labels.select(col("doc_id"), col("cluster_id"),
@@ -218,13 +220,16 @@ object DedupOps {
        |FROM clusters ORDER BY doc_id""".stripMargin
   }
 
-  /** Brute-force bigram jaccard over a bounded 1-in-10 doc sample —
-    * the quality cross-check for the LSH path (explicitly NOT the
-    * scale path; see class doc). Top-20 pairs, deterministic
-    * tie-break. */
+  /** Brute-force bigram jaccard over a 1-in-10 doc sample — the
+    * quality cross-check for the LSH path (explicitly NOT the scale
+    * path; see class doc). The sample is content-hash selected (the
+    * [[sampleHash]] pattern) so it tracks corpus size at any SF and
+    * reproduces identically in the oracle, instead of the old
+    * dataset-coupled `doc_id % 10 = 0 AND doc_id < 5000` predicate.
+    * Top-20 pairs, deterministic tie-break. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(spark, d)
-      .where(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
+      .where(xhash60(col("doc_id").cast("string"), 11) % 10 === 0)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), array_distinct(transform(
@@ -243,7 +248,8 @@ object DedupOps {
 
   def dedupNgramJaccardSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents
+       |  WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 11)} % 10 = 0),
        |grams AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
        |           i -> tk[i] || ' ' || tk[i+1])) AS g
@@ -255,12 +261,13 @@ object DedupOps {
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
   /** Edit-distance near-dup: levenshtein over 32-char prefixes of a
-    * bounded 1-in-25 sample — the character-level member of the dedup
-    * family (catches typo-level variants that token jaccard misses).
-    * Integer distances, exact in both engines. */
+    * content-hash-selected 1-in-25 sample (tracks corpus size at any
+    * SF, reproducible in the oracle) — the character-level member of
+    * the dedup family (catches typo-level variants that token jaccard
+    * misses). Integer distances, exact in both engines. */
   def dedupEditDistance(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-      .where(col("doc_id") % 25 === 0 && col("doc_id") < 5000)
+      .where(xhash60(col("doc_id").cast("string"), 13) % 25 === 0)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
     val a = docs.select(col("doc_id").as("d1"), col("prefix").as("p1"))
     val b = docs.select(col("doc_id").as("d2"), col("prefix").as("p2"))
@@ -272,9 +279,9 @@ object DedupOps {
   }
 
   def dedupEditDistanceSql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
-      |  WHERE doc_id % 25 = 0 AND doc_id < 5000)
+      |  WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 13)} % 25 = 0)
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  levenshtein(a.prefix, b.prefix) AS edit_dist
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id

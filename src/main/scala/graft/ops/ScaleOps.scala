@@ -48,17 +48,26 @@ object ScaleOps {
       .parquet(path)
 
   /** Salted aggregation: groupBy(keys + salt) partial, then final
-    * groupBy(keys). `sum`-style partials compose; the caller provides
-    * partial and final agg column builders keyed by column name. */
+    * groupBy(keys). `sum`-style partials compose.
+    *
+    * The salt is ROW-LOCAL (monotonically_increasing_id mod factor =
+    * round-robin within each input partition), never derived from any
+    * data column: a hot key whose rows share one value must still fan
+    * out across all `saltFactor` sub-keys, otherwise the mitigation is
+    * inert exactly on the skew it exists for. The decimal partial sum
+    * keeps the result independent of how rows land in salt buckets. */
   def saltedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      saltFactor: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(col(valueCol)), lit(saltFactor)))
-    val partial = salted
-      .groupBy((groupCols :+ "__salt").map(col): _*)
-      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__partial"))
-    partial
+      saltFactor: Int): DataFrame =
+    saltedPartial(df, groupCols, valueCol, saltFactor)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"))
-  }
+
+  /** First (salted) stage, exposed so ScaleSpec can assert a
+    * constant-valued hot key really spreads across salt buckets. */
+  def saltedPartial(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      saltFactor: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__partial"))
 }

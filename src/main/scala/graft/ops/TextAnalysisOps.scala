@@ -94,12 +94,16 @@ object TextAnalysisOps {
        |ORDER BY d.doc_id""".stripMargin
 
   /** Char-n-gram language ID — the classic n-gram-profile heuristic:
-    * build per-language top-20 character-bigram profiles from the
-    * corpus metadata, then classify each document by profile overlap
-    * (argmax, ties to the alphabetically first language). Train and
-    * apply in one DAG: profile building is an aggregation the
-    * optimizer shares; at 100 TB the profile side is tiny and
-    * broadcast. */
+    * build per-language top-20 character-bigram profiles, then
+    * classify each document by profile overlap (argmax, ties to the
+    * alphabetically first language).
+    *
+    * The profile is built from a deterministic 1-in-10 hash sample of
+    * documents (the [[DedupOps.sampleHash]] pattern): a tiny
+    * top-20-per-language artifact must not cost an O(corpus) second
+    * pass at 100 TB, and a content-hash sample is partitioning- and
+    * engine-independent so the oracle reproduces it exactly. Only the
+    * scoring pass touches the full corpus. */
   def langIdNgram(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     // classify on a 256-char prefix — the standard language-ID
@@ -108,17 +112,17 @@ object TextAnalysisOps {
       array_distinct(transform(
         sequence(lit(1), least(length(col("text")), lit(256)) - 1),
         i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
-    // consumed by both the profile build and the scoring pass; the
-    // substring explode is recomputed per consumer rather than
-    // checkpointed — at 100 TB an O(corpus) materialization to build
-    // a tiny top-20-per-language profile is the wrong trade, and the
-    // explode is cheap codegen'd projection work
     val exploded = bigrams.select(col("doc_id"), col("lang"),
       explode(col("bgs")).as("bg"))
-    // per-language profile: top 20 bigrams by document frequency
+    // per-language profile: top 20 bigrams by document frequency over
+    // the 1-in-10 sampled docs — the explode here touches ~10% of the
+    // corpus instead of re-exploding all of it a second time
+    val sampled = bigrams
+      .where(xhash60(col("doc_id").cast("string"), 5) % 10 === 0)
+      .select(col("lang"), explode(col("bgs")).as("bg"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("df").desc, col("bg"))
-    val profile = exploded.groupBy(col("lang"), col("bg"))
+    val profile = sampled.groupBy(col("lang"), col("bg"))
       .agg(count("*").as("df"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 20)
@@ -149,11 +153,14 @@ object TextAnalysisOps {
        |      i -> substr(lower(text), i, 2))) AS bgs
        |  FROM documents),
        |exploded AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bigrams),
+       |sampled AS (
+       |  SELECT lang, unnest(bgs) AS bg FROM bigrams
+       |  WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 5)} % 10 = 0),
        |prof AS (
        |  SELECT lang AS p_lang, bg FROM (
        |    SELECT lang, bg, COUNT(*) AS df,
        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg) AS rnk
-       |    FROM exploded GROUP BY lang, bg)
+       |    FROM sampled GROUP BY lang, bg)
        |  WHERE rnk <= 20),
        |scored AS (
        |  SELECT doc_id, p_lang, COUNT(*) AS overlap
@@ -194,8 +201,11 @@ object TextAnalysisOps {
       .join(w1c, Seq("w1")).join(w2c, Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
+        // c1/c2 cast to double BEFORE multiplying: a BIGINT*BIGINT
+        // product overflows at 100 TB-scale counts (~1e11 each) —
+        // silently in Spark (non-ANSI), loudly in DuckDB
         round(log(col("c12").cast("double") * col("total") /
-          (col("c1") * col("c2"))), 6).as("pmi"))
+          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(30)
   }
@@ -213,7 +223,7 @@ object TextAnalysisOps {
        |c2 AS (SELECT w2, COUNT(*) AS c2 FROM flat GROUP BY w2),
        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat GROUP BY w1, w2)
        |SELECT c12.w1, c12.w2, c12.c12,
-       |  round(ln(CAST(c12.c12 AS DOUBLE) * n.total / (c1.c1 * c2.c2)), 6) AS pmi
+       |  round(ln(CAST(c12.c12 AS DOUBLE) * n.total / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
        |FROM c12, n
        |JOIN c1 ON c12.w1 = c1.w1
        |JOIN c2 ON c12.w2 = c2.w2

@@ -71,4 +71,17 @@ class ScaleSpec extends AnyFunSuite {
     val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", 16)
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
+
+  test("constant-valued hot key spreads across all salt buckets") {
+    import spark.implicits._
+    // the adversarial case for value-derived salts: ONE key, ONE value,
+    // many rows — a real mitigation must still use every sub-key
+    val hot = Seq.fill(10000)(("hot", 1.0)).toDF("k", "v").repartition(4)
+    val buckets = ScaleOps.saltedPartial(hot, Seq("k"), "v", 16)
+      .select("__salt").distinct().count()
+    assert(buckets === 16, s"hot key used only $buckets of 16 salt buckets")
+    val total = ScaleOps.saltedSum(hot, Seq("k"), "v", 16)
+      .select(s"sum_v").as[Double].head()
+    assert(total === 10000.0)
+  }
 }
