@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-round benchmark main (driver contract): times every declared
   * query at SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -10,8 +10,47 @@ import org.apache.spark.sql.SparkSession
   * codegen, and parquet-footer caching, which otherwise land entirely
   * on whichever query happens to run first (observed as a spurious
   * 60-110 s "slowest query" that vanished on the second run).
+  *
+  * Failure honesty (r3 verdict item 2): a query that throws is
+  * recorded as an ERROR entry, never as a bogus timing, and the
+  * process exits nonzero so a crashing query can't hide inside a
+  * green-looking bench line. The line also carries a contention
+  * indicator (`cpu_wall_ratio`: process-CPU seconds / wall seconds
+  * over the timed section) — on a quiet box with 32 threads this sits
+  * well above 1; a round where it collapses while timings inflate
+  * means the box was contended (the r2 incident: 86 s recorded for a
+  * 39.5 s workload) and the numbers should be re-taken.
   */
 object Bench {
+
+  final case class Timing(sec: Double, err: Option[String])
+
+  /** One timed pass in sorted-name order. A throwing query records
+    * its error instead of a timing (timing-to-exception is
+    * meaningless). */
+  def timedPass(spark: SparkSession,
+                queries: Seq[(String, (SparkSession, String) => DataFrame)],
+                sfDir: String): Map[String, Timing] =
+    queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
+      name -> Timing((System.nanoTime() - t0) / 1e9, err)
+    }.toMap
+
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +65,8 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup: same plans, smallest data, results discarded
+    // warmup: same plans, smallest data, results discarded; errors
+    // surface in the timed passes, not here
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       ordered.foreach { case (_, fn) =>
@@ -34,23 +74,39 @@ object Bench {
       }
     }
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpu0 = osBean.getProcessCpuTime
+    val wall0 = System.nanoTime()
     // two timed passes, per-query minimum: the box is shared (driver
     // jobs run periodically), and min-of-2 reports steady-state cost
     // instead of whatever transient contention one pass hits
-    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val p1 = timedPass(spark, ordered, sfDir)
+    val p2 = timedPass(spark, ordered, sfDir)
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+
+    val errors = ordered.flatMap { case (name, _) =>
+      (p1(name).err orElse p2(name).err).map(name -> _)
     }
-    val p1 = timedPass().toMap
-    val p2 = timedPass().toMap
-    val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+    val failed = errors.map(_._1).toSet
+    val results = ordered.collect { case (name, _) if !failed(name) =>
+      name -> math.min(p1(name).sec, p2(name).sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ratio = if (wallSec > 0) cpuSec / wallSec else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"failed":${errors.size},""" +
+      f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_wall_ratio":$ratio%.2f,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
+    // a crashing query must fail the bench loudly, not vanish into a
+    // plausible-looking total
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

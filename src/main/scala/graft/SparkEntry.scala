@@ -97,7 +97,10 @@ object SparkEntry {
     "agg_percentiles"   -> RelationalOps.percentilesSql,
     "q14_promo"         -> RelationalOps.promoRevenueSql,
     "validate_lineitem" -> RelationalOps.validateLineitemSql,
-    // agg_approx: engine-specific sketches — bounded vs exact in ScalaTest
+    // agg_approx: the oracle recomputes the exact companions and
+    // asserts the within-bound sketch flags TRUE (sketch internals are
+    // engine-specific; the bounds are not)
+    "agg_approx"        -> RelationalOps.approxSketchesSql,
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
@@ -121,7 +124,10 @@ object SparkEntry {
     "agg_corr"            -> RelationalOps.corrQtyPriceSql,
     "sim_brute_topk"      -> SimilarityOps.bruteTopKSql,
     "sim_quantize"        -> SimilarityOps.quantizeErrorSql,
-    // sim_ann_lsh: approximate — no SQL oracle; recall asserted in ScalaTest
+    // approximate ANN, but deterministically indexed (md5 planes /
+    // quantized Lloyd's) — the oracles replay the identical index
+    "sim_ann_lsh"         -> SimilarityOps.annLshSql,
+    "sim_ann_ivf"         -> SimilarityOps.annIvfSql,
     "text_token_stats" -> TextAnalysisOps.tokenStatsSql,
     "text_lang_id"     -> TextAnalysisOps.langIdSql,
     "text_quality"     -> TextAnalysisOps.qualityScoreSql,

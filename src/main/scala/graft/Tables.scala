@@ -12,8 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DataFrame (never collect-then-filter).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Parquet schema inference launches a (small) Spark job per
+  // spark.read.parquet call; queries construct the same scans over and
+  // over (bench warmup + passes, 50 declared queries), so the inferred
+  // schema is cached per path and handed to subsequent reads
+  // explicitly — construction of a declared query then runs ZERO jobs
+  // (asserted for the IVF build/probe in PlanSpec). At 100 TB the
+  // equivalent is a catalog/metastore schema, never per-query
+  // inference.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")

@@ -15,7 +15,8 @@ import graft.ops.OpsUtil._
   * trick that keeps 100 TB dedup near-linear. Only the final jaccard
   * verification touches candidate pairs. The sampled brute-force
   * n-gram query exists to cross-check LSH quality, and is explicitly
-  * bounded (1-in-10 doc sample).
+  * bounded (fixed-row-budget hash-ordered sample — constant pair
+  * count at any corpus scale).
   *
   * All hashes are the cross-engine md5-based [[OpsUtil.xhash60]] so
   * every stage is reproducible in the DuckDB oracle.
@@ -220,16 +221,27 @@ object DedupOps {
        |FROM clusters ORDER BY doc_id""".stripMargin
   }
 
-  /** Brute-force bigram jaccard over a 1-in-10 doc sample — the
+  // QA cross-check sample budgets: the brute-force checks below are
+  // quadratic in their SAMPLE, so the sample targets a fixed row
+  // budget (hash-ordered limit — the lowest-xhash60 docs, a uniform
+  // pseudo-random draw that any engine reproduces) instead of a fixed
+  // fraction. Pair count is then flat (~N²/2) at ANY corpus scale —
+  // a fraction-based sample would re-blow-up 100× at 100× data.
+  private val JaccardSampleN = 200
+  private val EditSampleN = 100
+
+  /** Brute-force bigram jaccard over a fixed-budget doc sample — the
     * quality cross-check for the LSH path (explicitly NOT the scale
-    * path; see class doc). The sample is content-hash selected (the
-    * [[sampleHash]] pattern) so it tracks corpus size at any SF and
-    * reproduces identically in the oracle, instead of the old
-    * dataset-coupled `doc_id % 10 = 0 AND doc_id < 5000` predicate.
-    * Top-20 pairs, deterministic tie-break. */
+    * path; see class doc). The sample is the [[JaccardSampleN]]
+    * lowest-content-hash docs: deterministic on any partitioning,
+    * reproducible in the oracle, and constant-size at any SF so the
+    * quadratic compare stays bounded. Top-20 pairs, deterministic
+    * tie-break. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(spark, d)
-      .where(xhash60(col("doc_id").cast("string"), 11) % 10 === 0)
+      .select(col("doc_id"), col("text"),
+        xhash60(col("doc_id").cast("string"), 11).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(JaccardSampleN)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), array_distinct(transform(
@@ -247,9 +259,13 @@ object DedupOps {
   }
 
   def dedupNgramJaccardSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents
-       |  WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 11)} % 10 = 0),
+    s"""WITH samp AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ${xhash60Sql("CAST(doc_id AS VARCHAR)", 11)} AS hk FROM documents)
+       |  ORDER BY hk, doc_id LIMIT $JaccardSampleN),
+       |toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM samp),
        |grams AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
        |           i -> tk[i] || ' ' || tk[i+1])) AS g
@@ -261,13 +277,16 @@ object DedupOps {
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
   /** Edit-distance near-dup: levenshtein over 32-char prefixes of a
-    * content-hash-selected 1-in-25 sample (tracks corpus size at any
-    * SF, reproducible in the oracle) — the character-level member of
-    * the dedup family (catches typo-level variants that token jaccard
-    * misses). Integer distances, exact in both engines. */
+    * fixed-budget hash-ordered sample ([[EditSampleN]] lowest-hash
+    * docs — constant pair count at any SF, reproducible in the
+    * oracle) — the character-level member of the dedup family
+    * (catches typo-level variants that token jaccard misses).
+    * Integer distances, exact in both engines. */
   def dedupEditDistance(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-      .where(xhash60(col("doc_id").cast("string"), 13) % 25 === 0)
+      .select(col("doc_id"), col("text"),
+        xhash60(col("doc_id").cast("string"), 13).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(EditSampleN)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
     val a = docs.select(col("doc_id").as("d1"), col("prefix").as("p1"))
     val b = docs.select(col("doc_id").as("d2"), col("prefix").as("p2"))
@@ -280,8 +299,10 @@ object DedupOps {
 
   def dedupEditDistanceSql: String =
     s"""WITH docs AS (
-      |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
-      |  WHERE ${xhash60Sql("CAST(doc_id AS VARCHAR)", 13)} % 25 = 0)
+      |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM (
+      |    SELECT doc_id, text,
+      |      ${xhash60Sql("CAST(doc_id AS VARCHAR)", 13)} AS hk FROM documents)
+      |  ORDER BY hk, doc_id LIMIT $EditSampleN)
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  levenshtein(a.prefix, b.prefix) AS edit_dist
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id

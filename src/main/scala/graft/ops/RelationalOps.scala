@@ -279,19 +279,37 @@ object RelationalOps {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Approximate sketches — HLL++ distinct counts and quantile
-    * sketches. No DuckDB oracle (sketch internals are engine-
-    * specific); RelationalSketchSpec bounds them against the exact
-    * answers instead. At 100 TB these replace their exact
-    * counterparts: HLL state is KBs per group vs a full distinct
-    * shuffle. */
+    * sketches, scored against their exact companions IN the query:
+    * the output carries the exact answers plus within-bound flags
+    * (|approx-exact|/exact ≤ 10% resp. 5%). Sketch internals are
+    * engine-specific, so the DuckDB oracle recomputes the exact
+    * columns and asserts the flags TRUE — a sketch drifting out of
+    * bound is a hash mismatch, which makes this approximate operator
+    * driver-scored (SketchSpec additionally bounds the raw values).
+    * At 100 TB the sketches replace their exact companions: HLL state
+    * is KBs per group vs a full distinct shuffle. */
   def approxSketches(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"),
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+        approx_count_distinct(col("o_custkey")).as("__hll"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__amed"))
+      .select(col("o_orderpriority"), col("exact_customers"), col("exact_median"),
+        (abs(col("__hll") - col("exact_customers")).cast("double")
+          / col("exact_customers") <= 0.10).as("hll_within_10pct"),
+        (abs(col("__amed") - col("exact_median"))
+          / col("exact_median") <= 0.05).as("median_within_5pct"))
       .orderBy("o_orderpriority")
+
+  def approxSketchesSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers,
+      |  quantile_cont(o_totalprice, 0.5) AS exact_median,
+      |  TRUE AS hll_within_10pct,
+      |  TRUE AS median_within_5pct
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Scalar-function surface: date (year/month/date_trunc), math
     * (revenue expression), string (concat/substr), conditional

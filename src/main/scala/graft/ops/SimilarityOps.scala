@@ -75,9 +75,11 @@ object SimilarityOps {
   }
 
   /** Approximate top-k via multi-table sign-LSH. Output: per query
-    * (vec_id < 10) the top-3 candidates found in its buckets. No
-    * oracle entry — approximate results are verified against
-    * [[bruteTopK]] recall in ScalaTest instead. */
+    * (vec_id < 10) the top-3 candidates found in its buckets.
+    * Approximate-by-design but fully deterministic (md5-derived
+    * planes), so [[annLshSql]] replays the identical index in DuckDB
+    * for a hash-exact oracle; recall vs [[bruteTopK]] is additionally
+    * bounded in ScalaTest. */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
     val planes: Map[Int, Seq[Seq[Double]]] = (0 until Tabs).map { t =>
       t -> (0 until Bits).map(b => (0 until Dim).map(i => planeWeight(t, b, i)))
@@ -139,52 +141,199 @@ object SimilarityOps {
       |    x -> abs(x - round(x * (127.0 / max_abs)) / (127.0 / max_abs)))), 9) AS max_q_err
       |FROM e WHERE max_abs > 0 ORDER BY vec_id""".stripMargin
 
-  /** IVF (inverted-file) ANN: KMeans-partition the corpus, then each
-    * query probes only its `nprobe` nearest cells — the classic
-    * coarse-quantizer index. At 100 TB the cell assignment is a
-    * one-off indexing job and each query touches nprobe/k of the
-    * corpus. Seeded KMeans keeps the index deterministic for a given
-    * dataset; results are approximate, so ScalaTest bounds recall
-    * against [[bruteTopK]] (no SQL oracle). */
-  def annIvf(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    val nprobe = 4
-    val e = Tables.embeddings(spark, d)
+  /** DuckDB mirror of [[annLsh]]: the plane weights are md5-derived
+    * constants, so the whole index is rebuildable in SQL — the planes
+    * are inlined as literals (Double.toString round-trips exactly) and
+    * the bucket keys, candidate join and ranking mirror the Spark plan
+    * step for step. */
+  def annLshSql: String = {
+    val planeRows = (for (t <- 0 until Tabs; b <- 0 until Bits) yield {
+      val ws = (0 until Dim).map(i => planeWeight(t, b, i)).mkString("[", ", ", "]")
+      s"($t, $b, $ws)"
+    }).mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(tab, bit, w)),
+       |proj AS (
+       |  SELECT e.vec_id, p.tab,
+       |    CASE WHEN list_sum(list_transform(range(1, $Dim + 1), i -> e.v[i] * p.w[i])) >= 0
+       |         THEN (1 << p.bit) ELSE 0 END AS bv
+       |  FROM e CROSS JOIN planes p),
+       |buckets AS (SELECT vec_id, tab, SUM(bv) AS bkt FROM proj GROUP BY vec_id, tab),
+       |q AS (SELECT tab, bkt, vec_id AS qid FROM buckets WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT q.qid, c.vec_id AS nid
+       |  FROM q JOIN buckets c USING (tab, bkt)
+       |  WHERE q.qid <> c.vec_id),
+       |scored AS (
+       |  SELECT cands.qid, cands.nid, ${cosine9Sql("qe.v", "ne.v")} AS cos_sim
+       |  FROM cands
+       |  JOIN e qe ON qe.vec_id = cands.qid
+       |  JOIN e ne ON ne.vec_id = cands.nid),
+       |ranked AS (SELECT qid, nid, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  // IVF configuration. Centroid coordinates are means of 1e-6-quantized
+  // components summed as BIGINT — exact and order-independent, so Spark
+  // (distributed partial aggregation) and DuckDB (single-node) build
+  // bit-identical centroids and the index is reproducible anywhere.
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val IvfRounds = 3
+  private val QScale = 1000000.0
+
+  /** vec_id, v (array<double>), n2 (squared norm) — shared scan shape
+    * for the IVF build and probe sides. */
+  private def corpus(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
-      .fit(e.select("fv"))
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-    // query-side routing: nearest nprobe centroids per query vector
-    val centers = model.clusterCenters.map(_.toArray)
-    val queries = assigned.where(col("vec_id") < 10)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def sqdist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
-    val probes = queries.flatMap { case (qid, qv) =>
-      centers.zipWithIndex.map { case (c, ci) => (qid, ci, sqdist(qv, c)) }
-        .sortBy(_._3).take(nprobe).map { case (q, ci, _) => (q, ci) }
-    }.toSeq
-    import spark.implicits._
-    val probeDf = broadcast(probes.toDF("qid", "cell"))
-    val qDf = broadcast(assigned.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col("nid"))
-    probeDf.join(assigned, Seq("cell"))
-      .select(col("qid"), col("vec_id").as("nid"), col("v").as("nv"))
-      .join(qDf, Seq("qid"))
+      .withColumn("n2", norm2(col("v")))
+
+  /** Squared distance via the precomputed norms:
+    * (|v|² - 2·v·c) + |c|² — one codegen'd dot per pair. The exact
+    * association order is mirrored in the SQL oracle. */
+  private def sqdist2(n2v: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+                      c: org.apache.spark.sql.Column, n2c: org.apache.spark.sql.Column) =
+    (n2v - lit(2.0) * dotd(v, c)) + n2c
+
+  /** Nearest-centroid assignment: broadcast the (≤ IvfCells-row)
+    * centroid table against the streaming corpus; ties break to the
+    * lower cell id. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", sqdist2(col("n2"), col("v"), col("c"), col("cn2")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** New centroids from an assignment: per (cell, dim) an exact BIGINT
+    * sum of 1e-6-quantized components (order-independent across any
+    * partitioning), divided back out as double. */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame = {
+    val dims = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(round(col("x") * QScale).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("i"),
+        (col("sq").cast("double") / col("n") / QScale).as("cx"))
+    dims.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .withColumn("cn2", norm2(col("c")))
+  }
+
+  /** IVF index build — the one-off indexing step, as a plain lazy
+    * DataFrame: seeds are the [[IvfCells]] lowest xhash60(vec_id)
+    * vectors (deterministic on any cluster), refined by [[IvfRounds]]
+    * Lloyd's iterations expressed entirely as joins + aggregations.
+    * No MLlib fit, no driver-side action — at 100 TB this runs as an
+    * ordinary distributed job and the (tiny) result is persisted once
+    * and broadcast to every probe. */
+  def annIvfCentroids(spark: SparkSession, d: String): DataFrame = {
+    val e = corpus(spark, d)
+    val hashed = e.withColumn("hk", xhash60(col("vec_id").cast("string"), 7))
+    val seedW = Window.orderBy(col("hk"), col("vec_id")) // ≤ IvfCells rows
+    var cents = hashed.orderBy(col("hk"), col("vec_id")).limit(IvfCells)
+      .select((row_number().over(seedW) - 1).as("cell"),
+        col("v").as("c"), col("n2").as("cn2"))
+    for (_ <- 1 to IvfRounds)
+      cents = recomputeCentroids(assignCells(e, cents))
+    cents
+  }
+
+  /** IVF (inverted-file) ANN probe: route each query (vec_id < 10) to
+    * its [[IvfProbe]] nearest cells via a broadcast centroid join +
+    * row_number ≤ nprobe — no collect, no driver loop — then rank
+    * candidates within the probed cells only (nprobe/k of the corpus).
+    * Build and probe are split ([[annIvfCentroids]] is the index); the
+    * deterministic quantized build means the DuckDB oracle replays the
+    * identical index, so this approximate operator is hash-checked
+    * end-to-end. */
+  def annIvf(spark: SparkSession, d: String): DataFrame = {
+    val e = corpus(spark, d)
+    // tiny (≤ IvfCells rows); persisted lazily because both the member
+    // assignment and the query routing below reference it
+    val cents = annIvfCentroids(spark, d).persist()
+    val members = assignCells(e, cents)
+      .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist", sqdist2(col("qn2"), col("qv"), col("c"), col("cn2")))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= IvfProbe)
+      .select(col("qid"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    probes.join(members, Seq("cell"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wr))
       .where(col("rank") <= 3)
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB mirror of [[annIvf]]: replays the identical seed order,
+    * Lloyd's rounds (same quantized sums, same division order) and
+    * probe routing as chained CTEs. */
+  def annIvfSql: String = {
+    def dist(n2v: String, v: String, c: String, n2c: String) =
+      s"($n2v - 2.0 * list_sum(list_transform(range(1, $Dim + 1), i -> $v[i] * $c[i]))) + $n2c"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e.n2", "e.v", "c.c", "c.cn2")}, c.cell) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def recomputeCte(mName: String, cName: String, assigned: String) =
+      s"""$mName AS (
+         |  SELECT cell, i.i AS i,
+         |    CAST(SUM(CAST(round(v[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 1000000.0 AS cx
+         |  FROM $assigned CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS i) i
+         |  GROUP BY cell, i.i),
+         |$cName AS (
+         |  SELECT cell, c, list_sum(list_transform(c, x -> x*x)) AS cn2
+         |  FROM (SELECT cell, list(cx ORDER BY i) AS c FROM $mName GROUP BY cell))""".stripMargin
+    val rounds = (1 to IvfRounds).map { r =>
+      assignCte(s"a$r", s"c${r - 1}") + ",\n" + recomputeCte(s"m$r", s"c$r", s"a$r")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS n2
+       |  FROM embeddings),
+       |hashed AS (SELECT vec_id, v, n2,
+       |    ${xhash60Sql("CAST(vec_id AS VARCHAR)", 7)} AS hk FROM e),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS c, n2 AS cn2
+       |  FROM (SELECT * FROM hashed ORDER BY hk, vec_id LIMIT $IvfCells)),
+       |$rounds,
+       |${assignCte("af", s"c$IvfRounds")},
+       |members AS (SELECT cell, vec_id AS nid, v AS nv FROM af),
+       |qs AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist("q.qn2", "q.qv", "c.c", "c.cn2")}, c.cell) AS rn
+       |    FROM qs q CROSS JOIN c$IvfRounds c) WHERE rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.qid, m.nid, ${cosine9Sql("q.qv", "m.nv")} AS cos_sim
+       |  FROM probes p
+       |  JOIN members m USING (cell)
+       |  JOIN qs q ON q.qid = p.qid
+       |  WHERE p.qid <> m.nid),
+       |ranked AS (SELECT qid, nid, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 }

@@ -63,4 +63,36 @@ class PlanSpec extends AnyFunSuite {
     val plan = RelationalOps.topOrders(spark, sf).queryExecution.executedPlan
     assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
   }
+
+  test("sim_ann_ivf constructs lazily: no Spark jobs, no driver-side data in the plan") {
+    // The r3 verdict's scale-killer: KMeans fit + collect() routing ran
+    // JOBS during query *construction*. The rebuilt build/probe split
+    // must be a pure lazy plan — index build, routing and ranking all
+    // in-DAG.
+    // Warm the Tables schema cache first — the one legitimate
+    // construction-time job is parquet schema inference on a cold path.
+    SimilarityOps.bruteTopK(spark, sf)
+    Thread.sleep(1000) // drain async listener-bus updates from prior tests
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = SimilarityOps.annIvf(spark, sf)
+    df.queryExecution.analyzed // force analysis too — still no jobs
+    Thread.sleep(1000)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before, "query construction must not run Spark jobs")
+    // collect()-then-parallelize routing would surface as a local scan
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("LogicalRDD") && !logical.contains("LocalRelation"),
+      "plan must not embed driver-side materialized data")
+  }
+
+  test("dedup QA cross-check samples are fixed-budget (TakeOrdered, no full sort)") {
+    // The quadratic brute-force checks bound their sample with a
+    // hash-ordered limit — planned as TakeOrderedAndProject, never a
+    // global sort of the corpus.
+    val j = DedupOps.dedupNgramJaccard(spark, sf).queryExecution.executedPlan.toString
+    val e = DedupOps.dedupEditDistance(spark, sf).queryExecution.executedPlan.toString
+    assert(j.contains("TakeOrderedAndProject"), j)
+    assert(e.contains("TakeOrderedAndProject"), e)
+  }
 }
