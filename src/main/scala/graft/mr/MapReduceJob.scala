@@ -32,7 +32,18 @@ final case class MapReduceJob(
     mapper: StageSpec,
     reducer: StageSpec,
     numMappers: Int = 2,
-    numReducers: Int = 2)
+    numReducers: Int = 2,
+    /** When true, F2 reproduces the reference manager's EXACT
+      * file→task routing: sorted filenames assigned round-robin, file
+      * i → map task i % M (manager/__main__.py:101-107) — map task m
+      * then sees precisely the reference's input slice, which unlocks
+      * the per-task `maptask{m:05d}-part{r:05d}` intermediate goldens
+      * (test_worker_08.py:222-243). Default false: `minPartitions=M`
+      * lets Spark split by size, which is the better plan at scale
+      * (balanced splits beat per-file round-robin on skewed file
+      * sizes); routing parity is a golden-compat mode, not the
+      * performance path. */
+    exactFileRouting: Boolean = false)
 
 object MapReduceJob {
   /** Key extraction: text before the first TAB; a line with no TAB is

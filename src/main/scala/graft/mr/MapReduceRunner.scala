@@ -36,9 +36,13 @@ object MapReduceRunner {
     val fs = outPath.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
 
-    // F1/F2: directory scan; minPartitions approximates num_mappers
-    // (exact file→task routing is a scheduling detail, not semantics).
-    val input = sc.textFile(job.inputDirectory, math.max(job.numMappers, 1))
+    // F1/F2: directory scan. Default: minPartitions approximates
+    // num_mappers (size-balanced splits — the right plan at scale).
+    // exactFileRouting: the reference's sorted-filename round-robin,
+    // for per-task golden parity.
+    val input =
+      if (job.exactFileRouting) roundRobinInput(sc, job.inputDirectory, job.numMappers)
+      else sc.textFile(job.inputDirectory, math.max(job.numMappers, 1))
 
     // F3: streaming map.
     val mapped = applyStage(input, job.mapper)
@@ -63,4 +67,73 @@ object MapReduceRunner {
       case ExecSpec(cmd) => rdd.pipe(cmd)
       case FnSpec(f)     => rdd.mapPartitions(f)
     }
+
+  /** F2 exact mode: sorted filenames, file i → map task i % M
+    * (manager/__main__.py:101-107). Partition m of the returned RDD
+    * streams exactly map task m's files, in assignment order. Files
+    * are read through Hadoop FS inside the task (never collected to
+    * the driver), one buffered line stream at a time — a file larger
+    * than memory still streams. */
+  private[mr] def roundRobinInput(sc: org.apache.spark.SparkContext,
+                                  dir: String, numMappers: Int): RDD[String] = {
+    val m = math.max(numMappers, 1)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    val files = fs.listStatus(dirPath).filter(_.isFile)
+      .map(_.getPath.toString).sorted.toSeq
+    val assignment: Seq[Seq[String]] =
+      (0 until m).map(t => files.zipWithIndex.collect {
+        case (f, i) if i % m == t => f
+      })
+    // parallelize is positional: element m lands in partition m, so
+    // TaskContext.partitionId IS the reference task_id.
+    sc.parallelize(assignment, m).flatMap { taskFiles =>
+      taskFiles.iterator.flatMap { f =>
+        val p = new Path(f)
+        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        new Iterator[String] {
+          private var line = reader.readLine()
+          if (line == null) reader.close()
+          def hasNext: Boolean = line != null
+          def next(): String = {
+            val l = line
+            line = reader.readLine()
+            if (line == null) reader.close()
+            l
+          }
+        }
+      }
+    }
+  }
+
+  /** Materializes the reference worker's per-map-task intermediate
+    * files — `maptask{m:05d}-part{r:05d}`, md5-mod partitioned by key
+    * and sorted within each file (worker/__main__.py:142-155) — for
+    * map task m under exact F2 routing. Each map task writes its own
+    * R files from within its task (the reference's worker does
+    * exactly this); nothing passes through the driver. Covers the
+    * test_worker_08 golden family (tests/test_worker_08.py:222-243). */
+  def writeMapIntermediate(spark: SparkSession, job: MapReduceJob, dir: String): Seq[String] = {
+    val sc = spark.sparkContext
+    val input = roundRobinInput(sc, job.inputDirectory, job.numMappers)
+    val mapped = applyStage(input, job.mapper)
+    val r = job.numReducers
+    mapped.mapPartitionsWithIndex { (m, lines) =>
+      val buckets = Array.fill(r)(scala.collection.mutable.ArrayBuffer.empty[String])
+      lines.foreach { l =>
+        buckets(Md5LinePartitioner.partitionOf(MapReduceJob.keyOf(l), r)) += l
+      }
+      val conf = new org.apache.hadoop.conf.Configuration()
+      (0 until r).iterator.map { ri =>
+        val p = new Path(dir, f"maptask$m%05d-part$ri%05d")
+        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          p.getFileSystem(conf).create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+        try buckets(ri).sorted.foreach(out.println) // sort(1) byte order == String order on ASCII (SURVEY.md §2.4.4)
+        finally out.close()
+        p.toString
+      }
+    }.collect().toSeq.sorted
+  }
 }

@@ -99,6 +99,51 @@ class MrGoldenSpec extends AnyFunSuite {
     assert(readLines(s"$out/part-00000") === Seq("\t2", "bye\t1", "hello\t2"))
   }
 
+  test("exact F2 routing reproduces the per-map-task intermediate goldens (test_worker_08)") {
+    // Reference: sorted files round-robin (file01 → task 0, file02 →
+    // task 1 at M=2), each map task writes maptask{m:05d}-part{r:05d}
+    // md5-partitioned + sorted (worker/__main__.py:142-155); expected
+    // contents inlined at tests/test_worker_08.py:226-243.
+    val in = Files.createTempDirectory("graft-wc08x-in")
+    Seq("file01", "file02").foreach { f =>
+      Files.copy(Paths.get(s"$refData/input/$f"), in.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val inter = Files.createTempDirectory("graft-wc08x-inter")
+    val job = MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = "/unused",
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 2, numReducers = 2,
+      exactFileRouting = true)
+    val written = MapReduceRunner.writeMapIntermediate(spark, job, inter.toString)
+    assert(written.size === 4, written.mkString(","))
+    assert(readLines(s"$inter/maptask00000-part00000") === Seq("\t1", "bye\t1", "hello\t1"))
+    assert(readLines(s"$inter/maptask00000-part00001") === Seq("world\t1", "world\t1"))
+    assert(readLines(s"$inter/maptask00001-part00000") === Seq("\t1", "hello\t1"))
+    assert(readLines(s"$inter/maptask00001-part00001") ===
+      Seq("goodbye\t1", "hadoop\t1", "hadoop\t1"))
+  }
+
+  test("exact F2 routing end-to-end still matches the test_worker_08 reduce goldens") {
+    val in = Files.createTempDirectory("graft-wc08y-in")
+    Seq("file01", "file02").foreach { f =>
+      Files.copy(Paths.get(s"$refData/input/$f"), in.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = tmpOut("wc08y")
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = in.toString,
+      outputDirectory = out.toString,
+      mapper = FnSpec(Workloads.wcMapSh),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 2, numReducers = 2,
+      exactFileRouting = true))
+    assert(readLines(s"$out/part-00000") === Seq("\t2", "bye\t1", "hello\t2"))
+    assert(readLines(s"$out/part-00001") === Seq("goodbye\t1", "hadoop\t2", "world\t2"))
+  }
+
   test("empty-string keys survive tokenization and grouping (SURVEY.md §2.4.3)") {
     val got = Workloads.wcMapSh(Iterator("Hello  World")).toSeq
     assert(got === Seq("hello\t1", "\t1", "world\t1"))
