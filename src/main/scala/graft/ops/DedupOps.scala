@@ -331,7 +331,8 @@ object DedupOps {
     * MIN over the same hash family. */
   def groupMinhashSig(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(spark, d)
-      .select(col("lang"), explode(tokens(col("text"))).as("tokn"))
+      .select(col("lang"), explode_outer(tokens(col("text"))).as("tokn"))
+      .where(col("tokn").isNotNull) // see TextOps.wordCount: avoids tokens() re-eval in an inferred pushed filter
       .select(col("lang"), (xhash60(col("tokn"), 0) % P).as("h"))
     tok.groupBy("lang")
       .agg(graft.functions.MinHashSigAgg.minhash_sig(col("h")).as("sig"))

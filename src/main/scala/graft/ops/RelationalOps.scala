@@ -281,7 +281,7 @@ object RelationalOps {
   /** Approximate sketches — HLL++ distinct counts and quantile
     * sketches, scored against their exact companions IN the query:
     * the output carries the exact answers plus within-bound flags
-    * (|approx-exact|/exact ≤ 10% resp. 5%). Sketch internals are
+    * (|approx-exact|/exact ≤ 15% resp. 5%). Sketch internals are
     * engine-specific, so the DuckDB oracle recomputes the exact
     * columns and asserts the flags TRUE — a sketch drifting out of
     * bound is a hash mismatch, which makes this approximate operator
@@ -296,9 +296,12 @@ object RelationalOps {
         expr("percentile(o_totalprice, 0.5)").as("exact_median"),
         approx_count_distinct(col("o_custkey")).as("__hll"),
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__amed"))
+      // bounds = 3σ of the sketch parameters (HLL default rsd 5% →
+      // 15%; measured errors sit at ≤ 9.7% / ≤ 0.2%) — tight enough to
+      // catch a broken sketch, wide enough that the flag can't flake
       .select(col("o_orderpriority"), col("exact_customers"), col("exact_median"),
         (abs(col("__hll") - col("exact_customers")).cast("double")
-          / col("exact_customers") <= 0.10).as("hll_within_10pct"),
+          / col("exact_customers") <= 0.15).as("hll_within_15pct"),
         (abs(col("__amed") - col("exact_median"))
           / col("exact_median") <= 0.05).as("median_within_5pct"))
       .orderBy("o_orderpriority")
@@ -307,7 +310,7 @@ object RelationalOps {
     """SELECT o_orderpriority,
       |  COUNT(DISTINCT o_custkey) AS exact_customers,
       |  quantile_cont(o_totalprice, 0.5) AS exact_median,
-      |  TRUE AS hll_within_10pct,
+      |  TRUE AS hll_within_15pct,
       |  TRUE AS median_within_5pct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

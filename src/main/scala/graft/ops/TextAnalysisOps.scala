@@ -59,7 +59,8 @@ object TextAnalysisOps {
     import spark.implicits._
     val dict = Stopwords.toDF("sl_lang", "sl_word")
     val docs = Tables.documents(spark, d)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tokn"))
+    val tok = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("tokn"))
+      .where(col("tokn").isNotNull) // see TextOps.wordCount: avoids tokens() re-eval in an inferred pushed filter
     val hits = tok.join(broadcast(dict), tok("tokn") === dict("sl_word"))
       .groupBy(col("doc_id"), col("sl_lang")).agg(count("*").as("n_hits"))
     val w = Window.partitionBy(col("doc_id"))
@@ -107,19 +108,36 @@ object TextAnalysisOps {
   def langIdNgram(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     // classify on a 256-char prefix — the standard language-ID
-    // practice, and it bounds the per-doc work independent of doc size
-    val bigrams = docs.select(col("doc_id"), col("lang"),
-      array_distinct(transform(
-        sequence(lit(1), least(length(col("text")), lit(256)) - 1),
-        i => lower(col("text")).substr(i, lit(2)))).as("bgs"))
+    // practice, and it bounds the per-doc work independent of doc
+    // size. The lowered prefix is materialized as its OWN projection
+    // first: an expression inside the transform() lambda re-evaluates
+    // per element, so lower(text) inline would re-lowercase the whole
+    // document once per bigram position (measured ~40% of this
+    // query's cost at sf0.1).
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"),
+        substring(lower(col("text")), 1, 256).as("pre"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(transform(
+          sequence(lit(1), length(col("pre")) - 1),
+          i => col("pre").substr(i, lit(2)))).as("bgs"))
+    // explode_outer, NOT explode: plain explode makes the optimizer
+    // infer `size(bgs) > 0 AND isnotnull(bgs)` and push it below the
+    // bigram projection, re-inlining (and re-evaluating) the whole
+    // array build per row in the filter. explode_outer infers nothing;
+    // the cheap isNotNull on the OUTPUT attribute can't be pushed
+    // through the Generate. Same rows (empty arrays → null bg →
+    // dropped), ~2× less per-row work.
     val exploded = bigrams.select(col("doc_id"), col("lang"),
-      explode(col("bgs")).as("bg"))
+      explode_outer(col("bgs")).as("bg"))
+      .where(col("bg").isNotNull)
     // per-language profile: top 20 bigrams by document frequency over
     // the 1-in-10 sampled docs — the explode here touches ~10% of the
     // corpus instead of re-exploding all of it a second time
     val sampled = bigrams
       .where(xhash60(col("doc_id").cast("string"), 5) % 10 === 0)
-      .select(col("lang"), explode(col("bgs")).as("bg"))
+      .select(col("lang"), explode_outer(col("bgs")).as("bg"))
+      .where(col("bg").isNotNull)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("df").desc, col("bg"))
     val profile = sampled.groupBy(col("lang"), col("bg"))
@@ -147,11 +165,13 @@ object TextAnalysisOps {
   }
 
   def langIdNgramSql: String =
-    s"""WITH bigrams AS (
+    s"""WITH pre AS (
+       |  SELECT doc_id, lang, substr(lower(text), 1, 256) AS pre FROM documents),
+       |bigrams AS (
        |  SELECT doc_id, lang,
-       |    list_distinct(list_transform(range(1, least(length(text), 256)),
-       |      i -> substr(lower(text), i, 2))) AS bgs
-       |  FROM documents),
+       |    list_distinct(list_transform(range(1, length(pre)),
+       |      i -> substr(pre, i, 2))) AS bgs
+       |  FROM pre),
        |exploded AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bigrams),
        |sampled AS (
        |  SELECT lang, unnest(bgs) AS bg FROM bigrams
@@ -300,9 +320,13 @@ object TextAnalysisOps {
         sequence(lit(1), size(col("tk")) - 2),
         i => xhash60(concat_ws(" ", element_at(col("tk"), i),
           element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)), 0)).as("hx"))
-    docs.select(col("doc_id"), explode(array_distinct(transform(
+    // explode_outer: plain explode's inferred size>0 filter would push
+    // below BOTH projections and re-run the whole shingle-hash +
+    // window-min build per row (see langIdNgram)
+    docs.select(col("doc_id"), explode_outer(array_distinct(transform(
         sequence(lit(1), size(col("hx")) - (W - 1)),
         i => array_min(slice(col("hx"), i, lit(W)))))).as("fp"))
+      .where(col("fp").isNotNull)
       .orderBy("doc_id", "fp")
   }
 

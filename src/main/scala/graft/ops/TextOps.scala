@@ -18,10 +18,16 @@ import graft.ops.OpsUtil._
   */
 object TextOps {
 
-  /** Q1/Q2 (wc_map/wc_reduce): word count over the corpus. */
+  /** Q1/Q2 (wc_map/wc_reduce): word count over the corpus.
+    * explode_outer + isNotNull instead of explode: plain explode makes
+    * the optimizer infer `size(...) > 0` and push it below the
+    * projection, re-running tokens(text) per row in the filter; the
+    * outer variant infers nothing and the null filter on the OUTPUT
+    * attribute is cheap. Identical rows, ~half the tokenize work. */
   def wordCount(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode_outer(tokens(col("text"))).as("word"))
+      .where(col("word").isNotNull)
       .groupBy("word").agg(count("*").as("cnt"))
       .orderBy("word")
 
@@ -51,7 +57,8 @@ object TextOps {
     * vocabulary per language. */
   def distinctTokens(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .select(col("lang"), explode_outer(tokens(col("text"))).as("word"))
+      .where(col("word").isNotNull) // see wordCount: avoids tokens() re-eval in an inferred pushed filter
       .distinct()
       .orderBy("lang", "word")
 

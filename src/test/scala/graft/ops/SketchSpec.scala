@@ -9,11 +9,11 @@ class SketchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("sketch within-bound flags are all true (HLL 10%, median 5%)") {
+  test("sketch within-bound flags are all true (HLL 15%, median 5%)") {
     val rows = RelationalOps.approxSketches(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("hll_within_10pct"), s"group ${r.get(0)}: HLL out of bound")
+      assert(r.getAs[Boolean]("hll_within_15pct"), s"group ${r.get(0)}: HLL out of bound")
       assert(r.getAs[Boolean]("median_within_5pct"), s"group ${r.get(0)}: median out of bound")
     }
   }
