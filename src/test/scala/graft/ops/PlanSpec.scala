@@ -86,6 +86,26 @@ class PlanSpec extends AnyFunSuite {
       "plan must not embed driver-side materialized data")
   }
 
+  test("token/bigram explodes don't re-tokenize inside pushed-down filters") {
+    // Regression guard for the explode-inferred-filter trap: plain
+    // explode() infers `size(arr) > 0` and pushes it below the
+    // array-building projection, re-running tokenization/bigram
+    // building per row inside the Filter. The queries use
+    // explode_outer + isNotNull(output) instead — so no Filter in the
+    // optimized plan may contain the tokenize/lowercase expressions.
+    def filterLines(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.toString.split("\n").toSeq
+        .filter(_.contains("Filter "))
+    for ((name, df) <- Seq(
+        "word_count" -> TextOps.wordCount(spark, sf),
+        "distinct_tokens" -> TextOps.distinctTokens(spark, sf),
+        "text_lang_ngram" -> TextAnalysisOps.langIdNgram(spark, sf),
+        "text_lang_id" -> TextAnalysisOps.langId(spark, sf));
+        line <- filterLines(df))
+      assert(!line.contains("lower("),
+        s"$name: pushed filter re-runs tokenization: ${line.trim.take(200)}")
+  }
+
   test("dedup QA cross-check samples are fixed-budget (TakeOrdered, no full sort)") {
     // The quadratic brute-force checks bound their sample with a
     // hash-ordered limit — planned as TakeOrderedAndProject, never a
