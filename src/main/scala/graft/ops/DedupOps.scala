@@ -177,7 +177,10 @@ object DedupOps {
     * kept representative. The oracle recomputes the same closure with
     * a recursive CTE. */
   def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    // checkpoint the PAIRS before mirroring: union(pairs, pairs.swap)
+    // in one plan would evaluate the whole MinHash pipeline twice
     val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true) // computed once; iterations reuse it
