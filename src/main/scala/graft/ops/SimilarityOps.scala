@@ -255,11 +255,19 @@ object SimilarityOps {
     * deterministic quantized build means the DuckDB oracle replays the
     * identical index, so this approximate operator is hash-checked
     * end-to-end. */
-  def annIvf(spark: SparkSession, d: String): DataFrame = {
-    val e = corpus(spark, d)
+  def annIvf(spark: SparkSession, d: String): DataFrame =
     // tiny (≤ IvfCells rows); persisted lazily because both the member
-    // assignment and the query routing below reference it
-    val cents = annIvfCentroids(spark, d).persist()
+    // assignment and the query routing reference it
+    annIvfProbe(spark, d, annIvfCentroids(spark, d).persist())
+
+  /** Probe against an EXISTING index — the build-once/probe-many path:
+    * `centroids` may be the freshly built [[annIvfCentroids]] or the
+    * same table read back from storage (SketchSpec proves the parquet
+    * round-trip probes identically). At 100 TB the index is written
+    * once by an indexing job and every probe job just broadcasts it. */
+  def annIvfProbe(spark: SparkSession, d: String, centroids: DataFrame): DataFrame = {
+    val e = corpus(spark, d)
+    val cents = centroids
     val members = assignCells(e, cents)
       .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
     val q = e.where(col("vec_id") < 10)

@@ -26,6 +26,17 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index round-trips through parquet: stored-index probe ≡ inline probe") {
+    // build once / probe many: the centroid table written to storage
+    // and read back must route queries identically to the fresh build
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    SimilarityOps.annIvfCentroids(spark, sf).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromStored = SimilarityOps.annIvfProbe(spark, sf, stored).collect().toSeq
+    val inline = SimilarityOps.annIvf(spark, sf).collect().toSeq
+    assert(fromStored === inline)
+  }
+
   test("IVF ANN recall@3 vs brute force is useful") {
     val brute = SimilarityOps.bruteTopK(spark, sf)
       .where(org.apache.spark.sql.functions.col("rank") <= 3)
