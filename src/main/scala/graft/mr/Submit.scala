@@ -18,21 +18,25 @@ import org.apache.spark.sql.SparkSession
   * spark-submit.
   */
 object Submit {
-  def main(args: Array[String]): Unit = {
+  /** CLI args → job (separated from main so SubmitSpec can drive the
+    * full parse+run path without owning the session lifecycle). */
+  def buildJob(args: Array[String]): MapReduceJob = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
     def req(k: String): String =
       opts.getOrElse(k, sys.error(s"missing required --$k"))
-
-    val job = MapReduceJob(
+    MapReduceJob(
       inputDirectory = req("input"),
       outputDirectory = req("output"),
       mapper = ExecSpec(req("mapper").split("\\s+").toSeq),
       reducer = ExecSpec(req("reducer").split("\\s+").toSeq),
       numMappers = opts.getOrElse("nmappers", "2").toInt,
       numReducers = opts.getOrElse("nreducers", "2").toInt)
+  }
 
+  def main(args: Array[String]): Unit = {
+    val job = buildJob(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
