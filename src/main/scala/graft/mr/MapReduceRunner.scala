@@ -68,6 +68,23 @@ object MapReduceRunner {
       case FnSpec(f)     => rdd.mapPartitions(f)
     }
 
+  /** Serializable carrier for the session's Hadoop configuration —
+    * tasks must open files with the SAME fs settings (credentials,
+    * endpoints, custom schemes) the driver used for listing; a fresh
+    * `new Configuration()` in the task would silently drop them. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** F2 exact mode: sorted filenames, file i → map task i % M
     * (manager/__main__.py:101-107). Partition m of the returned RDD
     * streams exactly map task m's files, in assignment order. Files
@@ -85,14 +102,20 @@ object MapReduceRunner {
       (0 until m).map(t => files.zipWithIndex.collect {
         case (f, i) if i % m == t => f
       })
+    val serConf = new SerializableHadoopConf(sc.hadoopConfiguration)
     // parallelize is positional: element m lands in partition m, so
     // TaskContext.partitionId IS the reference task_id.
     sc.parallelize(assignment, m).flatMap { taskFiles =>
       taskFiles.iterator.flatMap { f =>
         val p = new Path(f)
-        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        val in = p.getFileSystem(serConf.value).open(p)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        // close on exhaustion (releases the fd early) AND on task
+        // completion (the safety net when a pipe/take/retry abandons
+        // the iterator mid-file; close() is idempotent)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.close())
         new Iterator[String] {
           private var line = reader.readLine()
           if (line == null) reader.close()
@@ -120,16 +143,16 @@ object MapReduceRunner {
     val input = roundRobinInput(sc, job.inputDirectory, job.numMappers)
     val mapped = applyStage(input, job.mapper)
     val r = job.numReducers
+    val serConf = new SerializableHadoopConf(sc.hadoopConfiguration)
     mapped.mapPartitionsWithIndex { (m, lines) =>
       val buckets = Array.fill(r)(scala.collection.mutable.ArrayBuffer.empty[String])
       lines.foreach { l =>
         buckets(Md5LinePartitioner.partitionOf(MapReduceJob.keyOf(l), r)) += l
       }
-      val conf = new org.apache.hadoop.conf.Configuration()
       (0 until r).iterator.map { ri =>
         val p = new Path(dir, f"maptask$m%05d-part$ri%05d")
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-          p.getFileSystem(conf).create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+          p.getFileSystem(serConf.value).create(p, true), java.nio.charset.StandardCharsets.UTF_8))
         try buckets(ri).sorted.foreach(out.println) // sort(1) byte order == String order on ASCII (SURVEY.md §2.4.4)
         finally out.close()
         p.toString

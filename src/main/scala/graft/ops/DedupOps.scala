@@ -211,6 +211,14 @@ object DedupOps {
       labels = next.drop("__chg")
       iter += 1
     }
+    // min-label propagation needs O(component diameter) rounds; a
+    // component deeper than the cap must fail LOUDLY — truncated
+    // labels are silently wrong (and oracle-divergent). If this ever
+    // fires at scale, the upgrade path is pointer-doubling /
+    // large-star-small-star, not a bigger cap.
+    require(changed == 0,
+      s"dedupClusters did not converge after $iter rounds ($changed labels still changing) — " +
+        "component diameter exceeds the iteration cap")
     // stitch the untouched majority back in: no-edge docs keep
     // themselves as cluster id
     Tables.documents(spark, d).select(col("doc_id"))
@@ -244,6 +252,23 @@ object DedupOps {
   private val JaccardSampleN = 200
   private val EditSampleN = 100
 
+  /** The n lowest-xhash60(doc_id) documents: a uniform pseudo-random
+    * draw that is deterministic on any partitioning and replayed
+    * exactly by [[hashOrderedSampleSql]]. TakeOrdered plan — never a
+    * full sort. */
+  private def hashOrderedSample(spark: SparkSession, d: String, salt: Int, n: Int): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        xhash60(col("doc_id").cast("string"), salt).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(n)
+      .select(col("doc_id"), col("text"))
+
+  private def hashOrderedSampleSql(salt: Int, n: Int): String =
+    s"""SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ${xhash60Sql("CAST(doc_id AS VARCHAR)", salt)} AS hk FROM documents)
+       |  ORDER BY hk, doc_id LIMIT $n""".stripMargin
+
   /** Brute-force bigram jaccard over a fixed-budget doc sample — the
     * quality cross-check for the LSH path (explicitly NOT the scale
     * path; see class doc). The sample is the [[JaccardSampleN]]
@@ -252,10 +277,7 @@ object DedupOps {
     * quadratic compare stays bounded. Top-20 pairs, deterministic
     * tie-break. */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"),
-        xhash60(col("doc_id").cast("string"), 11).as("hk"))
-      .orderBy(col("hk"), col("doc_id")).limit(JaccardSampleN)
+    val grams = hashOrderedSample(spark, d, salt = 11, n = JaccardSampleN)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col("doc_id"), array_distinct(transform(
@@ -274,10 +296,7 @@ object DedupOps {
 
   def dedupNgramJaccardSql: String =
     s"""WITH samp AS (
-       |  SELECT doc_id, text FROM (
-       |    SELECT doc_id, text,
-       |      ${xhash60Sql("CAST(doc_id AS VARCHAR)", 11)} AS hk FROM documents)
-       |  ORDER BY hk, doc_id LIMIT $JaccardSampleN),
+       |  ${hashOrderedSampleSql(salt = 11, n = JaccardSampleN)}),
        |toks AS (
        |  SELECT doc_id, ${tokensSql("text")} AS tk FROM samp),
        |grams AS (
@@ -297,10 +316,7 @@ object DedupOps {
     * (catches typo-level variants that token jaccard misses).
     * Integer distances, exact in both engines. */
   def dedupEditDistance(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"),
-        xhash60(col("doc_id").cast("string"), 13).as("hk"))
-      .orderBy(col("hk"), col("doc_id")).limit(EditSampleN)
+    val docs = hashOrderedSample(spark, d, salt = 13, n = EditSampleN)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
     val a = docs.select(col("doc_id").as("d1"), col("prefix").as("p1"))
     val b = docs.select(col("doc_id").as("d2"), col("prefix").as("p2"))
@@ -314,9 +330,7 @@ object DedupOps {
   def dedupEditDistanceSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id, substr(text, 1, 32) AS prefix FROM (
-      |    SELECT doc_id, text,
-      |      ${xhash60Sql("CAST(doc_id AS VARCHAR)", 13)} AS hk FROM documents)
-      |  ORDER BY hk, doc_id LIMIT $EditSampleN)
+      |    ${hashOrderedSampleSql(salt = 13, n = EditSampleN)}))
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  levenshtein(a.prefix, b.prefix) AS edit_dist
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id

@@ -257,7 +257,11 @@ object SimilarityOps {
     * end-to-end. */
   def annIvf(spark: SparkSession, d: String): DataFrame =
     // tiny (≤ IvfCells rows); persisted lazily because both the member
-    // assignment and the query routing reference it
+    // assignment and the query routing reference it. Deliberately not
+    // unpersisted: the query stays a pure lazy plan, each entry is ≤ 16
+    // rows, and Spark's LRU storage eviction bounds a long session —
+    // the real build-once path persists the index to a table instead
+    // ([[annIvfProbe]] + SketchSpec's parquet round-trip).
     annIvfProbe(spark, d, annIvfCentroids(spark, d).persist())
 
   /** Probe against an EXISTING index — the build-once/probe-many path:

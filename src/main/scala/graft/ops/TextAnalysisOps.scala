@@ -117,6 +117,12 @@ object TextAnalysisOps {
     val bigrams = docs
       .select(col("doc_id"), col("lang"),
         substring(lower(col("text")), 1, 256).as("pre"))
+      // the >= 2 guard is load-bearing for cross-engine parity: Spark's
+      // sequence(1, len-1) DESCENDS when len < 2 ([1,0], [1,0,-1]),
+      // emitting spurious bigrams for 0/1-char docs where DuckDB's
+      // range(1, len) is empty. Filtered docs still appear in the
+      // output via the final left join ('und', as in the oracle).
+      .where(length(col("pre")) >= 2)
       .select(col("doc_id"), col("lang"),
         array_distinct(transform(
           sequence(lit(1), length(col("pre")) - 1),
@@ -171,7 +177,7 @@ object TextAnalysisOps {
        |  SELECT doc_id, lang,
        |    list_distinct(list_transform(range(1, length(pre)),
        |      i -> substr(pre, i, 2))) AS bgs
-       |  FROM pre),
+       |  FROM pre WHERE length(pre) >= 2),
        |exploded AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bigrams),
        |sampled AS (
        |  SELECT lang, unnest(bgs) AS bg FROM bigrams

@@ -37,7 +37,7 @@ object Probe {
           (abs(col("hll") - col("exact_c")).cast("double") / col("exact_c")).as("hll_rel"),
           (abs(col("amed") - col("exact_m")) / col("exact_m")).as("med_rel"))
         .collect()
-      println(s"[probe] $sf sketch rel-errors (bounds .10/.05):")
+      println(s"[probe] $sf sketch rel-errors (bounds .15/.05):")
       m.foreach(r => println(f"[probe]   ${r.getString(0)}%-16s hll=${r.getDouble(1)}%.4f med=${r.getDouble(2)}%.5f"))
     }
     val sf1 = "/root/testdata/sf0.1"

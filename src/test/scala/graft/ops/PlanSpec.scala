@@ -96,14 +96,17 @@ class PlanSpec extends AnyFunSuite {
     def filterLines(df: DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.toString.split("\n").toSeq
         .filter(_.contains("Filter "))
+    // the trap's signature is a LAMBDA (array build / tokenize) inside
+    // a Filter — a plain once-per-row scalar predicate (e.g. the
+    // length(pre) >= 2 guard) is legitimate pushdown
     for ((name, df) <- Seq(
         "word_count" -> TextOps.wordCount(spark, sf),
         "distinct_tokens" -> TextOps.distinctTokens(spark, sf),
         "text_lang_ngram" -> TextAnalysisOps.langIdNgram(spark, sf),
         "text_lang_id" -> TextAnalysisOps.langId(spark, sf));
         line <- filterLines(df))
-      assert(!line.contains("lower("),
-        s"$name: pushed filter re-runs tokenization: ${line.trim.take(200)}")
+      assert(!line.contains("lambdafunction("),
+        s"$name: pushed filter re-runs an array build: ${line.trim.take(200)}")
   }
 
   test("dedup QA cross-check samples are fixed-budget (TakeOrdered, no full sort)") {
