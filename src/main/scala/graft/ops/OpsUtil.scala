@@ -42,9 +42,12 @@ object OpsUtil {
     * [[xhash60Sql]] — the shared primitive under MinHash/SimHash/LSH/
     * fingerprint operators, chosen over Spark's Murmur3 `hash()`
     * because the oracle must reproduce it (SURVEY.md §2.4.2 precedent:
-    * reference partitions by md5, worker/__main__.py:142-144). */
+    * reference partitions by md5, worker/__main__.py:142-144).
+    * Backed by the codegen'd [[graft.functions.Xhash60]] expression —
+    * bit-identical to the original `conv(substring(md5(concat(...`
+    * composite (Xhash60Spec), minus two string allocations per call. */
   def xhash60(c: Column, salt: Int): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 15), 16, 10).cast("long")
+    graft.functions.Xhash60.xhash60(c, salt)
 
   def xhash60Sql(e: String, salt: Int): String =
     s"('0x' || substr(md5('$salt:' || $e), 1, 15))::BIGINT"
