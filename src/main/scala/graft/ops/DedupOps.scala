@@ -51,15 +51,35 @@ object DedupOps {
   private val Bs = Seq(15485863L, 15485867L, 15485917L, 15485927L, 15485933L,
     15485941L, 15485959L, 15485989L, 15485993L, 15486013L, 15486041L, 15486047L)
 
-  /** doc_id + distinct 3-token shingle array (docs with ≥3 tokens). */
-  private def shingled(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+  /** doc_id + distinct 3-token shingle array, over an arbitrary
+    * (doc_id, text) frame — so the candidate join-back can re-shingle
+    * ONLY candidate docs, not the corpus.
+    *
+    * TOTAL, not filtered: docs with <3 tokens get an EMPTY array via
+    * the when-guard instead of a `where(size(tk) >= 3)`. The filter
+    * form is a recompute trap (the same family as the explode
+    * inferred-filter trap, PlanSpec): PushDownPredicates inlines the
+    * predicate through the tk projection, so the whole corpus gets
+    * tokenized once inside the pushed Filter and AGAIN in the
+    * projection — and in the candidate path the filter pushes below
+    * the semi-join, re-tokenizing the full corpus the semi-join exists
+    * to avoid. Downstream, short docs drop out join-side: their
+    * all-null signatures produce NULL band keys (null-propagating
+    * concat) that the band equi-join never matches. The when-guard
+    * also keeps sequence(1, size-2) away from its n<1 descending
+    * behavior (the langIdNgram trap, TextEdgeSpec). */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .where(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - 2),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 3, array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+
+  private def shingled(spark: SparkSession, d: String): DataFrame =
+    shingledOf(Tables.documents(spark, d))
 
   private def shingledSql: String =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
@@ -68,12 +88,12 @@ object DedupOps {
        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |  FROM toks WHERE len(tk) >= 3)""".stripMargin
 
-  /** MinHash + LSH near-duplicate pairs, jaccard-verified at ≥ 0.6.
-    *
-    * signature: 12 × min-over-shingles of salted xhash60;
-    * banding: md5 over each 3-signature slice; candidates: equi-join
-    * on (band index, band key); verify: exact shingle jaccard. */
-  def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
+  /** Lazy candidate-pair plan: shingle → 12-sig → 4-band keys →
+    * band-bucket self-join → distinct id pairs. Band keys only —
+    * shingle arrays are NOT carried through the band explode/join
+    * (they'd multiply shuffle volume ×Bands); candidates join the
+    * shingles back afterwards. Exposed for plan tests. */
+  private[ops] def minhashCandidatePlan(spark: SparkSession, d: String): DataFrame = {
     val sh = shingled(spark, d)
       // one md5 per shingle; the 12 signature mins are cheap integer
       // transforms of this base-hash array
@@ -83,20 +103,54 @@ object DedupOps {
       (col("doc_id") +:
         (0 until NumHashes).map(j =>
           array_min(transform(col("hx"), x => (lit(As(j)) * x + lit(Bs(j))) % P)).as(s"h$j"))): _*)
-    // band keys only — shingle arrays are NOT carried through the
-    // band explode/join (they'd multiply shuffle volume ×Bands);
-    // candidates join the shingles back afterwards.
+    // concat (null-propagating), NOT concat_ws (null-skipping): a
+    // short doc's null h* must yield a NULL band key the equi-join
+    // drops, not a shared md5("") key that would clique every short
+    // doc together. For ≥3-token docs the two are byte-identical.
     val banded = sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
-        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
+        md5(concat((0 until RowsPerBand).flatMap(r =>
+          Seq(col(s"h${b * RowsPerBand + r}").cast("string"), lit(","))).dropRight(1): _*))
       }: _*)).as(Seq("band_idx", "band_key")))
-    val candidates = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d1"))
+    banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d1"))
       .join(banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d2")),
         Seq("band_idx", "band_key"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val shOnly = shingled(spark, d)
+  }
+
+  /** Lazy candidate-only shingle plan: semi-join the corpus to the
+    * candidate ids BEFORE tokenizing, so the jaccard-verify tokenize
+    * pass is proportional to |candidates|, not |corpus|. Exposed for
+    * plan tests (which assert the tokenize lambda sits ABOVE the
+    * semi-join). */
+  private[ops] def candidateShinglePlan(spark: SparkSession, d: String,
+      candidates: DataFrame): DataFrame = {
+    val candIds = candidates.select(col("d1").as("doc_id"))
+      .union(candidates.select(col("d2").as("doc_id"))).distinct()
+    shingledOf(Tables.documents(spark, d).join(candIds, Seq("doc_id"), "left_semi"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs, jaccard-verified at ≥ 0.6.
+    *
+    * signature: 12 × min-over-shingles of salted xhash60;
+    * banding: md5 over each 3-signature slice; candidates: equi-join
+    * on (band index, band key); verify: exact shingle jaccard.
+    *
+    * Single-tokenize (r4 verdict item #3): at 100 TB tokenization is
+    * the dominant CPU, so the corpus is shingled exactly ONCE (for the
+    * signatures). The verify pass re-shingles only candidate docs via
+    * [[candidateShinglePlan]], and both intermediates are materialized
+    * once (localCheckpoint) and shared by both sides of the pair join
+    * — downstream consumers (dedupClusters) can't multiply corpus
+    * passes either, since the returned plan reads only checkpointed
+    * blocks. */
+  def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
+    // candidate id pairs (longs only — tiny): materialized so the two
+    // shingle join-backs don't re-run the sig→band→self-join pipeline
+    val candidates = minhashCandidatePlan(spark, d).localCheckpoint(true)
+    val shOnly = candidateShinglePlan(spark, d, candidates).localCheckpoint(true)
     val pairs = candidates
       .join(shOnly.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(shOnly.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -168,57 +222,82 @@ object DedupOps {
        |SELECT doc_id, $fp AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
-  /** Near-duplicate clustering: connected components over the MinHash
-    * pair graph via iterative min-label propagation (the Pregel
-    * pattern: join labels to neighbors, take the min, repeat to
-    * fixpoint; localCheckpoint truncates the growing lineage each
-    * round). Output: every document with its cluster id (= min doc_id
-    * reachable through near-dup edges) and whether it's the cluster's
-    * kept representative. The oracle recomputes the same closure with
-    * a recursive CTE. */
-  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
-    // checkpoint the PAIRS before mirroring: union(pairs, pairs.swap)
-    // in one plan would evaluate the whole MinHash pipeline twice
-    val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
-      .localCheckpoint(true)
-    val edges = pairs
+  /** Connected components over an undirected pair graph via min-label
+    * propagation WITH pointer jumping: each round a node takes the min
+    * of (its label, its neighbors' labels, its label's label). The
+    * neighbor-min step alone is the Pregel pattern and needs
+    * O(component diameter) rounds; the label-of-label "shortcut" join
+    * makes the distance a label has travelled double each round, so
+    * convergence is O(log diameter) — a 40-deep chain closes in ~7
+    * rounds, not 40 (proven on a deliberately deep chain in
+    * ScaleStressSpec). Fixpoint is unchanged: stability under
+    * neighbor-min already forces one label per component, labels only
+    * ever take node-id values inside their own component, and the min
+    * node keeps itself — so the fixpoint label IS the component min.
+    *
+    * Operates on the edge-induced subgraph only (a node with no edge
+    * is trivially its own cluster and has no business inside the
+    * iteration — at 100 TB with a low dup rate this shrinks the
+    * per-round join from |corpus| to |candidate docs|). Each round is
+    * one distributed job truncated by an eager localCheckpoint; only a
+    * 1-row count crosses the driver.
+    *
+    * @param pairs undirected edges as (d1, d2), each pair once
+    * @return (labels frame (doc_id, cluster_id) over edge endpoints,
+    *         rounds run) */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
+    val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true) // computed once; iterations reuse it
-    // Propagate over the EDGE-INDUCED SUBGRAPH only: a doc with no
-    // near-dup edge is trivially its own cluster and can never change,
-    // so it has no business inside the iteration. At 100 TB with a
-    // low dup rate this shrinks the per-round join from |corpus| to
-    // |candidate docs| — orders of magnitude.
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxRounds) {
       val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
         .groupBy(col("d1")).agg(min(col("cluster_id")).as("nbr_min"))
+      // pointer jump: my label's CURRENT label (labels is checkpointed,
+      // so the three uses below scan materialized blocks, not lineage)
+      val self = labels.select(col("doc_id").as("jid"), col("cluster_id").as("jlabel"))
       // the convergence indicator rides along in the propagation join
       // itself (no separate old-vs-new join per round); the count after
       // the eager checkpoint is a cheap scan of materialized partitions
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("d1"), "left_outer")
+      val best = least(
+        coalesce(col("nbr_min"), col("cluster_id")),
+        coalesce(col("jlabel"), col("cluster_id")))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("d1"), "left_outer")
+        .join(self, labels("cluster_id") === col("jid"), "left_outer")
         .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-            .cast("long").as("__chg"))
+          least(col("cluster_id"), best).as("cluster_id"),
+          (best < col("cluster_id")).cast("long").as("__chg"))
         .localCheckpoint(true)
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
       labels = next.drop("__chg")
       iter += 1
     }
-    // min-label propagation needs O(component diameter) rounds; a
-    // component deeper than the cap must fail LOUDLY — truncated
-    // labels are silently wrong (and oracle-divergent). If this ever
-    // fires at scale, the upgrade path is pointer-doubling /
-    // large-star-small-star, not a bigger cap.
+    // with pointer jumping the cap is log-scale (maxRounds=20 covers
+    // diameters ~2^20); past it, truncated labels are silently wrong
+    // (and oracle-divergent), so fail LOUDLY
     require(changed == 0,
-      s"dedupClusters did not converge after $iter rounds ($changed labels still changing) — " +
+      s"connectedComponents did not converge after $iter rounds ($changed labels still changing) — " +
         "component diameter exceeds the iteration cap")
+    (labels, iter)
+  }
+
+  /** Near-duplicate clustering: connected components over the MinHash
+    * pair graph ([[connectedComponents]] — pointer-jumping min-label
+    * propagation, O(log diameter) rounds). Output: every document with
+    * its cluster id (= min doc_id reachable through near-dup edges)
+    * and whether it's the cluster's kept representative. The oracle
+    * recomputes the same closure with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
+    // checkpoint the PAIRS before mirroring: union(pairs, pairs.swap)
+    // in one plan would evaluate the whole MinHash pipeline twice
+    val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
+    val (labels, _) = connectedComponents(pairs)
     // stitch the untouched majority back in: no-edge docs keep
     // themselves as cluster id
     Tables.documents(spark, d).select(col("doc_id"))

@@ -109,6 +109,35 @@ class PlanSpec extends AnyFunSuite {
         s"$name: pushed filter re-runs an array build: ${line.trim.take(200)}")
   }
 
+  test("dedup_minhash verify pass tokenizes candidates only (tokenize above the semi-join)") {
+    // Single-tokenize guard (r4 verdict #3): the jaccard-verify
+    // re-shingle must semi-join the corpus to candidate ids BEFORE
+    // tokenizing — the shingle lambda may not appear anywhere inside
+    // the semi-join's subtree, only above it. Otherwise the verify
+    // pass tokenizes the whole corpus a second time.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val fakeCands = spark.createDataFrame(Seq((1L, 2L))).toDF("d1", "d2")
+    val plan = DedupOps.candidateShinglePlan(spark, sf, fakeCands)
+      .queryExecution.optimizedPlan
+    val semi = plan.collectFirst { case j: Join if j.joinType == LeftSemi => j }
+    assert(semi.isDefined, s"expected a LeftSemi join in\n$plan")
+    assert(!semi.get.toString.contains("lambdafunction("),
+      s"tokenize ran below the candidate semi-join:\n${semi.get}")
+    assert(plan.toString.contains("lambdafunction("),
+      s"expected the shingle lambda above the semi-join:\n$plan")
+  }
+
+  test("dedup_minhash's returned plan reads only materialized intermediates") {
+    // Both corpus passes (signature build, candidate re-shingle) run
+    // exactly once into localCheckpoints at construction; the returned
+    // plan must contain NO parquet scan, so downstream consumers
+    // (dedup_clusters joins it twice) cannot multiply corpus passes.
+    val df = DedupOps.dedupMinhash(spark, sf)
+    assert(scans(df).isEmpty,
+      s"expected no file scans, got:\n${df.queryExecution.executedPlan}")
+  }
+
   test("dedup QA cross-check samples are fixed-budget (TakeOrdered, no full sort)") {
     // The quadratic brute-force checks bound their sample with a
     // hash-ordered limit — planned as TakeOrderedAndProject, never a
