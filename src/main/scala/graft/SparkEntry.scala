@@ -75,8 +75,10 @@ object SparkEntry {
     "text_lang_ngram"  -> (TextAnalysisOps.langIdNgram _),
     "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
     "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
-    // Multimodal binary-column plumbing (decode stubbed; see graft.multimodal)
+    // Multimodal binary-column plumbing (real WAV decode; image/video
+    // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
+    "mm_wav"      -> (MultimodalOps.mmWav _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +139,6 @@ object SparkEntry {
     "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
+    "mm_wav"           -> MultimodalOps.mmWavSql,
   )
 }

@@ -16,8 +16,11 @@ import graft.Tables
   * partition sizing is byte-based (`maxRecordsPerBatch`-style) since
   * media rows are orders of magnitude wider than tabular rows.
   *
-  * The actual codec is STUBBED: [[StubCodec.decode]] is a
-  * deterministic fake standing in for an image/audio library this
+  * The AUDIO modality is real: [[WavCodec]] parses actual RIFF/WAVE
+  * containers ([[wavAssets]]/[[mmWav]] below — encode on one side of
+  * the shuffle, chunk-walk decode on the other, oracle-checked).
+  * Image/video remain STUBBED: [[StubCodec.decode]] is a
+  * deterministic fake standing in for the image/video libraries this
   * container doesn't ship. Swap the body, keep the contract.
   */
 object MultimodalOps {
@@ -98,6 +101,78 @@ object MultimodalOps {
       (lit(64) + (col("byte_len") * 31) % 433).as("height"),
       (lit(1) + col("byte_len") % 24).as("n_frames"))
       .orderBy("asset_id")
+
+  // ---------------------------------------------------------------
+  // Real audio modality: WAV container (graft.multimodal.WavCodec —
+  // an actual RIFF chunk parser, not arithmetic). The stub remains for
+  // image/video, whose codecs genuinely need libraries this container
+  // doesn't ship.
+  // ---------------------------------------------------------------
+
+  private val SampleRates = Array(8000, 11025, 16000, 22050)
+
+  /** Real WAV payloads for the corpus's audio assets, synthesized
+    * deterministically from each document (format parameters keyed on
+    * doc_id, one 16-bit frame per UTF-8 text byte). Built in
+    * mapPartitions like any media transcode — binary out, streams
+    * through parquet/shuffle untouched. */
+  def wavAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 1) // the 'audio' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val sr = SampleRates((id % 4).toInt)
+          val ch = 1 + (id % 2).toInt
+          // one frame per text byte, interleaved channels: a centered
+          // 8-bit waveform scaled to 16-bit — real PCM, reproducible
+          val samples = Array.tabulate[Short](bytes.length * ch) { i =>
+            (((bytes(i / ch) & 0xff) - 128) << 8).toShort
+          }
+          (id, WavCodec.encode(sr, ch, samples))
+        }
+      }.toDF("asset_id", "wav")
+  }
+
+  /** Declared query: decode REAL WAV bytes back to typed audio
+    * metadata. Every output field is read out of the RIFF container by
+    * [[WavCodec.decode]] — the oracle recomputes the expected values
+    * from the generation parameters, so a decoder that misparses any
+    * header field hash-mismatches. (mapPartitions is the sanctioned
+    * multimodal shape: per-partition codec init, batch-streamed rows.) */
+  def mmWav(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = wavAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec // per-partition codec handle
+        rows.map { case (id, wav) =>
+          val m = codec.decode(wav)
+          (id, wav.length.toLong, m.sampleRate.toLong, m.channels.toLong,
+            m.bitsPerSample.toLong, m.nFrames, m.durationMs)
+        }
+      }
+    decoded.toDF("asset_id", "wav_bytes", "sample_rate", "channels",
+      "bits", "n_frames", "duration_ms")
+      .orderBy("asset_id")
+  }
+
+  // The oracle knows the generation arithmetic (44-byte canonical
+  // header + frames × channels × 2 data bytes); Spark knows only the
+  // bytes. Agreement = a faithful encode→decode roundtrip.
+  def mmWavSql: String =
+    """SELECT doc_id AS asset_id,
+      |  44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2 AS wav_bytes,
+      |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |                  WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
+      |  1 + doc_id % 2 AS channels,
+      |  16 AS bits,
+      |  octet_length(encode(text)) AS n_frames,
+      |  (octet_length(encode(text)) * 1000)
+      |    // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |        WHEN 2 THEN 16000 ELSE 22050 END) AS duration_ms
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin
 
   // encode(text) = UTF-8 bytes (CAST(text AS BLOB) raises on non-ASCII);
   // head_hex slices the first 8 BYTES via the hex string — byte-exact

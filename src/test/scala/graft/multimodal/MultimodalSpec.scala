@@ -51,6 +51,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Int]("byte_len") === utf8.length)
   }
 
+  test("WavCodec round-trips encode→decode across formats") {
+    for (sr <- Seq(8000, 11025, 44100); ch <- Seq(1, 2)) {
+      val samples = Array.tabulate[Short](240 * ch)(i => (i * 31 % 8192).toShort)
+      val m = WavCodec.decode(WavCodec.encode(sr, ch, samples))
+      assert(m === WavMeta(sr, ch, 16, 240, 240L * 1000 / sr),
+        s"sr=$sr ch=$ch")
+    }
+  }
+
+  test("WavCodec walks past extra RIFF chunks (LIST before fmt, odd-size pad)") {
+    // real-world WAVs carry LIST/INFO/fact chunks the canonical
+    // 44-byte layout doesn't — the decoder must chunk-walk, not peek
+    // at fixed offsets. The 3-byte LIST body also exercises the RIFF
+    // odd-size pad rule.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val canonical = WavCodec.encode(16000, 1, Array.tabulate[Short](100)(_.toShort))
+    val fmtAndData = java.util.Arrays.copyOfRange(canonical, 12, canonical.length)
+    val extra = ByteBuffer.allocate(12 + 8 + 4 + fmtAndData.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    extra.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 4 + fmtAndData.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(3) // odd size → 1 pad byte
+      .put(Array[Byte]('I', 'N', 'F', 0))
+      .put(fmtAndData)
+    val m = WavCodec.decode(extra.array())
+    assert(m === WavMeta(16000, 1, 16, 100, 100L * 1000 / 16000))
+  }
+
+  test("WavCodec fails loudly on non-WAV bytes") {
+    intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      WavCodec.decode("RIFFxxxxJUNK".getBytes("US-ASCII")))
+    // RIFF/WAVE but a chunk that lies about its size
+    val truncated = WavCodec.encode(8000, 1, Array.fill[Short](50)(1)).take(50)
+    intercept[IllegalArgumentException](WavCodec.decode(truncated))
+  }
+
+  test("mm_wav decodes real generated WAV bytes to the expected metadata") {
+    val rows = MultimodalOps.mmWav(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 === 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val nBytes = docs(id).getBytes("UTF-8").length.toLong
+      val sr = Seq(8000, 11025, 16000, 22050)((id % 4).toInt)
+      val ch = 1 + (id % 2)
+      assert(r.getAs[Long]("sample_rate") === sr.toLong, s"doc $id")
+      assert(r.getAs[Long]("channels") === ch, s"doc $id")
+      assert(r.getAs[Long]("bits") === 16L, s"doc $id")
+      assert(r.getAs[Long]("n_frames") === nBytes, s"doc $id")
+      assert(r.getAs[Long]("wav_bytes") === 44L + nBytes * ch * 2, s"doc $id")
+      assert(r.getAs[Long]("duration_ms") === nBytes * 1000 / sr, s"doc $id")
+    }
+  }
+
   test("frame sampling respects stride and cap") {
     val d = MultimodalOps.StubCodec.decode(Array.fill[Byte](100)(1))
     val frames = MultimodalOps.StubCodec.sampleFrames(d, 4, 8)
