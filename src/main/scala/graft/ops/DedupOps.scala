@@ -147,10 +147,15 @@ object DedupOps {
     * passes either, since the returned plan reads only checkpointed
     * blocks. */
   def dedupMinhash(spark: SparkSession, d: String): DataFrame = {
-    // candidate id pairs (longs only — tiny): materialized so the two
-    // shingle join-backs don't re-run the sig→band→self-join pipeline
-    val candidates = minhashCandidatePlan(spark, d).localCheckpoint(true)
-    val shOnly = candidateShinglePlan(spark, d, candidates).localCheckpoint(true)
+    // candidate id pairs (longs only — tiny): checkpointed so the two
+    // shingle join-backs don't re-run the sig→band→self-join pipeline.
+    // LAZY checkpoints (eager=false): materialization folds into the
+    // first action instead of paying two extra scheduling round-trips
+    // per run (measured ~0.5 s at sf0.1); shuffle-stage sharing still
+    // computes each pipeline once within that action, and lineage is
+    // truncated identically.
+    val candidates = minhashCandidatePlan(spark, d).localCheckpoint(false)
+    val shOnly = candidateShinglePlan(spark, d, candidates).localCheckpoint(false)
     val pairs = candidates
       .join(shOnly.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(shOnly.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -239,19 +244,23 @@ object DedupOps {
     * is trivially its own cluster and has no business inside the
     * iteration — at 100 TB with a low dup rate this shrinks the
     * per-round join from |corpus| to |candidate docs|). Each round is
-    * one distributed job truncated by an eager localCheckpoint; only a
+    * ONE distributed job — the convergence count materializes that
+    * round's lazily-checkpointed labels as a side effect — and only a
     * 1-row count crosses the driver.
     *
     * @param pairs undirected edges as (d1, d2), each pair once
     * @return (labels frame (doc_id, cluster_id) over edge endpoints,
     *         rounds run) */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
+    // lazy checkpoints here and per-round below: each round's single
+    // driver action (the convergence count) materializes that round's
+    // labels as a side effect — one job per round, not two
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true) // computed once; iterations reuse it
+      .localCheckpoint(false) // computed once; iterations reuse it
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxRounds) {
@@ -272,7 +281,7 @@ object DedupOps {
         .select(labels("doc_id"),
           least(col("cluster_id"), best).as("cluster_id"),
           (best < col("cluster_id")).cast("long").as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
       labels = next.drop("__chg")
       iter += 1
@@ -296,7 +305,7 @@ object DedupOps {
     // checkpoint the PAIRS before mirroring: union(pairs, pairs.swap)
     // in one plan would evaluate the whole MinHash pipeline twice
     val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val (labels, _) = connectedComponents(pairs)
     // stitch the untouched majority back in: no-edge docs keep
     // themselves as cluster id
