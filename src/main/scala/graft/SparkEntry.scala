@@ -79,6 +79,7 @@ object SparkEntry {
     // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
+    "mm_bmp"      -> (MultimodalOps.mmBmp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +141,6 @@ object SparkEntry {
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
+    "mm_bmp"           -> MultimodalOps.mmBmpSql,
   )
 }

@@ -16,12 +16,14 @@ import graft.Tables
   * partition sizing is byte-based (`maxRecordsPerBatch`-style) since
   * media rows are orders of magnitude wider than tabular rows.
   *
-  * The AUDIO modality is real: [[WavCodec]] parses actual RIFF/WAVE
-  * containers ([[wavAssets]]/[[mmWav]] below — encode on one side of
-  * the shuffle, chunk-walk decode on the other, oracle-checked).
-  * Image/video remain STUBBED: [[StubCodec.decode]] is a
-  * deterministic fake standing in for the image/video libraries this
-  * container doesn't ship. Swap the body, keep the contract.
+  * The AUDIO and IMAGE modalities are real: [[WavCodec]] parses
+  * actual RIFF/WAVE containers and [[BmpCodec]] actual Windows
+  * bitmaps ([[wavAssets]]/[[mmWav]], [[bmpAssets]]/[[mmBmp]] below —
+  * encode on one side of the shuffle, header-walk decode on the
+  * other, oracle-checked). Video remains STUBBED:
+  * [[StubCodec.decode]] is a deterministic fake standing in for the
+  * video codecs this container doesn't ship. Swap the body, keep the
+  * contract.
   */
 object MultimodalOps {
 
@@ -157,6 +159,68 @@ object MultimodalOps {
       "bits", "n_frames", "duration_ms")
       .orderBy("asset_id")
   }
+
+  /** Real BMP payloads for the corpus's image assets: dimensions keyed
+    * on doc_id (widths up to 515 so the resize math genuinely scales),
+    * pixel bytes cycled from the document text. */
+  def bmpAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (16 + (id * 7) % 500).toInt
+          val h = (1 + id % 25).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val pixels = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
+          (id, BmpCodec.encode(w, h, pixels))
+        }
+      }.toDF("asset_id", "bmp")
+  }
+
+  /** Declared query: decode REAL BMP bytes back to typed image
+    * metadata + the resize plan a thumbnailing pass would use. Every
+    * dimension field is parsed out of the bitmap headers by
+    * [[BmpCodec.decode]]; the oracle recomputes expectations from the
+    * generation arithmetic (54-byte header + 4-byte-aligned rows). */
+  def mmBmp(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = bmpAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = BmpCodec // per-partition codec handle
+        rows.map { case (id, bmp) =>
+          val m = codec.decode(bmp)
+          val scale = math.min(1.0, 256.0 / math.max(m.width, m.height))
+          (id, bmp.length.toLong, m.width.toLong, m.height.toLong,
+            m.bitsPerPixel.toLong, m.rowStride.toLong, m.imageBytes.toLong,
+            math.max(1, (m.width * scale).toInt).toLong,
+            math.max(1, (m.height * scale).toInt).toLong)
+        }
+      }
+    decoded.toDF("asset_id", "bmp_bytes", "width", "height", "bpp",
+      "row_stride", "img_bytes", "resized_w", "resized_h")
+      .orderBy("asset_id")
+  }
+
+  // Mirrors the generation arithmetic (dims from doc_id, 24-bit rows
+  // padded to 4 bytes) and the resize formula with the same operation
+  // order, so trunc-after-double-multiply agrees bit-for-bit.
+  def mmBmpSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 16 + (doc_id * 7) % 500 AS w, 1 + doc_id % 25 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |geo AS (
+      |  SELECT doc_id, w, h, ((w * 24 + 31) // 32) * 4 AS stride,
+      |    LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale
+      |  FROM dims)
+      |SELECT doc_id AS asset_id,
+      |  54 + stride * h AS bmp_bytes,
+      |  w AS width, h AS height, 24 AS bpp,
+      |  stride AS row_stride, stride * h AS img_bytes,
+      |  GREATEST(1, CAST(trunc(w * scale) AS BIGINT)) AS resized_w,
+      |  GREATEST(1, CAST(trunc(h * scale) AS BIGINT)) AS resized_h
+      |FROM geo ORDER BY asset_id""".stripMargin
 
   // The oracle knows the generation arithmetic (44-byte canonical
   // header + frames × channels × 2 data bytes); Spark knows only the
