@@ -80,6 +80,7 @@ object SparkEntry {
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
     "mm_bmp"      -> (MultimodalOps.mmBmp _),
+    "mm_avi"      -> (MultimodalOps.mmAvi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +143,6 @@ object SparkEntry {
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,
+    "mm_avi"           -> MultimodalOps.mmAviSql,
   )
 }

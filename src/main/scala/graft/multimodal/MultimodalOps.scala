@@ -16,14 +16,16 @@ import graft.Tables
   * partition sizing is byte-based (`maxRecordsPerBatch`-style) since
   * media rows are orders of magnitude wider than tabular rows.
   *
-  * The AUDIO and IMAGE modalities are real: [[WavCodec]] parses
-  * actual RIFF/WAVE containers and [[BmpCodec]] actual Windows
-  * bitmaps ([[wavAssets]]/[[mmWav]], [[bmpAssets]]/[[mmBmp]] below —
+  * All three modalities decode REAL containers: [[WavCodec]] parses
+  * actual RIFF/WAVE audio, [[BmpCodec]] actual Windows bitmaps,
+  * [[AviCodec]] actual AVI video containers including a physical walk
+  * of the movi frame list ([[mmWav]]/[[mmBmp]]/[[mmAvi]] below —
   * encode on one side of the shuffle, header-walk decode on the
-  * other, oracle-checked). Video remains STUBBED:
-  * [[StubCodec.decode]] is a deterministic fake standing in for the
-  * video codecs this container doesn't ship. Swap the body, keep the
-  * contract.
+  * other, oracle-checked). Only the PAYLOAD transform (decoding pixel
+  * or sample data itself) is out of scope — that genuinely requires
+  * media libraries this container doesn't ship, and [[StubCodec]]
+  * remains its honest deterministic stand-in on the legacy
+  * `mm_features` surface. Swap the body, keep the contract.
   */
 object MultimodalOps {
 
@@ -221,6 +223,86 @@ object MultimodalOps {
       |  GREATEST(1, CAST(trunc(w * scale) AS BIGINT)) AS resized_w,
       |  GREATEST(1, CAST(trunc(h * scale) AS BIGINT)) AS resized_h
       |FROM geo ORDER BY asset_id""".stripMargin
+
+  private val FrameRates = Array((30, 1, 33333), (25, 1, 40000), (24, 1, 41667))
+
+  /** Real AVI payloads for the corpus's video assets: frame rate and
+    * count keyed on the doc, each `00dc` frame chunk carrying a slice
+    * of the text bytes. */
+  def aviAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 2) // the 'video' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = (32 + (id % 8) * 16).toInt
+          val h = (24 + (id % 6) * 12).toInt
+          // (id/3) % 3: id % 3 is constant (2) on the video slice
+          val (rate, scale, usec) = FrameRates(((id / 3) % 3).toInt)
+          val nFrames = (1 + bytes.length % 48).toInt
+          // frame f carries up to 16 text bytes starting at f*16,
+          // cycling — real chunked payloads of varying (odd/even) size
+          val frames = (0 until nFrames).map { f =>
+            val len = 1 + (f + bytes.length) % 16
+            Array.tabulate[Byte](len)(i =>
+              if (bytes.isEmpty) 0 else bytes((f * 16 + i) % bytes.length))
+          }
+          (id, AviCodec.encode(w, h, usec, rate, scale, frames))
+        }
+      }.toDF("asset_id", "avi")
+  }
+
+  /** Declared query: decode REAL AVI containers back to typed video
+    * metadata — header fields AND an actual walk of the movi frame
+    * list (frames_present counts the `00dc` chunks physically in the
+    * file; equal to the header's n_frames on a well-formed file, which
+    * the oracle asserts by recomputing both from the generation
+    * arithmetic). */
+  def mmAvi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = aviAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = AviCodec // per-partition codec handle
+        rows.map { case (id, avi) =>
+          val m = codec.decode(avi)
+          (id, avi.length.toLong, m.width.toLong, m.height.toLong,
+            m.nFrames.toLong, m.framesPresent.toLong, m.moviBytes,
+            (m.fpsRate / m.fpsScale).toLong, m.durationMs)
+        }
+      }
+    decoded.toDF("asset_id", "avi_bytes", "width", "height",
+      "n_frames", "frames_present", "movi_bytes", "fps", "duration_ms")
+      .orderBy("asset_id")
+  }
+
+  // Generation arithmetic mirror: n_frames = 1 + byte_len % 48; frame
+  // f's payload is 1 + (f + byte_len) % 16 bytes, padded to even; the
+  // container adds a fixed 224-byte preamble (RIFF + hdrl with
+  // avih/strh/strf + LIST movi headers) and 8 bytes per frame chunk.
+  def mmAviSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS bl
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT b.doc_id, b.bl, 1 + b.bl % 48 AS nf,
+      |    SUM(8 + (1 + (t.f + b.bl) % 16) + (1 + (t.f + b.bl) % 16) % 2)
+      |      AS movi_body,
+      |    SUM(1 + (t.f + b.bl) % 16) AS movi_payload
+      |  FROM base b
+      |  JOIN (SELECT unnest(range(48)) AS f) t ON t.f < 1 + b.bl % 48
+      |  GROUP BY b.doc_id, b.bl)
+      |SELECT doc_id AS asset_id,
+      |  224 + movi_body AS avi_bytes,
+      |  32 + (doc_id % 8) * 16 AS width,
+      |  24 + (doc_id % 6) * 12 AS height,
+      |  nf AS n_frames, nf AS frames_present,
+      |  movi_payload AS movi_bytes,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 30 WHEN 1 THEN 25 ELSE 24 END AS fps,
+      |  (nf * (CASE (doc_id // 3) % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+      |                                ELSE 41667 END)) // 1000 AS duration_ms
+      |FROM frames ORDER BY asset_id""".stripMargin
 
   // The oracle knows the generation arithmetic (44-byte canonical
   // header + frames × channels × 2 data bytes); Spark knows only the
