@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_simhash"       -> (DedupOps.dedupSimhash _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
+    "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLsh _),
     "dedup_clusters"      -> (DedupOps.dedupClusters _),
     "agg_minhash_sig"     -> (DedupOps.groupMinhashSig _),
     "sample_hash"         -> (DedupOps.sampleHash _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
+    "dedup_embedding_lsh" -> SimilarityOps.dedupEmbeddingLshSql,
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "agg_minhash_sig"     -> DedupOps.groupMinhashSigSql,
     "sample_hash"         -> DedupOps.sampleHashSql,

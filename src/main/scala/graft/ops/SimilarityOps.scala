@@ -74,6 +74,29 @@ object SimilarityOps {
     (v % 2000001L) / 1000000.0 - 1.0
   }
 
+  private lazy val planes: Map[Int, Seq[Seq[Double]]] = (0 until Tabs).map { t =>
+    t -> (0 until Bits).map(b => (0 until Dim).map(i => planeWeight(t, b, i)))
+  }.toMap
+
+  /** Bucket key for table t: Bits-bit sign signature of projections. */
+  private def bucketKey(v: org.apache.spark.sql.Column, t: Int) =
+    (0 until Bits).map { b =>
+      val plane = array(planes(t)(b).map(lit): _*)
+      when(dotd(v.cast("array<double>"), plane) >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** The exploded sign-LSH membership relation: one (vec_id, v, tab,
+    * bkt) row per table. Consumers that need keys only (the dedup
+    * self-join) project `v` away and Catalyst prunes it out of the
+    * pre-explode projection. */
+  private[ops] def lshMembership(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(
+        (col("vec_id") +: col("embedding").as("v") +:
+          (0 until Tabs).map(t => bucketKey(col("embedding"), t).as(s"b$t"))): _*)
+      .select(col("vec_id"), col("v"),
+        posexplode(array((0 until Tabs).map(t => col(s"b$t")): _*)).as(Seq("tab", "bkt")))
+
   /** Approximate top-k via multi-table sign-LSH. Output: per query
     * (vec_id < 10) the top-3 candidates found in its buckets.
     * Approximate-by-design but fully deterministic (md5-derived
@@ -81,22 +104,7 @@ object SimilarityOps {
     * for a hash-exact oracle; recall vs [[bruteTopK]] is additionally
     * bounded in ScalaTest. */
   def annLsh(spark: SparkSession, d: String): DataFrame = {
-    val planes: Map[Int, Seq[Seq[Double]]] = (0 until Tabs).map { t =>
-      t -> (0 until Bits).map(b => (0 until Dim).map(i => planeWeight(t, b, i)))
-    }.toMap
-    // bucket key for table t: Bits-bit sign signature of projections
-    def bucketKey(v: org.apache.spark.sql.Column, t: Int) =
-      (0 until Bits).map { b =>
-        val plane = array(planes(t)(b).map(lit): _*)
-        when(dotd(v.cast("array<double>"), plane) >= 0, shiftleft(lit(1), b)).otherwise(0)
-      }.reduce(_ + _)
-
-    val e = Tables.embeddings(spark, d)
-    val withBuckets = e.select(
-      (col("vec_id") +: col("embedding").as("v") +:
-        (0 until Tabs).map(t => bucketKey(col("embedding"), t).as(s"b$t"))): _*)
-    val buckets = withBuckets.select(col("vec_id"), col("v"),
-      posexplode(array((0 until Tabs).map(t => col(s"b$t")): _*)).as(Seq("tab", "bkt")))
+    val buckets = lshMembership(spark, d)
     val q = buckets.where(col("vec_id") < 10)
       .select(col("tab"), col("bkt"), col("vec_id").as("qid"), col("v").as("qv"))
     val c = buckets.select(col("tab"), col("bkt"), col("vec_id").as("nid"), col("v").as("nv"))
@@ -110,6 +118,61 @@ object SimilarityOps {
       .where(col("rank") <= 3)
       .orderBy("qid", "rank")
   }
+
+  /** Embedding near-dup detection at corpus scale: the LSH-bucketed
+    * counterpart of [[DedupOps.dedupEmbedding]] — identical output
+    * contract (top-50 highest-cosine pairs, v1 < v2) but candidate
+    * pairs come ONLY from vectors sharing a sign-LSH bucket, so the
+    * pair count is Σ bucket² per table instead of corpus². This is the
+    * shape that removes the brute path's hard cap: where
+    * dedup_embedding stops at 2000 vectors by construction, this plan
+    * is linear in corpus size + bucket-bounded in pair work.
+    *
+    * Mirrors the dedup_minhash scale discipline: the bucket explode
+    * carries (vec_id, tab, bkt) keys only — never the 64-dim vectors
+    * (column pruning drops `v` from [[lshMembership]]) — and the
+    * cosine verify joins vectors back by id for candidate pairs alone.
+    * Deterministic md5-derived planes mean [[dedupEmbeddingLshSql]]
+    * replays the identical index, so this approximate operator is
+    * hash-checked end-to-end; overlap vs the brute top-50 is
+    * additionally bounded in ScalaTest. */
+  def dedupEmbeddingLsh(spark: SparkSession, d: String): DataFrame = {
+    // keys-only membership (3 longs/row), lazily checkpointed so the
+    // bucket signatures (Tabs × Bits dot products per vector — the
+    // dominant per-row CPU) are computed ONCE, not once per self-join
+    // side — the dedup_minhash single-tokenize discipline.
+    val keys = lshMembership(spark, d).select("vec_id", "tab", "bkt")
+      .localCheckpoint(false)
+    val cands = keys.select(col("tab"), col("bkt"), col("vec_id").as("v1"))
+      .join(keys.select(col("tab"), col("bkt"), col("vec_id").as("v2")), Seq("tab", "bkt"))
+      .where(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val e = corpus(spark, d)
+    val ev1 = e.select(col("vec_id").as("v1"), col("v").as("e1"), sqrt(col("n2")).as("m1"))
+    val ev2 = e.select(col("vec_id").as("v2"), col("v").as("e2"), sqrt(col("n2")).as("m2"))
+    cands.join(ev1, "v1").join(ev2, "v2")
+      .select(col("v1"), col("v2"),
+        round(dotd(col("e1"), col("e2")) / (col("m1") * col("m2")), 9).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+      .limit(50)
+  }
+
+  /** DuckDB mirror of [[dedupEmbeddingLsh]]: rebuilds the identical
+    * plane/bucket index (shared CTE prefix with [[annLshSql]]), then
+    * the same co-bucket candidate self-join and join-back scoring. */
+  def dedupEmbeddingLshSql: String =
+    s"""WITH $lshIndexCtes,
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM buckets a JOIN buckets b USING (tab, bkt)
+       |  WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.v1, c.v2, ${cosine9Sql("ea.v", "eb.v")} AS cos_sim
+       |  FROM cands c
+       |  JOIN e ea ON ea.vec_id = c.v1
+       |  JOIN e eb ON eb.vec_id = c.v2)
+       |SELECT v1, v2, cos_sim FROM scored
+       |ORDER BY cos_sim DESC, v1, v2 LIMIT 50""".stripMargin
 
   /** Int8 scalar quantization round-trip: per vector, the symmetric
     * scale (127/max|x|), quantize, dequantize, and report the max
@@ -141,17 +204,18 @@ object SimilarityOps {
       |    x -> abs(x - round(x * (127.0 / max_abs)) / (127.0 / max_abs)))), 9) AS max_q_err
       |FROM e WHERE max_abs > 0 ORDER BY vec_id""".stripMargin
 
-  /** DuckDB mirror of [[annLsh]]: the plane weights are md5-derived
-    * constants, so the whole index is rebuildable in SQL — the planes
-    * are inlined as literals (Double.toString round-trips exactly) and
-    * the bucket keys, candidate join and ranking mirror the Spark plan
-    * step for step. */
-  def annLshSql: String = {
+  /** Shared CTE prefix rebuilding the sign-LSH index in DuckDB: the
+    * plane weights are md5-derived constants, so the whole index is
+    * rebuildable in SQL — the planes are inlined as literals
+    * (Double.toString round-trips exactly) and the bucket keys mirror
+    * the Spark plan step for step. Yields CTEs `e` (cast vectors),
+    * `planes`, `proj`, `buckets` (vec_id, tab, bkt). */
+  private def lshIndexCtes: String = {
     val planeRows = (for (t <- 0 until Tabs; b <- 0 until Bits) yield {
       val ws = (0 until Dim).map(i => planeWeight(t, b, i)).mkString("[", ", ", "]")
       s"($t, $b, $ws)"
     }).mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes AS (SELECT * FROM (VALUES
        |    $planeRows) AS t(tab, bit, w)),
        |proj AS (
@@ -159,7 +223,13 @@ object SimilarityOps {
        |    CASE WHEN list_sum(list_transform(range(1, $Dim + 1), i -> e.v[i] * p.w[i])) >= 0
        |         THEN (1 << p.bit) ELSE 0 END AS bv
        |  FROM e CROSS JOIN planes p),
-       |buckets AS (SELECT vec_id, tab, SUM(bv) AS bkt FROM proj GROUP BY vec_id, tab),
+       |buckets AS (SELECT vec_id, tab, SUM(bv) AS bkt FROM proj GROUP BY vec_id, tab)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[annLsh]]: shared index CTEs, then the
+    * candidate join and ranking mirroring the Spark plan. */
+  def annLshSql: String = {
+    s"""WITH $lshIndexCtes,
        |q AS (SELECT tab, bkt, vec_id AS qid FROM buckets WHERE vec_id < 10),
        |cands AS (
        |  SELECT DISTINCT q.qid, c.vec_id AS nid

@@ -37,6 +37,33 @@ class SketchSpec extends AnyFunSuite {
     assert(fromStored === inline)
   }
 
+  test("LSH embedding dedup: top-50 usefully overlaps the brute top-50") {
+    // deterministic index ⇒ deterministic overlap; 26/50 at sf0.001.
+    // The corpus is near-orthogonal random vectors (max cos ≈ 0.5), the
+    // worst case for sign-LSH — real near-dup corpora bucket far better.
+    val brute = DedupOps.dedupEmbedding(spark, sf).select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.dedupEmbeddingLsh(spark, sf).select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (brute & lsh).size
+    assert(overlap >= 20, s"overlap $overlap/50")
+  }
+
+  test("LSH embedding dedup compares a small fraction of all pairs") {
+    // the scale claim made concrete: candidate pairs (co-bucketed under
+    // ≥1 of the 6 tables) are ~18% of corpus² here, and the fraction
+    // FALLS as buckets are sized up (more bits) for bigger corpora
+    import org.apache.spark.sql.functions.col
+    val keys = SimilarityOps.lshMembership(spark, sf).select("vec_id", "tab", "bkt")
+    val cands = keys.select(col("tab"), col("bkt"), col("vec_id").as("v1"))
+      .join(keys.select(col("tab"), col("bkt"), col("vec_id").as("v2")), Seq("tab", "bkt"))
+      .where(col("v1") < col("v2"))
+      .select("v1", "v2").distinct().count()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val all = n * (n - 1) / 2
+    assert(cands < all / 4, s"candidates $cands of $all pairs")
+  }
+
   test("IVF ANN recall@3 vs brute force is useful") {
     val brute = SimilarityOps.bruteTopK(spark, sf)
       .where(org.apache.spark.sql.functions.col("rank") <= 3)
