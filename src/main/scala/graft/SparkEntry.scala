@@ -76,6 +76,14 @@ object SparkEntry {
     "text_lang_ngram"  -> (TextAnalysisOps.langIdNgram _),
     "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
     "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
+    // Training-data preparation (chunking / decontamination /
+    // sampling / packing / incremental ingest / centroids)
+    "text_chunk"        -> (TrainingPrepOps.textChunk _),
+    "decontaminate"     -> (TrainingPrepOps.decontaminate _),
+    "sample_stratified" -> (TrainingPrepOps.sampleStratified _),
+    "text_pack"         -> (TrainingPrepOps.textPack _),
+    "dedup_incremental" -> (TrainingPrepOps.dedupIncremental _),
+    "emb_centroid"      -> (TrainingPrepOps.embCentroid _),
     // Multimodal binary-column plumbing (real WAV decode; image/video
     // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
@@ -142,6 +150,12 @@ object SparkEntry {
     "text_lang_ngram"  -> TextAnalysisOps.langIdNgramSql,
     "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
+    "text_chunk"        -> TrainingPrepOps.textChunkSql,
+    "decontaminate"     -> TrainingPrepOps.decontaminateSql,
+    "sample_stratified" -> TrainingPrepOps.sampleStratifiedSql,
+    "text_pack"         -> TrainingPrepOps.textPackSql,
+    "dedup_incremental" -> TrainingPrepOps.dedupIncrementalSql,
+    "emb_centroid"      -> TrainingPrepOps.embCentroidSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,

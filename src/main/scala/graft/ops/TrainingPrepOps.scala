@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Training-data preparation operators — the pipeline stages that sit
+  * BETWEEN dedup/quality-filtering (DedupOps, TextAnalysisOps) and the
+  * trainer: sequence chunking, benchmark decontamination, stratified
+  * sampling, greedy sequence packing, incremental-ingest dedup, and
+  * per-class embedding centroids (north-star extensions; SURVEY.md
+  * §2.3 EXT).
+  *
+  * Scale stance, per operator:
+  *  - chunking/packing/sampling are map-side or one-shuffle window
+  *    work — no all-pairs anything, no driver-side loops;
+  *  - decontamination streams the corpus once against a BROADCAST
+  *    benchmark n-gram set (the benchmark side is small by definition —
+  *    eval suites are KBs–MBs against a 100 TB corpus);
+  *  - packing avoids the classic single-partition global-cumsum
+  *    bottleneck by packing within hash buckets (each bucket is an
+  *    independent stream — the same shape a 1000-executor run uses);
+  *  - incremental dedup is one hash equi-anti-join — the shape of a
+  *    daily ingest against a persisted corpus-hash index.
+  *
+  * All hashes are the cross-engine [[OpsUtil.xhash60]] so every stage
+  * is replayed exactly by the DuckDB oracle.
+  */
+object TrainingPrepOps {
+
+  // ---------------------------------------------------------------
+  // text_chunk: fixed-size token windows for training sequences
+  // ---------------------------------------------------------------
+
+  private val ChunkW = 64
+
+  /** Split each document into consecutive [[ChunkW]]-token chunks
+    * (the pre-tokenized-sequence shape a trainer consumes). Pure
+    * map-side: tokenize once, explode a chunk-index range, slice.
+    * Empty docs yield zero chunks in both engines.
+    *
+    * explode_outer + isNotNull instead of explode: the inferred
+    * non-empty filter explode generates would be pushed through the
+    * projection and re-evaluate tokens() over the whole corpus
+    * (the PlanSpec recompute trap). */
+  def textChunk(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        when(size(col("tk")) > 0,
+          sequence(lit(0L), floor((size(col("tk")) - lit(1)) / lit(ChunkW))))
+          .otherwise(array().cast("array<bigint>")).as("ix"))
+    t.select(col("doc_id"), col("tk"), explode_outer(col("ix")).as("chunk_idx"))
+      .where(col("chunk_idx").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("tk"), (col("chunk_idx") * ChunkW + 1).cast("int"), lit(ChunkW)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        xhash60(concat_ws(" ", col("chunk")), 7).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def textChunkSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |ix AS (
+       |  SELECT doc_id, tk, unnest(range(((len(tk) - 1) // $ChunkW) + 1)) AS chunk_idx
+       |  FROM toks WHERE len(tk) > 0),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    tk[(chunk_idx * $ChunkW + 1):(chunk_idx * $ChunkW + $ChunkW)] AS chunk
+       |  FROM ix)
+       |SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+       |  ${xhash60Sql(s"array_to_string(chunk, ' ')", 7)} AS chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // decontaminate: benchmark n-gram overlap scan
+  // ---------------------------------------------------------------
+
+  private val DecontamN = 5      // n-gram width (word-level)
+  private val BenchDocs = 20     // synthetic "eval set" size
+
+  /** doc_id + distinct 5-gram array (total — empty array for short
+    * docs, same when-guard rationale as DedupOps.shingledOf). */
+  private def grams5(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= DecontamN, array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - (DecontamN - 1)),
+          i => concat_ws(" ", (0 until DecontamN).map(o => element_at(col("tk"), i + o)): _*))))
+          .otherwise(array().cast("array<string>")).as("g"))
+
+  private def grams5Sql(src: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - ${DecontamN - 2}),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS tk FROM $src)
+       |  WHERE len(tk) >= $DecontamN""".stripMargin
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-gram with a held-out "benchmark" set (here: the [[BenchDocs]]
+    * lowest-hash docs — a stand-in for a real eval suite), with the
+    * shared-gram count as the contamination score.
+    *
+    * The benchmark gram set is tiny relative to any corpus, so both
+    * the id exclusion and the gram probe are BROADCAST joins: the
+    * corpus streams through one scan+explode, no corpus-side shuffle
+    * until the per-doc count — exactly the shape a 100 TB
+    * decontamination pass needs. */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val benchIds = docs
+      .select(col("doc_id"), xhash60(col("doc_id").cast("string"), 17).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(BenchDocs)
+      .select(col("doc_id"))
+    val benchGrams = grams5(docs.join(broadcast(benchIds), Seq("doc_id"), "left_semi"))
+      .select(explode_outer(col("g")).as("gram"))
+      .where(col("gram").isNotNull)
+      .select(xhash60(col("gram"), 0).as("gh")).distinct()
+    val corpusGrams = grams5(docs.join(broadcast(benchIds), Seq("doc_id"), "left_anti"))
+      .select(col("doc_id"), explode_outer(col("g")).as("gram"))
+      .where(col("gram").isNotNull)
+      .select(col("doc_id"), xhash60(col("gram"), 0).as("gh"))
+    corpusGrams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared_ngrams"))
+      .orderBy(col("n_shared_ngrams").desc, col("doc_id"))
+  }
+
+  def decontaminateSql: String =
+    s"""WITH bench_ids AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ${xhash60Sql("CAST(doc_id AS VARCHAR)", 17)} AS hk FROM documents)
+       |  ORDER BY hk, doc_id LIMIT $BenchDocs),
+       |bench_grams AS (
+       |  SELECT DISTINCT ${xhash60Sql("gram", 0)} AS gh FROM (
+       |    SELECT unnest(g) AS gram FROM (
+       |      ${grams5Sql("(SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM bench_ids))")}))),
+       |corpus_grams AS (
+       |  SELECT doc_id, ${xhash60Sql("gram", 0)} AS gh FROM (
+       |    SELECT doc_id, unnest(g) AS gram FROM (
+       |      ${grams5Sql("(SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))")})))
+       |SELECT c.doc_id, count(DISTINCT c.gh) AS n_shared_ngrams
+       |FROM corpus_grams c JOIN bench_grams b ON c.gh = b.gh
+       |GROUP BY c.doc_id
+       |ORDER BY n_shared_ngrams DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // sample_stratified: fixed per-stratum budget, hash-ordered
+  // ---------------------------------------------------------------
+
+  private val StratumK = 20
+
+  /** Stratified sampling: the [[StratumK]] lowest-hash documents PER
+    * LANGUAGE — a fixed per-stratum budget (so rare languages are
+    * fully represented and dominant ones capped, the balanced-mix
+    * shape of training-set curation). One shuffle on lang + a window
+    * rank; deterministic on any partitioning via the content-derived
+    * hash order (rand(seed) is partitioning-dependent; xhash60 is
+    * not). */
+  def sampleStratified(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        xhash60(col("doc_id").cast("string"), 21).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))))
+      .where(col("rn") <= StratumK)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "doc_id")
+
+  def sampleStratifiedSql: String =
+    s"""SELECT lang, doc_id, n_chars FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${xhash60Sql("CAST(doc_id AS VARCHAR)", 21)}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratumK ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_pack: greedy sequence packing into token-budget bins
+  // ---------------------------------------------------------------
+
+  private val PackBudget = 256
+  private val PackBuckets = 32
+
+  /** Greedy sequence packing: assign documents to ~[[PackBudget]]-token
+    * training bins. A global greedy pack is a running cumulative sum —
+    * a single-partition bottleneck at scale — so documents are first
+    * hash-routed into [[PackBuckets]] independent buckets and packed
+    * within each (cumsum window per bucket). Bins never split a
+    * document; a doc that crosses the budget boundary opens the next
+    * bin (standard first-fit streaming pack). Output is the bin
+    * manifest: doc count + token total per (bucket, bin).
+    *
+    * At 1000 executors the bucket count scales with the cluster and
+    * each bucket's window is one local sort — no global ordering
+    * anywhere. */
+  def textPack(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        xhash60(col("doc_id").cast("string"), 23).as("hk"))
+      .withColumn("bucket", col("hk") % PackBuckets)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / PackBudget))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("bucket", "bin")
+  }
+
+  def textPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(${tokensSql("text")}) AS n_tokens,
+       |    ${xhash60Sql("CAST(doc_id AS VARCHAR)", 23)} AS hk
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens, hk, hk % $PackBuckets AS bucket FROM t),
+       |c AS (
+       |  SELECT bucket, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM b)
+       |SELECT bucket, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_incremental: new batch vs ingested corpus
+  // ---------------------------------------------------------------
+
+  /** Incremental-ingest dedup: treat ~20% of the corpus (hash-routed)
+    * as the ALREADY-INGESTED store and the rest as today's incoming
+    * batch; emit the incoming documents that survive dedup both
+    * within the batch (exact hash-groupBy, min-id keeper) and against
+    * the store (hash anti-join). This is the daily-ingest shape at
+    * 100 TB: the store side is only (hash) — a persisted index, never
+    * the text bytes — and the whole operator is two hash shuffles,
+    * no comparisons beyond equality. */
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        xhash60(col("doc_id").cast("string"), 29).as("hk"))
+    val ingested = h.where(col("hk") % 5 === 0)
+      .select(col("text_hash").as("ingested_hash")).distinct()
+    val incoming = h.where(col("hk") % 5 =!= 0)
+    incoming
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(ingested, col("text_hash") === col("ingested_hash"), "left_anti")
+      .select(col("keep_id"), col("n_copies"), col("text_hash"))
+      .orderBy("keep_id")
+  }
+
+  def dedupIncrementalSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS text_hash,
+       |    ${xhash60Sql("CAST(doc_id AS VARCHAR)", 29)} AS hk
+       |  FROM documents),
+       |ingested AS (SELECT DISTINCT text_hash FROM h WHERE hk % 5 = 0),
+       |incoming AS (SELECT * FROM h WHERE hk % 5 <> 0),
+       |grouped AS (
+       |  SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       |  FROM incoming GROUP BY text_hash)
+       |SELECT keep_id, n_copies, text_hash FROM grouped
+       |WHERE text_hash NOT IN (SELECT text_hash FROM ingested)
+       |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // emb_centroid: per-label embedding centroids
+  // ---------------------------------------------------------------
+
+  /** Per-label embedding centroid statistics: element-wise mean vector
+    * per label, reported as (vector count, centroid L2 norm). The
+    * explode→(label, dim) partial-agg shape is the distributed way to
+    * average vectors: map-side partial sums per dimension, one
+    * shuffle keyed by (label, dim) — never a collect, never a
+    * per-label array fold on one node. Exact cross-engine numerics
+    * via decimal-summed means ([[OpsUtil.dsum]] rationale). */
+  def embCentroid(spark: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(spark, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val per = ex.groupBy(col("label"), col("dim"))
+      .agg(davg(col("x")).as("m"), count(lit(1)).as("cnt"))
+    per.groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vecs"),
+        round(sqrt(sum((col("m") * col("m")).cast("decimal(28,12)")).cast("double")), 9)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  def embCentroidSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (
+       |  SELECT label, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e),
+       |per AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m,
+       |    COUNT(*) AS cnt
+       |  FROM ex GROUP BY label, dim)
+       |SELECT label, MAX(cnt) AS n_vecs,
+       |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)), 9) AS centroid_norm
+       |FROM per GROUP BY label ORDER BY label""".stripMargin
+}
