@@ -82,6 +82,30 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Stream-stream self-join: click→purchase attribution — each
+    * purchase matched to the same user's clicks in the preceding hour.
+    * The event-time range condition plus watermarks on BOTH sides lets
+    * Spark expire join state (a click older than watermark + 1 hour
+    * can never match a future purchase), so state stays bounded on an
+    * unbounded stream — the property that makes stream-stream joins
+    * viable at all at 100 TB/day. Inner join ⇒ Append output mode. */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("p_ts"), col("amount"))
+  }
+
   /** Run a streaming DataFrame to completion against a static input
     * (file stream) and return the result via a memory sink. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

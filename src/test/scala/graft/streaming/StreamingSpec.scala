@@ -97,6 +97,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    val stream = EventStreams.readEvents(spark, eventsStreamDir)
+    val got = EventStreams.runToMemory(spark, EventStreams.attribution(stream),
+      "attr_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val ev = graft.Tables.events(spark, sf)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+    val want = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("p_ts"), col("amount"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState running totals match batch per-user counts") {
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
     val got = EventStreams.userRunningTotals(spark, stream)
