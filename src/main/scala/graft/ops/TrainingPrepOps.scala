@@ -123,9 +123,13 @@ object TrainingPrepOps {
       .select(col("doc_id"), explode_outer(col("g")).as("gram"))
       .where(col("gram").isNotNull)
       .select(col("doc_id"), xhash60(col("gram"), 0).as("gh"))
+    // count(*), not countDistinct: per-doc grams are array_distinct'd
+    // upstream and the probe side is distinct, so joined (doc_id, gh)
+    // rows are already unique — a distinct-agg here would add a whole
+    // extra shuffle phase for nothing
     corpusGrams.join(broadcast(benchGrams), Seq("gh"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("gh")).as("n_shared_ngrams"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy(col("n_shared_ngrams").desc, col("doc_id"))
   }
 
@@ -142,7 +146,7 @@ object TrainingPrepOps {
        |  SELECT doc_id, ${xhash60Sql("gram", 0)} AS gh FROM (
        |    SELECT doc_id, unnest(g) AS gram FROM (
        |      ${grams5Sql("(SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))")})))
-       |SELECT c.doc_id, count(DISTINCT c.gh) AS n_shared_ngrams
+       |SELECT c.doc_id, count(*) AS n_shared_ngrams
        |FROM corpus_grams c JOIN bench_grams b ON c.gh = b.gh
        |GROUP BY c.doc_id
        |ORDER BY n_shared_ngrams DESC, doc_id""".stripMargin
