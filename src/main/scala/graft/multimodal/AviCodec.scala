@@ -131,4 +131,47 @@ object AviCodec {
     AviMeta(width, height, nFrames, usec, rate, scale,
       framesPresent, moviBytes, nFrames.toLong * usec / 1000L)
   }
+
+  /** Frame PAYLOAD decode: walk the movi list and sum the unsigned
+    * bytes of every video chunk's payload (skipping chunk headers and
+    * odd-size pad bytes). The oracle recomputes the sum from the
+    * generation's cycled text slices, so a walker that miscounts a
+    * header or reads a pad byte hash-mismatches. */
+  def framePayloadSum(payload: Array[Byte]): Long = {
+    require(payload.length >= 12, s"not RIFF: only ${payload.length} bytes")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(fourCC(buf) == "RIFF", "not RIFF: bad magic")
+    buf.getInt
+    require(fourCC(buf) == "AVI ", "RIFF but not AVI")
+    var sum = 0L; var sawMovi = false
+    while (buf.remaining >= 8) {
+      val id = fourCC(buf)
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining,
+        s"chunk '$id' claims $size bytes, ${buf.remaining} remain")
+      val end = buf.position() + size + (size & 1)
+      if (id == "LIST") {
+        val listType = fourCC(buf)
+        if (listType == "movi") {
+          sawMovi = true
+          while (buf.position() < end && end - buf.position() >= 8) {
+            val cid = fourCC(buf)
+            val csize = buf.getInt
+            require(csize >= 0 && buf.position() + csize <= end,
+              s"movi chunk '$cid' overruns the list")
+            if (cid.endsWith("dc") || cid.endsWith("db")) {
+              var i = 0
+              while (i < csize) { sum += (buf.get(buf.position() + i) & 0xff); i += 1 }
+            }
+            buf.position(buf.position() + csize + (csize & 1))
+          }
+          buf.position(end)
+        }
+      } else {
+        buf.position(end)
+      }
+    }
+    require(sawMovi, "no movi list")
+    sum
+  }
 }

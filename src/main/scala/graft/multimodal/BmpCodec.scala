@@ -75,4 +75,28 @@ object BmpCodec {
       s"pixel data [$dataOffset, ${dataOffset.toLong + imageBytes}) outside ${payload.length}-byte file")
     BmpMeta(width, height, bpp, stride, imageBytes, topDown = rawHeight < 0)
   }
+
+  /** Pixel PAYLOAD decode: walk every row at its padded stride and sum
+    * the unsigned pixel bytes (24-bit only — what [[encode]] writes).
+    * Row padding is skipped, so a decoder that confuses stride with
+    * width*3 produces a different sum and hash-mismatches against the
+    * oracle's cycled-source closed form. */
+  def pixelSum(payload: Array[Byte]): Long = {
+    val m = decode(payload)
+    require(m.bitsPerPixel == 24, s"pixelSum supports 24-bit, got ${m.bitsPerPixel}")
+    val dataOffset = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    var sum = 0L
+    var row = 0
+    while (row < m.height) {
+      val base = dataOffset + row * m.rowStride
+      var i = 0
+      val rowBytes = m.width * 3
+      while (i < rowBytes) {
+        sum += (payload(base + i) & 0xff)
+        i += 1
+      }
+      row += 1
+    }
+    sum
+  }
 }

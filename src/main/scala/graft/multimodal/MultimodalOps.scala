@@ -16,16 +16,20 @@ import graft.Tables
   * partition sizing is byte-based (`maxRecordsPerBatch`-style) since
   * media rows are orders of magnitude wider than tabular rows.
   *
-  * All three modalities decode REAL containers: [[WavCodec]] parses
-  * actual RIFF/WAVE audio, [[BmpCodec]] actual Windows bitmaps,
-  * [[AviCodec]] actual AVI video containers including a physical walk
-  * of the movi frame list ([[mmWav]]/[[mmBmp]]/[[mmAvi]] below —
-  * encode on one side of the shuffle, header-walk decode on the
-  * other, oracle-checked). Only the PAYLOAD transform (decoding pixel
-  * or sample data itself) is out of scope — that genuinely requires
-  * media libraries this container doesn't ship, and [[StubCodec]]
-  * remains its honest deterministic stand-in on the legacy
-  * `mm_features` surface. Swap the body, keep the contract.
+  * All three modalities decode REAL containers AND their payloads:
+  * [[WavCodec]] parses actual RIFF/WAVE audio and reads every 16-bit
+  * PCM sample (`pcmStats`), [[BmpCodec]] actual Windows bitmaps with
+  * a stride-aware walk of every pixel byte (`pixelSum`), [[AviCodec]]
+  * actual AVI containers including a physical movi frame-list walk
+  * and per-frame payload read (`framePayloadSum`) — [[mmWav]]/
+  * [[mmBmp]]/[[mmAvi]] below encode on one side of the shuffle,
+  * decode on the other, and the oracle recomputes header AND payload
+  * statistics from the generation arithmetic. The only remaining gap
+  * is COMPRESSED-codec decode (JPEG entropy coding, MP3, H.264),
+  * which genuinely requires media libraries this container doesn't
+  * ship; [[StubCodec]] remains its honest deterministic stand-in on
+  * the legacy `mm_features` surface. Swap the body, keep the
+  * contract.
   */
 object MultimodalOps {
 
@@ -153,12 +157,14 @@ object MultimodalOps {
         val codec = WavCodec // per-partition codec handle
         rows.map { case (id, wav) =>
           val m = codec.decode(wav)
+          // PAYLOAD decode too: every 16-bit sample read off the bytes
+          val (sumAbs, peakAbs) = codec.pcmStats(wav)
           (id, wav.length.toLong, m.sampleRate.toLong, m.channels.toLong,
-            m.bitsPerSample.toLong, m.nFrames, m.durationMs)
+            m.bitsPerSample.toLong, m.nFrames, m.durationMs, sumAbs, peakAbs)
         }
       }
     decoded.toDF("asset_id", "wav_bytes", "sample_rate", "channels",
-      "bits", "n_frames", "duration_ms")
+      "bits", "n_frames", "duration_ms", "sum_abs", "peak_abs")
       .orderBy("asset_id")
   }
 
@@ -197,32 +203,49 @@ object MultimodalOps {
           (id, bmp.length.toLong, m.width.toLong, m.height.toLong,
             m.bitsPerPixel.toLong, m.rowStride.toLong, m.imageBytes.toLong,
             math.max(1, (m.width * scale).toInt).toLong,
-            math.max(1, (m.height * scale).toInt).toLong)
+            math.max(1, (m.height * scale).toInt).toLong,
+            // PAYLOAD decode: every pixel byte, stride-aware row walk
+            codec.pixelSum(bmp))
         }
       }
     decoded.toDF("asset_id", "bmp_bytes", "width", "height", "bpp",
-      "row_stride", "img_bytes", "resized_w", "resized_h")
+      "row_stride", "img_bytes", "resized_w", "resized_h", "pixel_sum")
       .orderBy("asset_id")
   }
 
   // Mirrors the generation arithmetic (dims from doc_id, 24-bit rows
   // padded to 4 bytes) and the resize formula with the same operation
-  // order, so trunc-after-double-multiply agrees bit-for-bit.
+  // order, so trunc-after-double-multiply agrees bit-for-bit. The
+  // pixel payload is cycled text bytes, so its sum has a closed form:
+  // fullCycles × (sum of all text bytes) + (prefix sum of the
+  // remainder) — against which Spark's stride-aware row walk is
+  // checked byte-for-byte.
   def mmBmpSql: String =
     """WITH dims AS (
-      |  SELECT doc_id, 16 + (doc_id * 7) % 500 AS w, 1 + doc_id % 25 AS h
+      |  SELECT doc_id, 16 + (doc_id * 7) % 500 AS w, 1 + doc_id % 25 AS h,
+      |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
       |  FROM documents WHERE doc_id % 3 = 0),
       |geo AS (
-      |  SELECT doc_id, w, h, ((w * 24 + 31) // 32) * 4 AS stride,
-      |    LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale
-      |  FROM dims)
-      |SELECT doc_id AS asset_id,
-      |  54 + stride * h AS bmp_bytes,
-      |  w AS width, h AS height, 24 AS bpp,
-      |  stride AS row_stride, stride * h AS img_bytes,
-      |  GREATEST(1, CAST(trunc(w * scale) AS BIGINT)) AS resized_w,
-      |  GREATEST(1, CAST(trunc(h * scale) AS BIGINT)) AS resized_h
-      |FROM geo ORDER BY asset_id""".stripMargin
+      |  SELECT doc_id, w, h, bl, hx, ((w * 24 + 31) // 32) * 4 AS stride,
+      |    LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale,
+      |    w * h * 3 AS total
+      |  FROM dims),
+      |px AS (
+      |  SELECT doc_id, CASE WHEN bl = 0 THEN 0 ELSE
+      |      (total // bl) * COALESCE(list_sum(list_transform(range(bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |      + COALESCE(list_sum(list_transform(range(total % bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |    END AS psum
+      |  FROM geo)
+      |SELECT g.doc_id AS asset_id,
+      |  54 + g.stride * g.h AS bmp_bytes,
+      |  g.w AS width, g.h AS height, 24 AS bpp,
+      |  g.stride AS row_stride, g.stride * g.h AS img_bytes,
+      |  GREATEST(1, CAST(trunc(g.w * g.scale) AS BIGINT)) AS resized_w,
+      |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h,
+      |  CAST(px.psum AS BIGINT) AS pixel_sum
+      |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
   private val FrameRates = Array((30, 1, 33333), (25, 1, 40000), (24, 1, 41667))
 
@@ -269,11 +292,14 @@ object MultimodalOps {
           val m = codec.decode(avi)
           (id, avi.length.toLong, m.width.toLong, m.height.toLong,
             m.nFrames.toLong, m.framesPresent.toLong, m.moviBytes,
-            (m.fpsRate / m.fpsScale).toLong, m.durationMs)
+            (m.fpsRate / m.fpsScale).toLong, m.durationMs,
+            // PAYLOAD decode: every frame chunk's bytes summed
+            codec.framePayloadSum(avi))
         }
       }
     decoded.toDF("asset_id", "avi_bytes", "width", "height",
-      "n_frames", "frames_present", "movi_bytes", "fps", "duration_ms")
+      "n_frames", "frames_present", "movi_bytes", "fps", "duration_ms",
+      "payload_sum")
       .orderBy("asset_id")
   }
 
@@ -283,42 +309,63 @@ object MultimodalOps {
   // avih/strh/strf + LIST movi headers) and 8 bytes per frame chunk.
   def mmAviSql: String =
     """WITH base AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS bl
+      |  SELECT doc_id, octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
       |  FROM documents WHERE doc_id % 3 = 2),
-      |frames AS (
-      |  SELECT b.doc_id, b.bl, 1 + b.bl % 48 AS nf,
-      |    SUM(8 + (1 + (t.f + b.bl) % 16) + (1 + (t.f + b.bl) % 16) % 2)
-      |      AS movi_body,
-      |    SUM(1 + (t.f + b.bl) % 16) AS movi_payload
+      |fr AS (
+      |  SELECT b.doc_id, b.bl, b.hx, t.f, 1 + (t.f + b.bl) % 16 AS flen
       |  FROM base b
-      |  JOIN (SELECT unnest(range(48)) AS f) t ON t.f < 1 + b.bl % 48
-      |  GROUP BY b.doc_id, b.bl)
-      |SELECT doc_id AS asset_id,
-      |  224 + movi_body AS avi_bytes,
-      |  32 + (doc_id % 8) * 16 AS width,
-      |  24 + (doc_id % 6) * 12 AS height,
-      |  nf AS n_frames, nf AS frames_present,
-      |  movi_payload AS movi_bytes,
-      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 30 WHEN 1 THEN 25 ELSE 24 END AS fps,
-      |  (nf * (CASE (doc_id // 3) % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
-      |                                ELSE 41667 END)) // 1000 AS duration_ms
-      |FROM frames ORDER BY asset_id""".stripMargin
+      |  JOIN (SELECT unnest(range(48)) AS f) t ON t.f < 1 + b.bl % 48),
+      |frames AS (
+      |  SELECT doc_id, bl, 1 + bl % 48 AS nf,
+      |    SUM(8 + flen + flen % 2) AS movi_body,
+      |    SUM(flen) AS movi_payload
+      |  FROM fr GROUP BY doc_id, bl),
+      |pay AS (
+      |  SELECT fr.doc_id, SUM(CASE WHEN fr.bl = 0 THEN 0 ELSE
+      |      ('0x' || substr(fr.hx, ((fr.f * 16 + u.i) % fr.bl) * 2 + 1, 2))::BIGINT
+      |    END) AS psum
+      |  FROM fr JOIN (SELECT unnest(range(16)) AS i) u ON u.i < fr.flen
+      |  GROUP BY fr.doc_id)
+      |SELECT f.doc_id AS asset_id,
+      |  224 + f.movi_body AS avi_bytes,
+      |  32 + (f.doc_id % 8) * 16 AS width,
+      |  24 + (f.doc_id % 6) * 12 AS height,
+      |  f.nf AS n_frames, f.nf AS frames_present,
+      |  f.movi_payload AS movi_bytes,
+      |  CASE (f.doc_id // 3) % 3 WHEN 0 THEN 30 WHEN 1 THEN 25 ELSE 24 END AS fps,
+      |  (f.nf * (CASE (f.doc_id // 3) % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+      |                                    ELSE 41667 END)) // 1000 AS duration_ms,
+      |  CAST(pay.psum AS BIGINT) AS payload_sum
+      |FROM frames f JOIN pay ON pay.doc_id = f.doc_id ORDER BY asset_id""".stripMargin
 
   // The oracle knows the generation arithmetic (44-byte canonical
-  // header + frames × channels × 2 data bytes); Spark knows only the
-  // bytes. Agreement = a faithful encode→decode roundtrip.
+  // header + frames × channels × 2 data bytes; sample f = (byte_f -
+  // 128) << 8 interleaved per channel); Spark knows only the bytes.
+  // Agreement = a faithful encode→decode roundtrip, now INCLUDING the
+  // PCM payload (sum/peak of |amplitude| recomputed from the text
+  // bytes via the hex trick — one 2-hex-digit slice per byte).
   def mmWavSql: String =
-    """SELECT doc_id AS asset_id,
-      |  44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2 AS wav_bytes,
-      |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
-      |                  WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
-      |  1 + doc_id % 2 AS channels,
-      |  16 AS bits,
-      |  octet_length(encode(text)) AS n_frames,
-      |  (octet_length(encode(text)) * 1000)
-      |    // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
-      |        WHEN 2 THEN 16000 ELSE 22050 END) AS duration_ms
-      |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin
+    """WITH a AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS bl,
+      |    hex(encode(text)) AS hx, 1 + doc_id % 2 AS ch,
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |                    WHEN 2 THEN 16000 ELSE 22050 END AS sr
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, bl, ch, sr,
+      |    COALESCE(list_sum(list_transform(range(bl),
+      |      i -> abs(('0x' || substr(hx, i*2 + 1, 2))::BIGINT - 128) * 256)), 0) AS babs,
+      |    COALESCE(list_max(list_transform(range(bl),
+      |      i -> abs(('0x' || substr(hx, i*2 + 1, 2))::BIGINT - 128) * 256)), 0) AS pk
+      |  FROM a)
+      |SELECT doc_id AS asset_id,
+      |  44 + bl * ch * 2 AS wav_bytes,
+      |  sr AS sample_rate, ch AS channels, 16 AS bits,
+      |  bl AS n_frames,
+      |  (bl * 1000) // sr AS duration_ms,
+      |  CAST(ch * babs AS BIGINT) AS sum_abs,
+      |  CAST(pk AS BIGINT) AS peak_abs
+      |FROM s ORDER BY asset_id""".stripMargin
 
   // encode(text) = UTF-8 bytes (CAST(text AS BLOB) raises on non-ASCII);
   // head_hex slices the first 8 BYTES via the hex string — byte-exact

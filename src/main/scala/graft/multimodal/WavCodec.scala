@@ -85,4 +85,50 @@ object WavCodec {
     val nFrames = dataSize / blockAlign
     WavMeta(sampleRate, channels, bits, nFrames, nFrames * 1000L / sampleRate)
   }
+
+  /** PCM PAYLOAD decode: walk to the `data` chunk and read every
+    * 16-bit little-endian sample — (sum of |amplitude|, peak
+    * |amplitude|). This is the part of the audio modality that goes
+    * beyond header metadata: the samples themselves come off the
+    * container bytes, and the oracle recomputes both statistics from
+    * the generation waveform — a decoder reading the wrong offset,
+    * endianness, or width hash-mismatches. 16-bit PCM only (what
+    * [[encode]] writes); exact integer math. */
+  def pcmStats(payload: Array[Byte]): (Long, Long) = {
+    require(payload.length >= 12, s"not RIFF: only ${payload.length} bytes")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(fourCC(buf) == "RIFF", "not RIFF: bad magic")
+    buf.getInt
+    require(fourCC(buf) == "WAVE", "RIFF but not WAVE")
+    var bits = -1
+    var sumAbs = 0L; var peakAbs = 0L; var sawData = false
+    while (!sawData && buf.remaining >= 8) {
+      val id = fourCC(buf)
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining,
+        s"chunk '$id' claims $size bytes, ${buf.remaining} remain")
+      if (id == "fmt ") {
+        val fmtEnd = buf.position() + size
+        buf.getShort; buf.getShort; buf.getInt; buf.getInt; buf.getShort
+        bits = buf.getShort
+        buf.position(fmtEnd + (size & 1))
+      } else if (id == "data") {
+        require(bits == 16, s"pcmStats supports 16-bit PCM, got $bits")
+        sawData = true
+        var i = 0
+        val n = size / 2
+        while (i < n) {
+          val s = buf.getShort.toLong
+          val a = math.abs(s)
+          sumAbs += a
+          if (a > peakAbs) peakAbs = a
+          i += 1
+        }
+      } else {
+        buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    require(sawData, "no data chunk")
+    (sumAbs, peakAbs)
+  }
 }

@@ -79,6 +79,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m === WavMeta(16000, 1, 16, 100, 100L * 1000 / 16000))
   }
 
+  test("WavCodec pcmStats reads every 16-bit sample (sum and peak of |amplitude|)") {
+    val samples = Array[Short](0, 100, -200, 300, -32768)
+    val (sum, peak) = WavCodec.pcmStats(WavCodec.encode(8000, 1, samples))
+    assert(sum === 0L + 100 + 200 + 300 + 32768)
+    assert(peak === 32768L)
+    // stereo: every sample still read once
+    val (sum2, peak2) = WavCodec.pcmStats(WavCodec.encode(8000, 2, Array[Short](5, -7)))
+    assert(sum2 === 12L && peak2 === 7L)
+  }
+
   test("WavCodec fails loudly on non-WAV bytes") {
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
@@ -107,6 +117,11 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_frames") === nBytes, s"doc $id")
       assert(r.getAs[Long]("wav_bytes") === 44L + nBytes * ch * 2, s"doc $id")
       assert(r.getAs[Long]("duration_ms") === nBytes * 1000 / sr, s"doc $id")
+      // payload decode: recompute sum/peak |amplitude| from the text
+      val bytes = docs(id).getBytes("UTF-8")
+      val perByte = bytes.map(b => math.abs((b & 0xff) - 128) * 256L)
+      assert(r.getAs[Long]("sum_abs") === ch * perByte.sum, s"doc $id")
+      assert(r.getAs[Long]("peak_abs") === (if (perByte.isEmpty) 0L else perByte.max), s"doc $id")
     }
   }
 
@@ -128,6 +143,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.height === 4 && m.topDown)
   }
 
+  test("BmpCodec pixelSum walks rows at stride, skipping padding, unsigned") {
+    // w=1 → stride 4: each 3-byte pixel row carries 1 pad byte the
+    // sum must NOT include
+    assert(BmpCodec.pixelSum(BmpCodec.encode(1, 2, Array[Byte](1, 2, 3, 4, 5, 6))) === 21L)
+    // byte -1 reads as unsigned 255
+    assert(BmpCodec.pixelSum(BmpCodec.encode(1, 1, Array[Byte](-1, 0, 1))) === 256L)
+  }
+
   test("BmpCodec fails loudly on non-BMP / compressed / truncated bytes") {
     intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
@@ -142,6 +165,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("mm_bmp decodes real generated BMP bytes to the expected metadata") {
     val rows = MultimodalOps.mmBmp(spark, sf).collect()
     assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { r =>
       val id = r.getAs[Long]("asset_id")
       val w = 16 + (id * 7) % 500
@@ -154,6 +181,12 @@ class MultimodalSpec extends AnyFunSuite {
       val scale = math.min(1.0, 256.0 / math.max(w, h))
       assert(r.getAs[Long]("resized_w") === math.max(1L, (w * scale).toLong), s"doc $id")
       assert(r.getAs[Long]("resized_h") === math.max(1L, (h * scale).toLong), s"doc $id")
+      // payload decode: recompute the cycled-pixel sum from the text
+      val src = { val b = docs(id).getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+      val total = (w * h * 3).toInt
+      var expected = 0L; var i = 0
+      while (i < total) { expected += (src(i % src.length) & 0xff); i += 1 }
+      assert(r.getAs[Long]("pixel_sum") === expected, s"doc $id")
     }
   }
 
@@ -180,6 +213,12 @@ class MultimodalSpec extends AnyFunSuite {
     buf.putInt(moviListOffset + 4, buf.getInt(moviListOffset + 4) + 10)
     val m = AviCodec.decode(bytes)
     assert(m.nFrames === 2 && m.framesPresent === 3)
+  }
+
+  test("AviCodec framePayloadSum sums frame bytes only (no headers, no pads)") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](-1)) // odd sizes → pad bytes
+    val sum = AviCodec.framePayloadSum(AviCodec.encode(32, 24, 33333, 30, 1, frames))
+    assert(sum === 1L + 2 + 3 + 255)
   }
 
   test("AviCodec fails loudly on non-AVI bytes") {
@@ -211,6 +250,14 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("duration_ms") === nf.toLong * usec / 1000, s"doc $id")
       val moviPayload = (0 until nf).map(f => 1 + (f + bl) % 16).sum
       assert(r.getAs[Long]("movi_bytes") === moviPayload, s"doc $id")
+      // payload decode: recompute the cycled frame-slice byte sum
+      val bytes = docs(id).getBytes("UTF-8")
+      val expectedPayload = (0 until nf).map { f =>
+        val len = 1 + (f + bl) % 16
+        (0 until len).map(i =>
+          if (bytes.isEmpty) 0L else (bytes((f * 16 + i) % bytes.length) & 0xff).toLong).sum
+      }.sum
+      assert(r.getAs[Long]("payload_sum") === expectedPayload, s"doc $id")
     }
   }
 
