@@ -1,9 +1,10 @@
 // Scratch main for round-local measurements (not part of the library
-// surface). Currently: steady-state wall time of dedup_minhash at
-// sf0.1 (BENCH_r04 1.39 s → r5 bench passes show 1.65-2.06 s after
-// the single-tokenize + lazy-checkpoint rework; is the delta JIT/
-// ordering noise like agg_corr in r4, or structural?), plus
-// dedup_clusters for context.
+// surface). Current form: steady-state multi-pass timing of a few
+// representative queries at sf0.1 with GC deltas — the tool that
+// root-caused the r5 ScaleStressSpec flake (isolated q3 ×8 passes
+// swing 2.5 → 27 → 2.5 s with flat GC: box contention from the
+// periodic driver jobs, not a plan or memory problem; fixed by
+// min-of-2 timing in the spec, mirroring Bench).
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -16,6 +17,12 @@ object Probe {
     r
   }
 
+  def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -26,10 +33,19 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = "/root/testdata/sf0.1"
-    // warm codegen/JIT on the small SF like Bench does
-    graft.ops.DedupOps.dedupMinhash(spark, "/root/testdata/sf0.001").count()
-    for (i <- 1 to 6)
-      time(s"dedup_minhash pass $i")(graft.ops.DedupOps.dedupMinhash(spark, sf1).count())
+    val queries: Seq[(String, () => Unit)] = Seq(
+      "dedup_minhash" -> (() => { graft.ops.DedupOps.dedupMinhash(spark, sf1).count(); () }),
+      "dedup_clusters" -> (() => { graft.ops.DedupOps.dedupClusters(spark, sf1).count(); () }),
+      "q3_top_revenue" -> (() => { graft.ops.RelationalOps.q3TopRevenue(spark, sf1).count(); () }),
+      "decontaminate" -> (() => { graft.ops.TrainingPrepOps.decontaminate(spark, sf1).count(); () }))
+    for ((name, run) <- queries) {
+      run() // warm
+      for (i <- 1 to 3) {
+        val g0 = gcMs
+        time(s"$name pass $i")(run())
+        println(s"[probe]   gc delta: ${gcMs - g0} ms")
+      }
+    }
     spark.stop()
   }
 }

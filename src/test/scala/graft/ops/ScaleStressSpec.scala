@@ -132,18 +132,32 @@ class ScaleStressSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash / text_lang_ngram / q3 runtime grows ≲ linearly at ×8 data") {
-    // Warm each op once (codegen, schema cache, parquet footers), then
-    // time ×1 vs ×8. Budget: ≤ 8× the ×1 time with 2× slack plus a
-    // 10 s fixed-overhead floor — honest linear scaling passes with
-    // wide margin, a quadratic candidate/pair blowup (64×) trips it.
+    // Warm each op once ON EACH dir (janino codegen for these large
+    // pipelines is seconds; the first ×8 read also pays cold page
+    // cache for parquet just written by buildStress — both would land
+    // in whichever timing runs first and fake a superlinear ratio),
+    // then time ×1 vs ×8 at steady state. Budget: ≤ 8× the ×1 time
+    // with 2× slack plus a 10 s fixed-overhead floor — honest linear
+    // scaling passes with wide margin, a quadratic candidate/pair
+    // blowup (64×) trips it.
+    dirX1; dirX8 // force the corpus builds outside any timing
     val ops: Seq[(String, String => Unit)] = Seq(
       ("dedup_minhash", d => { DedupOps.dedupMinhash(spark, d).count(); () }),
       ("text_lang_ngram", d => { TextAnalysisOps.langIdNgram(spark, d).count(); () }),
-      ("q3_top_revenue", d => { RelationalOps.q3TopRevenue(spark, d).count(); () }))
+      ("q3_top_revenue", d => { RelationalOps.q3TopRevenue(spark, d).count(); () }),
+      // training-prep family: full-corpus gram explode vs broadcast
+      // benchmark probes, and bucketed window packing — both must stay
+      // linear when the corpus grows
+      ("decontaminate", d => { TrainingPrepOps.decontaminate(spark, d).count(); () }),
+      ("text_pack", d => { TrainingPrepOps.textPack(spark, d).count(); () }))
     for ((name, run) <- ops) {
-      run(dirX1) // warmup
-      val t1 = secs(run(dirX1))
-      val t8 = secs(run(dirX8))
+      run(dirX1); run(dirX8) // warmup both
+      // min-of-2 like Bench: the box is shared (driver jobs run
+      // periodically) and a single timed pass can absorb a 10-40 s
+      // contention spike — observed directly on q3 ×8, where isolated
+      // passes swing 2.5 → 27 → 2.5 s with flat GC
+      val t1 = math.min(secs(run(dirX1)), secs(run(dirX1)))
+      val t8 = math.min(secs(run(dirX8)), secs(run(dirX8)))
       info(f"$name: x1 $t1%.2f s, x8 $t8%.2f s (ratio ${t8 / t1}%.1f)")
       assert(t8 <= t1 * 8 * 2.0 + 10.0,
         f"$name superlinear: x1 $t1%.2f s vs x8 $t8%.2f s")
