@@ -76,6 +76,7 @@ object SparkEntry {
     "text_lang_ngram"  -> (TextAnalysisOps.langIdNgram _),
     "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
     "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
+    "text_gopher_rules" -> (TextAnalysisOps.gopherRules _),
     // Training-data preparation (chunking / decontamination /
     // sampling / packing / incremental ingest / centroids)
     "text_chunk"        -> (TrainingPrepOps.textChunk _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "text_lang_ngram"  -> TextAnalysisOps.langIdNgramSql,
     "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
+    "text_gopher_rules" -> TextAnalysisOps.gopherRulesSql,
     "text_chunk"        -> TrainingPrepOps.textChunkSql,
     "decontaminate"     -> TrainingPrepOps.decontaminateSql,
     "sample_stratified" -> TrainingPrepOps.sampleStratifiedSql,

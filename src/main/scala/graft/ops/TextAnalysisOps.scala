@@ -371,4 +371,100 @@ object TextAnalysisOps {
        |        t -> ${xhash60Sql("t", 7)} % 1000000007)),
        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gopher/MassiveText-style corpus-filter rules: the repetition and
+    * shape signals a pretraining curation pass gates on — token count,
+    * mean word length, numeric-token fraction, duplicate-3-gram
+    * fraction, top-2-gram fraction — each as a value AND a boolean
+    * rule flag, plus the conjunction `keep`.
+    *
+    * Scale shape: everything except `top_2gram_frac` is a single
+    * map-side pass; the per-doc mode needs one (doc, gram) shuffle —
+    * the standard distributed mode computation (no per-doc driver
+    * work, no array sort). Flags compare ROUNDED values so the two
+    * engines gate on identical doubles. */
+  def gopherRules(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+    val scal = base
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+        when(size(col("tk")) >= 3, transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("g3"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(length(concat_ws("", col("tk"))).cast("double") / col("n"), 9)
+          .as("mean_word_len"),
+        round(size(filter(col("tk"), t => t.rlike("^[0-9]+$"))).cast("double") / col("n"), 9)
+          .as("frac_numeric"),
+        when(size(col("g3")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 9))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"),
+        col("tk"))
+    // per-doc mode of 2-grams: one (doc, gram) shuffle, then max/total
+    val g2 = scal.select(col("doc_id"),
+        when(col("n_tokens") >= 2, transform(
+          sequence(lit(1), col("n_tokens").cast("int") - 1),
+          i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("g2"))
+      .select(col("doc_id"), explode_outer(col("g2")).as("gram"))
+      .where(col("gram").isNotNull)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 9).as("top_2gram_frac"))
+    scal.drop("tk")
+      .join(g2, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("frac_numeric"), col("dup_3gram_frac"),
+        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"))
+      .select(col("*"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 100000).as("rule_len"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("rule_mwl"),
+        (col("frac_numeric") <= 0.2).as("rule_num"),
+        (col("dup_3gram_frac") <= 0.2 && col("top_2gram_frac") <= 0.2).as("rule_rep"))
+      .select(col("*"),
+        (col("rule_len") && col("rule_mwl") && col("rule_num") && col("rule_rep")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def gopherRulesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, tk FROM (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents)
+       |  WHERE len(tk) > 0),
+       |scal AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    round(CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk), 9) AS mean_word_len,
+       |    round(CAST(len(list_filter(tk, t -> regexp_full_match(t, '[0-9]+'))) AS DOUBLE)
+       |      / len(tk), 9) AS frac_numeric,
+       |    CASE WHEN len(tk) >= 3 THEN round(1.0 -
+       |        CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE)
+       |        / (len(tk) - 2), 9)
+       |      ELSE 0.0 END AS dup_3gram_frac,
+       |    tk
+       |  FROM base),
+       |g2 AS (
+       |  SELECT doc_id, gram, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+       |    FROM base WHERE len(tk) >= 2)
+       |  GROUP BY doc_id, gram),
+       |top2 AS (
+       |  SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 9) AS top_2gram_frac
+       |  FROM g2 GROUP BY doc_id),
+       |vals AS (
+       |  SELECT s.doc_id, s.n_tokens, s.mean_word_len, s.frac_numeric,
+       |    s.dup_3gram_frac, COALESCE(t.top_2gram_frac, 0.0) AS top_2gram_frac
+       |  FROM scal s LEFT JOIN top2 t ON t.doc_id = s.doc_id),
+       |flags AS (
+       |  SELECT *,
+       |    n_tokens >= 20 AND n_tokens <= 100000 AS rule_len,
+       |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mwl,
+       |    frac_numeric <= 0.2 AS rule_num,
+       |    dup_3gram_frac <= 0.2 AND top_2gram_frac <= 0.2 AS rule_rep
+       |  FROM vals)
+       |SELECT *, rule_len AND rule_mwl AND rule_num AND rule_rep AS keep
+       |FROM flags ORDER BY doc_id""".stripMargin
 }
