@@ -50,6 +50,7 @@ object SparkEntry {
     "evt_daily_active" -> (EventOps.dailyActive _),
     "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
     "evt_funnel"       -> (EventOps.funnel _),
+    "evt_retention"    -> (EventOps.retention _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "evt_daily_active"  -> EventOps.dailyActiveSql,
     "evt_asof"          -> AsOfOps.eventAsOfPurchaseSql,
     "evt_funnel"        -> EventOps.funnelSql,
+    "evt_retention"     -> EventOps.retentionSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,

@@ -146,4 +146,50 @@ object EventOps {
     """SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Day-N retention cohorts: users grouped by first-active day, with
+    * day-1 and day-7 return counts and rates — the standard
+    * product-analytics cohort table. Shape at scale: one distinct on
+    * (user, day), one min-per-user, one join back keyed on user_id
+    * (co-partitioned with the distinct — no extra corpus shuffle),
+    * final small agg by cohort day. The conditional `countDistinct(
+    * when(...))` computes every offset in ONE pass instead of one
+    * self-join per offset. */
+  def retention(spark: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firsts = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    firsts.join(active, Seq("user_id"))
+      .groupBy(col("cohort_day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 1,
+          col("user_id"))).as("d1_retained"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 7,
+          col("user_id"))).as("d7_retained"))
+      .select(col("cohort_day"), col("n_users"), col("d1_retained"), col("d7_retained"),
+        round(col("d1_retained").cast("double") / col("n_users"), 9).as("d1_rate"),
+        round(col("d7_retained").cast("double") / col("n_users"), 9).as("d7_rate"))
+      .orderBy("cohort_day")
+  }
+
+  def retentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |firsts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id),
+      |cohorts AS (
+      |  SELECT f.cohort_day,
+      |    COUNT(DISTINCT a.user_id) AS n_users,
+      |    COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, a.day) = 1
+      |      THEN a.user_id END) AS d1_retained,
+      |    COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, a.day) = 7
+      |      THEN a.user_id END) AS d7_retained
+      |  FROM firsts f JOIN active a ON a.user_id = f.user_id
+      |  GROUP BY f.cohort_day)
+      |SELECT cohort_day, n_users, d1_retained, d7_retained,
+      |  round(CAST(d1_retained AS DOUBLE) / n_users, 9) AS d1_rate,
+      |  round(CAST(d7_retained AS DOUBLE) / n_users, 9) AS d7_rate
+      |FROM cohorts ORDER BY cohort_day""".stripMargin
 }
