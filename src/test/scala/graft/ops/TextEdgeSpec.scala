@@ -54,6 +54,58 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(out(997L).getAs[String]("meta_lang") === "yy")
   }
 
+  test("training-prep ops handle 0/1/short/boundary-length documents") {
+    import spark.implicits._
+    // token counts 0, 1, 2, 4, 64, 65: below every n-gram guard, at
+    // the 5-gram boundary, and straddling the 64-token chunk boundary
+    val t64 = (1 to 64).map(i => s"w$i").mkString(" ")
+    val t65 = (1 to 65).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "", "xx", "edge", 0L),
+      (2L, "solo", "xx", "edge", 4L),
+      (3L, "two words", "xx", "edge", 9L),
+      (4L, "just four tokens here", "xx", "edge", 21L),
+      (5L, t64, "en", "edge", t64.length.toLong),
+      (6L, t65, "en", "edge", t65.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-textedge3").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // text_chunk: empty doc → no chunks; 64 tokens → one full chunk;
+    // 65 → a full chunk + a 1-token tail
+    val chunks = TrainingPrepOps.textChunk(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getAs[Long]("chunk_idx"), r.getAs[Int]("n_tokens"))).toSeq.sorted).toMap
+    assert(!chunks.contains(1L), "empty doc must produce no chunks")
+    assert(chunks(2L) === Seq((0L, 1)))
+    assert(chunks(5L) === Seq((0L, 64)))
+    assert(chunks(6L) === Seq((0L, 64), (1L, 1)))
+
+    // gopher rules: sub-3-token docs get dup_3gram_frac 0 (no grams),
+    // sub-2-token docs get top_2gram_frac 0 via the outer join
+    val gr = TextAnalysisOps.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!gr.contains(1L), "empty doc excluded")
+    assert(gr(2L).getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(gr(2L).getAs[Double]("top_2gram_frac") === 0.0)
+    assert(gr(3L).getAs[Double]("top_2gram_frac") === 1.0) // one bigram
+    assert(gr(5L).getAs[Boolean]("rule_len"), "64 tokens passes the length rule")
+    assert(!gr(4L).getAs[Boolean]("rule_len"), "4 tokens fails the length rule")
+
+    // text_pack: every non-empty... ALL docs (even 0-token) pack
+    val packed = TrainingPrepOps.textPack(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(packed === 6L, "every doc lands in exactly one bin")
+
+    // decontaminate degenerate: with ≤ BenchDocs docs the whole corpus
+    // IS the benchmark — the scan must run and return no flagged docs
+    assert(TrainingPrepOps.decontaminate(spark, dir).count() === 0L)
+
+    // dedup_minhash: sub-3-token docs must neither match nor throw
+    // (null band keys drop out of the equi-join)
+    assert(DedupOps.dedupMinhash(spark, dir).count() === 0L)
+  }
+
   test("winnow/token ops tolerate empty and whitespace-only documents") {
     import spark.implicits._
     val docs = Seq(
