@@ -160,10 +160,16 @@ object TrainingPrepOps {
   /** Stratified sampling: the [[StratumK]] lowest-hash documents PER
     * LANGUAGE — a fixed per-stratum budget (so rare languages are
     * fully represented and dominant ones capped, the balanced-mix
-    * shape of training-set curation). One shuffle on lang + a window
-    * rank; deterministic on any partitioning via the content-derived
-    * hash order (rand(seed) is partitioning-dependent; xhash60 is
-    * not). */
+    * shape of training-set curation). Deterministic on any
+    * partitioning via the content-derived hash order (rand(seed) is
+    * partitioning-dependent; xhash60 is not).
+    *
+    * Scale note: a per-lang row_number window with FEW langs looks
+    * like a handful of reducers sorting billions of rows each — but
+    * Catalyst's InferWindowGroupLimit inserts a map-side PARTIAL
+    * top-K below the exchange (each task forwards ≤ K rows per lang),
+    * so the shuffle carries K × langs × tasks rows, not the corpus.
+    * PlanSpec pins the WindowGroupLimit Partial node. */
   def sampleStratified(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),

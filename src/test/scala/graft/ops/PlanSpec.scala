@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected no file scans, got:\n${df.queryExecution.executedPlan}")
   }
 
+  test("sample_stratified keeps only K rows per stratum BEFORE the shuffle (WindowGroupLimit Partial)") {
+    // the 100 TB property: a per-lang row_number window with few langs
+    // would otherwise globally sort billions of rows per stratum on a
+    // handful of reducers. Catalyst's InferWindowGroupLimit inserts a
+    // map-side partial top-K (each task forwards ≤ K rows per lang),
+    // so the shuffle carries K × langs × tasks rows, not the corpus.
+    // This pins the optimization so a refactor (e.g. a rank filter the
+    // rule can't see through) fails here instead of at scale.
+    val plan = TrainingPrepOps.sampleStratified(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial WindowGroupLimit below the exchange:\n$plan")
+  }
+
   test("dedup QA cross-check samples are fixed-budget (TakeOrdered, no full sort)") {
     // The quadratic brute-force checks bound their sample with a
     // hash-ordered limit — planned as TakeOrderedAndProject, never a
