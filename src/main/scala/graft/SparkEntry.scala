@@ -86,6 +86,10 @@ object SparkEntry {
     "text_pack"         -> (TrainingPrepOps.textPack _),
     "dedup_incremental" -> (TrainingPrepOps.dedupIncremental _),
     "emb_centroid"      -> (TrainingPrepOps.embCentroid _),
+    // Corpus curation (span dedup / source mixing / importance scores)
+    "dedup_span"   -> (CurationOps.dedupSpan _),
+    "mix_weights"  -> (CurationOps.mixWeights _),
+    "score_dsir"   -> (CurationOps.scoreDsir _),
     // Multimodal binary-column plumbing (real WAV decode; image/video
     // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
@@ -160,6 +164,9 @@ object SparkEntry {
     "text_pack"         -> TrainingPrepOps.textPackSql,
     "dedup_incremental" -> TrainingPrepOps.dedupIncrementalSql,
     "emb_centroid"      -> TrainingPrepOps.embCentroidSql,
+    "dedup_span"        -> CurationOps.dedupSpanSql,
+    "mix_weights"       -> CurationOps.mixWeightsSql,
+    "score_dsir"        -> CurationOps.scoreDsirSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,

@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpsUtil._
+
+/** Corpus-curation operators — the remaining stages of a web-scale
+  * training-data pipeline that sit alongside dedup/quality filtering
+  * (north-star extensions; SURVEY.md §2.3 EXT):
+  *
+  *  - [[dedupSpan]]: C4-style duplicated-span detection — flag spans
+  *    of tokens that occur more than once anywhere in the corpus and
+  *    score each document by its duplicated-span fraction.
+  *  - [[mixWeights]]: temperature-scaled source mixing — per-source
+  *    sampling weights ∝ (token count)^(1/T), the standard recipe for
+  *    balancing dominant vs rare sources in a training mix.
+  *  - [[scoreDsir]]: DSIR-style importance scores — hashed n-gram
+  *    log-likelihood ratio of a target distribution vs the corpus
+  *    distribution, averaged per document.
+  *
+  * Scale stance: span dedup is one hash-only shuffle (span hashes,
+  * never text bytes) plus an equi-join back — linear, same family as
+  * exact dedup. Mixing weights aggregate to |sources| rows. DSIR uses
+  * a FIXED 1024-bucket hashed feature space, so the fitted
+  * distribution table is ≤1024 rows and BROADCAST at any corpus scale
+  * — the corpus streams twice (fit pass + score pass), exactly the
+  * two passes the original DSIR recipe makes over raw text.
+  *
+  * All hashes are the cross-engine [[OpsUtil.xhash60]]; doubles are
+  * summed through DECIMAL after rounding (single-`ln` rounding to 6
+  * decimals absorbs libm differences — the topBigramsPmi precedent).
+  */
+object CurationOps {
+
+  // ---------------------------------------------------------------
+  // dedup_span: C4-style duplicated-span scoring
+  // ---------------------------------------------------------------
+
+  private val SpanW = 8
+
+  /** (doc_id, span_hash) for consecutive non-overlapping [[SpanW]]-token
+    * spans (trailing partial span included — a duplicated tail is
+    * still a duplicated span). explode_outer + isNotNull: the
+    * inferred non-empty filter a plain explode generates would be
+    * pushed below the projection and re-tokenize the corpus
+    * (the PlanSpec recompute trap). */
+  private def spanPlan(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        when(size(col("tk")) > 0,
+          sequence(lit(0L), floor((size(col("tk")) - lit(1)) / lit(SpanW))))
+          .otherwise(array().cast("array<bigint>")).as("ix"))
+      .select(col("doc_id"), col("tk"), explode_outer(col("ix")).as("span_idx"))
+      .where(col("span_idx").isNotNull)
+      .select(col("doc_id"),
+        xhash60(concat_ws(" ",
+          slice(col("tk"), (col("span_idx") * SpanW + 1).cast("int"), lit(SpanW))), 31)
+          .as("sh"))
+
+  /** C4-style span dedup: a span is "duplicated" if its hash occurs
+    * more than once ANYWHERE in the corpus; each document is scored by
+    * its duplicated-span fraction (C4 removes such spans — this emits
+    * the removal manifest). Spans are computed once
+    * (lazy localCheckpoint) and shared by the global duplicate-hash
+    * aggregation and the per-document join back, so the corpus is
+    * tokenized exactly once per run. The shuffle carries (doc_id,
+    * 60-bit hash) only — never span text. */
+  def dedupSpan(spark: SparkSession, d: String): DataFrame = {
+    val spans = spanPlan(spark, d).localCheckpoint(false)
+    val dup = spans.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("sh"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("is_dup")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 9).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpanSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |spans AS (
+       |  SELECT doc_id, ${xhash60Sql(
+             s"array_to_string(tk[(span_idx * $SpanW + 1):(span_idx * $SpanW + $SpanW)], ' ')", 31)} AS sh
+       |  FROM (
+       |    SELECT doc_id, tk, unnest(range(((len(tk) - 1) // $SpanW) + 1)) AS span_idx
+       |    FROM toks WHERE len(tk) > 0)),
+       |dup AS (SELECT sh FROM spans GROUP BY sh HAVING count(*) > 1)
+       |SELECT s.doc_id, count(*) AS n_spans,
+       |  count(d.sh) AS n_dup_spans,
+       |  round(CAST(count(d.sh) AS DOUBLE) / count(*), 9) AS dup_span_frac
+       |FROM spans s LEFT JOIN dup d ON s.sh = d.sh
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // mix_weights: temperature-scaled source mixing
+  // ---------------------------------------------------------------
+
+  private val MixBudget = 1000000L // token budget to allocate
+
+  /** Temperature-scaled source mixing: per-source sampling weight
+    * ∝ (token count)^(1/T) with T=2 (i.e. sqrt), normalized — the
+    * standard up-weight-the-tail recipe for multi-source training
+    * mixes — plus each source's token allocation under a fixed
+    * budget. One partial-aggregated shuffle to |sources| rows; the
+    * normalizing total is an UNPARTITIONED window over that tiny
+    * aggregate — a deliberate single-partition step over |sources|
+    * rows (sources number in the hundreds at worst; a cross-joined
+    * 1-row aggregate à la topBigramsPmi would instead re-scan the
+    * corpus for the total branch). sqrt is IEEE-correctly-rounded in
+    * both engines; the rounded sqrts are summed through DECIMAL so
+    * normalization is order-independent. */
+  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(spark, d)
+      .select(col("source"), size(tokens(col("text"))).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")), 9).as("w_raw"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("w_total",
+        sum(col("w_raw").cast("decimal(28,9)")).over(wAll).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_total"), 9).as("weight"),
+        floor(round(col("w_raw") / col("w_total"), 9) * MixBudget).cast("bigint")
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  def mixWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |    round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS w_raw FROM per),
+       |n AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(28,9))) AS DOUBLE) AS w_total FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |  round(w_raw / w_total, 9) AS weight,
+       |  CAST(floor(round(w_raw / w_total, 9) * $MixBudget) AS BIGINT) AS alloc_tokens
+       |FROM w, n ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // score_dsir: hashed-feature importance scores
+  // ---------------------------------------------------------------
+
+  private val DsirB = 1024        // hashed feature buckets (fixed)
+  private val TargetLang = "en"   // stand-in target distribution
+
+  /** (doc_id, lang, bucket) token stream — every token hashed into one
+    * of [[DsirB]] buckets. */
+  private def dsirTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), explode_outer(col("tk")).as("tok"))
+      .where(col("tok").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (xhash60(col("tok"), 37) % DsirB).as("bucket"))
+
+  /** DSIR-style importance scoring: fit unigram distributions over a
+    * FIXED [[DsirB]]-bucket hashed feature space for the target
+    * (lang = [[TargetLang]], a stand-in for "looks like my target
+    * domain") and the whole corpus, then score each document by its
+    * mean per-token log-likelihood ratio (add-1 smoothed).
+    *
+    * Two corpus passes, exactly like the original DSIR recipe: the
+    * fit pass aggregates to ≤[[DsirB]] rows (map-side partials, one
+    * tiny shuffle, totals via a window over that tiny table), the
+    * score pass joins the token stream against the BROADCAST fitted
+    * table — no corpus-side shuffle until the per-document mean. The feature table is constant-size at ANY
+    * corpus scale, which is the whole point of hashed features.
+    * Each bucket's `ln` is rounded to 6 decimals (libm absorption),
+    * then per-doc sums go through DECIMAL (order-independent). */
+  def scoreDsir(spark: SparkSession, d: String): DataFrame = {
+    val tok = dsirTokens(spark, d)
+    // grand totals via an UNPARTITIONED window over the ≤DsirB-row
+    // fitted table (not a cross-joined 1-row aggregate, which would
+    // re-derive `feat` — and re-scan the corpus — for the total branch)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val feat = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cs"),
+        count(when(col("lang") === TargetLang, 1)).as("ct"))
+      .withColumn("ns", sum(col("cs")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+    val llr = feat
+      .select(col("bucket"),
+        // counts cast to double BEFORE multiplying: BIGINT*BIGINT
+        // overflows at 100 TB-scale token counts (the PMI precedent)
+        round(log((col("ct") + 1).cast("double") * (col("ns") + DsirB) /
+          ((col("cs") + 1).cast("double") * (col("nt") + DsirB))), 6).as("llr"))
+    tok.join(broadcast(llr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("llr").cast("decimal(18,6)")).cast("double") / count(lit(1)), 9)
+          .as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  def scoreDsirSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${xhash60Sql("tok", 37)} % $DsirB AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
+       |feat AS (
+       |  SELECT bucket, count(*) AS cs,
+       |    count(CASE WHEN lang = '$TargetLang' THEN 1 END) AS ct
+       |  FROM tok GROUP BY bucket),
+       |totals AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM feat),
+       |llr AS (
+       |  SELECT bucket,
+       |    round(ln(CAST(ct + 1 AS DOUBLE) * (ns + $DsirB)
+       |      / (CAST(cs + 1 AS DOUBLE) * (nt + $DsirB))), 6) AS llr
+       |  FROM feat, totals)
+       |SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+       |  round(CAST(SUM(CAST(l.llr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9)
+       |    AS dsir_score
+       |FROM tok t JOIN llr l ON t.bucket = l.bucket
+       |GROUP BY t.doc_id, t.lang ORDER BY doc_id""".stripMargin
+}
