@@ -149,7 +149,12 @@ class ScaleStressSpec extends AnyFunSuite {
       // benchmark probes, and bucketed window packing — both must stay
       // linear when the corpus grows
       ("decontaminate", d => { TrainingPrepOps.decontaminate(spark, d).count(); () }),
-      ("text_pack", d => { TrainingPrepOps.textPack(spark, d).count(); () }))
+      ("text_pack", d => { TrainingPrepOps.textPack(spark, d).count(); () }),
+      // curation family: span-hash global dup detection (hash-only
+      // shuffle + join back) and the DSIR two-pass fit/score — both
+      // must stay linear; a pair-wise or per-span-text blowup trips it
+      ("dedup_span", d => { CurationOps.dedupSpan(spark, d).count(); () }),
+      ("score_dsir", d => { CurationOps.scoreDsir(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
