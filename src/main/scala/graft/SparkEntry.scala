@@ -78,6 +78,7 @@ object SparkEntry {
     "text_corpus_stats" -> (TextAnalysisOps.corpusStats _),
     "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
     "text_gopher_rules" -> (TextAnalysisOps.gopherRules _),
+    "text_tfidf"        -> (TextAnalysisOps.tfidf _),
     // Training-data preparation (chunking / decontamination /
     // sampling / packing / incremental ingest / centroids)
     "text_chunk"        -> (TrainingPrepOps.textChunk _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "text_corpus_stats" -> TextAnalysisOps.corpusStatsSql,
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
     "text_gopher_rules" -> TextAnalysisOps.gopherRulesSql,
+    "text_tfidf"        -> TextAnalysisOps.tfidfSql,
     "text_chunk"        -> TrainingPrepOps.textChunkSql,
     "decontaminate"     -> TrainingPrepOps.decontaminateSql,
     "sample_stratified" -> TrainingPrepOps.sampleStratifiedSql,

@@ -467,4 +467,64 @@ object TextAnalysisOps {
        |  FROM vals)
        |SELECT *, rule_len AND rule_mwl AND rule_num AND rule_rep AS keep
        |FROM flags ORDER BY doc_id""".stripMargin
+
+  private val TfidfK = 3
+
+  /** Per-document TF-IDF keyword extraction: top-[[TfidfK]] terms per
+    * document by tf·idf (idf = ln((N+1)/(df+1)), add-1 smoothed; ties
+    * broken by term). Shape at scale: one explode → (doc, term)
+    * partial-aggregated shuffle for tf; df is a second aggregation of
+    * tf (not of the corpus); N is a count(*) over the documents scan —
+    * parquet answers that from row-group METADATA (zero data columns
+    * read), so the "extra pass" is a metadata sum even at 100 TB. The
+    * per-doc top-K window gets a map-side partial WindowGroupLimit
+    * (the sample_stratified precedent), so the final shuffle carries
+    * ≤ K·tasks rows per doc-partition, not every (doc, term) pair.
+    * idf's single `ln` is rounded to 6 decimals (libm absorption),
+    * the product to 9. */
+  def tfidf(spark: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(spark, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+      .where(col("term").isNotNull)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // the tf > 0 filter is semantically a no-op (counts are ≥ 1) but
+    // load-bearing: without it Catalyst prunes count(1) out of this
+    // branch's tf aggregate, the two tf subtrees stop being
+    // canonically identical, and AQE can no longer reuse the
+    // (doc_id, term) shuffle stage — the corpus would tokenize twice
+    // (PlanSpec pins the ReusedQueryStage)
+    val df = tf.where(col("tf") > 0).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("term"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("idf"))
+    tf.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * col("idf"), 9).as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rank") <= TfidfK)
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (
+       |  SELECT term, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf
+       |  FROM df, n),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idf.idf, 9) AS tfidf
+       |  FROM tf JOIN idf ON tf.term = idf.term),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, tfidf, rank FROM ranked
+       |WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
 }

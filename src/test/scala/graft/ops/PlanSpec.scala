@@ -161,4 +161,19 @@ class PlanSpec extends AnyFunSuite {
     assert(j.contains("TakeOrderedAndProject"), j)
     assert(e.contains("TakeOrderedAndProject"), e)
   }
+
+  test("text_tfidf reuses the tf shuffle at runtime (one tokenize pass)") {
+    // tf feeds both the df aggregation and the score join. The two tf
+    // subtrees are canonically identical, so AQE must REUSE the
+    // (doc_id, term) shuffle stage instead of tokenizing the corpus
+    // twice — the single-tokenize property dedup_minhash gets from
+    // explicit checkpoints, here provided by exchange reuse. If this
+    // breaks (e.g. a refactor makes the branches diverge), the corpus
+    // pays a second full scan+explode at 100 TB.
+    val df = TextAnalysisOps.tfidf(spark, sf)
+    df.queryExecution.toRdd.count() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"tf stage not reused — corpus would tokenize twice:\n$plan")
+  }
 }
