@@ -325,14 +325,26 @@ object SimilarityOps {
     * deterministic quantized build means the DuckDB oracle replays the
     * identical index, so this approximate operator is hash-checked
     * end-to-end. */
+  // One persisted centroid table per (session, sf-dir): repeat annIvf
+  // calls on the same data reuse the SAME ≤ IvfCells-row cache entry
+  // instead of accumulating a fresh persist per call, and a long-lived
+  // session can drop them all via [[evictIvfCache]]. Keyed by session
+  // identity so a stale DataFrame from a stopped session is never
+  // handed to a new one. The real build-once path still persists the
+  // index to a table ([[annIvfProbe]] + SketchSpec's parquet
+  // round-trip); this cache only serves the self-contained query form.
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def annIvf(spark: SparkSession, d: String): DataFrame =
-    // tiny (≤ IvfCells rows); persisted lazily because both the member
-    // assignment and the query routing reference it. Deliberately not
-    // unpersisted: the query stays a pure lazy plan, each entry is ≤ 16
-    // rows, and Spark's LRU storage eviction bounds a long session —
-    // the real build-once path persists the index to a table instead
-    // ([[annIvfProbe]] + SketchSpec's parquet round-trip).
-    annIvfProbe(spark, d, annIvfCentroids(spark, d).persist())
+    annIvfProbe(spark, d, ivfCache.getOrElseUpdate(
+      (System.identityHashCode(spark), d), annIvfCentroids(spark, d).persist()))
+
+  /** Unpersist every cached IVF centroid table (all sessions). */
+  def evictIvfCache(): Unit = {
+    ivfCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    ivfCache.clear()
+  }
 
   /** Probe against an EXISTING index — the build-once/probe-many path:
     * `centroids` may be the freshly built [[annIvfCentroids]] or the

@@ -37,6 +37,23 @@ class SketchSpec extends AnyFunSuite {
     assert(fromStored === inline)
   }
 
+  test("annIvf centroid cache: one persisted entry per dir, evictable, results stable") {
+    SimilarityOps.evictIvfCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val first = SimilarityOps.annIvf(spark, sf).collect().toSeq
+    val afterOne = spark.sparkContext.getPersistentRDDs.size
+    val second = SimilarityOps.annIvf(spark, sf).collect().toSeq
+    val afterTwo = spark.sparkContext.getPersistentRDDs.size
+    assert(second === first, "repeat probe must return identical results")
+    assert(afterTwo === afterOne,
+      s"second call must reuse the cached centroid table ($afterOne -> $afterTwo persisted RDDs)")
+    SimilarityOps.evictIvfCache()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "evictIvfCache must unpersist the centroid tables")
+    // post-evict probes rebuild and still agree
+    assert(SimilarityOps.annIvf(spark, sf).collect().toSeq === first)
+  }
+
   test("LSH embedding dedup: top-50 usefully overlaps the brute top-50") {
     // deterministic index ⇒ deterministic overlap; 26/50 at sf0.001.
     // The corpus is near-orthogonal random vectors (max cos ≈ 0.5), the
