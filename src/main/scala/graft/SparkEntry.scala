@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
     "dedup_embedding_lsh" -> (SimilarityOps.dedupEmbeddingLsh _),
+    "dedup_semantic"      -> (SimilarityOps.dedupSemantic _),
     "dedup_clusters"      -> (DedupOps.dedupClusters _),
     "agg_minhash_sig"     -> (DedupOps.groupMinhashSig _),
     "sample_hash"         -> (DedupOps.sampleHash _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> SimilarityOps.dedupEmbeddingLshSql,
+    "dedup_semantic"      -> SimilarityOps.dedupSemanticSql,
     "dedup_clusters"      -> DedupOps.dedupClustersSql,
     "agg_minhash_sig"     -> DedupOps.groupMinhashSigSql,
     "sample_hash"         -> DedupOps.sampleHashSql,

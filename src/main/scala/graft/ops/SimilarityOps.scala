@@ -336,9 +336,12 @@ object SimilarityOps {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  private def cachedCentroids(spark: SparkSession, d: String): DataFrame =
+    ivfCache.getOrElseUpdate(
+      (System.identityHashCode(spark), d), annIvfCentroids(spark, d).persist())
+
   def annIvf(spark: SparkSession, d: String): DataFrame =
-    annIvfProbe(spark, d, ivfCache.getOrElseUpdate(
-      (System.identityHashCode(spark), d), annIvfCentroids(spark, d).persist()))
+    annIvfProbe(spark, d, cachedCentroids(spark, d))
 
   /** Unpersist every cached IVF centroid table (all sessions). */
   def evictIvfCache(): Unit = {
@@ -374,19 +377,23 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB mirror of [[annIvf]]: replays the identical seed order,
-    * Lloyd's rounds (same quantized sums, same division order) and
-    * probe routing as chained CTEs. */
-  def annIvfSql: String = {
-    def dist(n2v: String, v: String, c: String, n2c: String) =
-      s"($n2v - 2.0 * list_sum(list_transform(range(1, $Dim + 1), i -> $v[i] * $c[i]))) + $n2c"
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dist("e.n2", "e.v", "c.c", "c.cn2")}, c.cell) AS rn
-         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+  private def distSql(n2v: String, v: String, c: String, n2c: String) =
+    s"($n2v - 2.0 * list_sum(list_transform(range(1, $Dim + 1), i -> $v[i] * $c[i]))) + $n2c"
+
+  private def assignCteSql(name: String, cents: String) =
+    s"""$name AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${distSql("e.n2", "e.v", "c.c", "c.cn2")}, c.cell) AS rn
+       |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE chain: embeddings scan → deterministic seeds →
+    * [[IvfRounds]] Lloyd's rounds → final cell assignment `af`
+    * (vec_id, v, cell) — the SQL replay of [[annIvfCentroids]] +
+    * [[assignCells]], used by both [[annIvfSql]] and
+    * [[dedupSemanticSql]]. */
+  private def ivfIndexCtesSql: String = {
     def recomputeCte(mName: String, cName: String, assigned: String) =
       s"""$mName AS (
          |  SELECT cell, i.i AS i,
@@ -398,9 +405,9 @@ object SimilarityOps {
          |  SELECT cell, c, list_sum(list_transform(c, x -> x*x)) AS cn2
          |  FROM (SELECT cell, list(cx ORDER BY i) AS c FROM $mName GROUP BY cell))""".stripMargin
     val rounds = (1 to IvfRounds).map { r =>
-      assignCte(s"a$r", s"c${r - 1}") + ",\n" + recomputeCte(s"m$r", s"c$r", s"a$r")
+      assignCteSql(s"a$r", s"c${r - 1}") + ",\n" + recomputeCte(s"m$r", s"c$r", s"a$r")
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS n2
        |  FROM embeddings),
@@ -410,7 +417,16 @@ object SimilarityOps {
        |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS c, n2 AS cn2
        |  FROM (SELECT * FROM hashed ORDER BY hk, vec_id LIMIT $IvfCells)),
        |$rounds,
-       |${assignCte("af", s"c$IvfRounds")},
+       |${assignCteSql("af", s"c$IvfRounds")}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[annIvf]]: replays the identical seed order,
+    * Lloyd's rounds (same quantized sums, same division order) and
+    * probe routing as chained CTEs. */
+  def annIvfSql: String = {
+    def dist(n2v: String, v: String, c: String, n2c: String) =
+      distSql(n2v, v, c, n2c)
+    s"""WITH $ivfIndexCtesSql,
        |members AS (SELECT cell, vec_id AS nid, v AS nv FROM af),
        |qs AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < 10),
        |probes AS (
@@ -430,4 +446,63 @@ object SimilarityOps {
        |  FROM scored)
        |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // dedup_semantic: SemDeDup-style cluster-bounded embedding dedup
+  // ---------------------------------------------------------------
+
+  // 0.4 sits just below the max natural cosine of the driver's random
+  // 64-dim embeddings (~0.47 at sf0.01), so the flag actually fires on
+  // the test tables; real text embeddings would use ~0.9+
+  private val SemThresh = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings (the [[annIvfCentroids]] IVF index, reused from the
+    * session cache), then compare pairs ONLY within a cluster — each
+    * vector reports its highest-cosine LOWER-id cluster-mate (ties to
+    * the lower id) and is flagged a semantic duplicate when that
+    * similarity clears [[SemThresh]]. Keeping the lowest id per
+    * near-dup group is the deterministic "keep one representative"
+    * rule.
+    *
+    * Scale stance: the pairwise stage is bounded by the CELL, not the
+    * corpus — O(Σ |cell|²) with cell count k sized ∝ corpus (k grows
+    * with N, per-cell population stays ~constant), exactly the
+    * SemDeDup recipe for making within-cluster pairwise feasible at
+    * web scale. The join is a cell-key equi-join (no global cross
+    * join); the cosine is one codegen'd dot per pair. */
+  def dedupSemantic(spark: SparkSession, d: String): DataFrame = {
+    val m = assignCells(corpus(spark, d), cachedCentroids(spark, d))
+      .select(col("cell"), col("vec_id"), col("v"))
+    val lower = m.select(col("cell"), col("vec_id").as("aid"), col("v").as("av"))
+    val best = m.join(lower, Seq("cell"))
+      .where(col("aid") < col("vec_id"))
+      .select(col("vec_id"),
+        struct(cosine9(col("av"), col("v")).as("cos"), (-col("aid")).as("na")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("p")).as("p")) // max cos, ties to lowest aid (max -aid)
+      .select(col("vec_id"), (-col("p.na")).as("nn_id"), col("p.cos").as("nn_cos"))
+    m.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("nn_id"), col("nn_cos"),
+        coalesce(col("nn_cos") >= SemThresh, lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[dedupSemantic]] over the shared replayed
+    * index: same cells, same pair orientation, same tie-breaks. */
+  def dedupSemanticSql: String =
+    s"""WITH $ivfIndexCtesSql,
+       |pairs AS (
+       |  SELECT b.vec_id, a.vec_id AS aid, ${cosine9Sql("a.v", "b.v")} AS cos
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |best AS (
+       |  SELECT vec_id, aid AS nn_id, cos AS nn_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, aid) AS rn
+       |    FROM pairs) WHERE rn = 1)
+       |SELECT m.vec_id, m.cell, b.nn_id, b.nn_cos,
+       |  COALESCE(b.nn_cos >= $SemThresh, FALSE) AS is_dup
+       |FROM af m LEFT JOIN best b USING (vec_id)
+       |ORDER BY m.vec_id""".stripMargin
 }

@@ -54,6 +54,35 @@ class SketchSpec extends AnyFunSuite {
     assert(SimilarityOps.annIvf(spark, sf).collect().toSeq === first)
   }
 
+  test("dedup_semantic flags crafted near-duplicate embeddings, keeps the representative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat) // cos ≈ 0.999
+    val base = vec()
+    val rows = Seq(
+      (100L, base, 0),
+      (101L, jitter(base), 0),           // near-dup of 100
+      (102L, jitter(base), 0)) ++        // near-dup of 100
+      (200L until 230L).map(i => (i, vec(), 1)) // independent fillers
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.dedupSemantic(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === rows.size, "every vector appears once")
+    // 100 is the lowest id of its group: never flagged (no lower-id mate)
+    assert(!out(100L).getAs[Boolean]("is_dup"))
+    // 101/102 must be flagged with 100 as the representative partner
+    for (id <- Seq(101L, 102L)) {
+      assert(out(id).getAs[Boolean]("is_dup"), s"$id not flagged")
+      assert(out(id).getAs[Long]("nn_id") === 100L, s"$id partner")
+      assert(out(id).getAs[Double]("nn_cos") > 0.99)
+    }
+    SimilarityOps.evictIvfCache() // don't leak the temp-dir index entry
+  }
+
   test("LSH embedding dedup: top-50 usefully overlaps the brute top-50") {
     // deterministic index ⇒ deterministic overlap; 26/50 at sf0.001.
     // The corpus is near-orthogonal random vectors (max cos ≈ 0.5), the
