@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_ann_lsh"    -> (SimilarityOps.annLsh _),
     "sim_ann_ivf"    -> (SimilarityOps.annIvf _),
     "sim_quantize"   -> (SimilarityOps.quantizeError _),
+    "knn_label"      -> (SimilarityOps.knnLabel _),
     // Text analysis
     "text_token_stats" -> (TextAnalysisOps.tokenStats _),
     "text_lang_id"     -> (TextAnalysisOps.langId _),
@@ -88,10 +89,12 @@ object SparkEntry {
     "text_pack"         -> (TrainingPrepOps.textPack _),
     "dedup_incremental" -> (TrainingPrepOps.dedupIncremental _),
     "emb_centroid"      -> (TrainingPrepOps.embCentroid _),
+    "shard_manifest"    -> (TrainingPrepOps.shardManifest _),
     // Corpus curation (span dedup / source mixing / importance scores)
     "dedup_span"   -> (CurationOps.dedupSpan _),
     "mix_weights"  -> (CurationOps.mixWeights _),
     "score_dsir"   -> (CurationOps.scoreDsir _),
+    "score_ppl"    -> (CurationOps.scorePerplexity _),
     // Multimodal binary-column plumbing (real WAV decode; image/video
     // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
@@ -152,6 +155,7 @@ object SparkEntry {
     // quantized Lloyd's) — the oracles replay the identical index
     "sim_ann_lsh"         -> SimilarityOps.annLshSql,
     "sim_ann_ivf"         -> SimilarityOps.annIvfSql,
+    "knn_label"           -> SimilarityOps.knnLabelSql,
     "text_token_stats" -> TextAnalysisOps.tokenStatsSql,
     "text_lang_id"     -> TextAnalysisOps.langIdSql,
     "text_quality"     -> TextAnalysisOps.qualityScoreSql,
@@ -168,9 +172,11 @@ object SparkEntry {
     "text_pack"         -> TrainingPrepOps.textPackSql,
     "dedup_incremental" -> TrainingPrepOps.dedupIncrementalSql,
     "emb_centroid"      -> TrainingPrepOps.embCentroidSql,
+    "shard_manifest"    -> TrainingPrepOps.shardManifestSql,
     "dedup_span"        -> CurationOps.dedupSpanSql,
     "mix_weights"       -> CurationOps.mixWeightsSql,
     "score_dsir"        -> CurationOps.scoreDsirSql,
+    "score_ppl"         -> CurationOps.scorePerplexitySql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,

@@ -201,6 +201,60 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // score_perplexity: hashed-unigram LM log-perplexity
+  // ---------------------------------------------------------------
+
+  /** CCNet-style language-model quality scoring: fit an add-1-smoothed
+    * unigram LM over the SAME fixed [[DsirB]]-bucket hashed feature
+    * space as [[scoreDsir]], then score each document by its mean
+    * per-token negative log-probability (= log-perplexity; CCNet
+    * buckets documents into head/middle/tail on exactly this number).
+    * Where DSIR is a *ratio* (target vs corpus), this is the absolute
+    * corpus-LM fit — the two standard importance/quality signals.
+    *
+    * Same two-pass shape as DSIR: the fit aggregates to ≤[[DsirB]]
+    * rows (map-side partials, one tiny shuffle, grand total via an
+    * unpartitioned window over that tiny table), the score pass joins
+    * the token stream against the BROADCAST fitted table. Constant-
+    * size model at any corpus scale. Each bucket's single `ln` is
+    * rounded to 6 decimals (libm absorption); per-doc sums go through
+    * DECIMAL so the mean is order-independent. */
+  def scorePerplexity(spark: SparkSession, d: String): DataFrame = {
+    val tok = dsirTokens(spark, d)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nll = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      // -ln p = ln((N + B) / (c + 1)); counts cast to double BEFORE
+      // the divide (BIGINT totals at 100 TB scale)
+      .select(col("bucket"),
+        round(log((col("n") + DsirB).cast("double") / (col("c") + 1)), 6).as("nll"))
+    tok.join(broadcast(nll), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll").cast("decimal(18,6)")).cast("double") / count(lit(1)), 9)
+          .as("log_ppl"))
+      .orderBy("doc_id")
+  }
+
+  def scorePerplexitySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${xhash60Sql("tok", 37)} % $DsirB AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
+       |feat AS (SELECT bucket, count(*) AS c FROM tok GROUP BY bucket),
+       |totals AS (SELECT sum(c) AS n FROM feat),
+       |nll AS (
+       |  SELECT bucket,
+       |    round(ln(CAST(n + $DsirB AS DOUBLE) / (c + 1)), 6) AS nll
+       |  FROM feat, totals)
+       |SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+       |  round(CAST(SUM(CAST(l.nll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9)
+       |    AS log_ppl
+       |FROM tok t JOIN nll l ON t.bucket = l.bucket
+       |GROUP BY t.doc_id, t.lang ORDER BY doc_id""".stripMargin
+
   def scoreDsirSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, ${xhash60Sql("tok", 37)} % $DsirB AS bucket

@@ -489,6 +489,82 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------
+  // knn_label: nearest-neighbor label propagation (annotation)
+  // ---------------------------------------------------------------
+
+  private val KnnK = 10
+
+  /** kNN label propagation — the "annotate by similarity" pipeline
+    * stage: each held-out vector (every 25th id, a deterministic
+    * holdout) is assigned the majority label of its [[KnnK]] nearest
+    * cosine neighbors among the REST of the corpus; ties break to the
+    * higher cosine sum, then the lower label. Emits the true label
+    * alongside the prediction so the output doubles as a
+    * label-quality audit (the standard use: validating noisy labels /
+    * propagating seed labels before training).
+    *
+    * Scale stance: the holdout side is BROADCAST (queries are a fixed
+    * fraction of a small seed set in practice), the corpus streams
+    * through one codegen'd dot-product stage, and ranking shuffles
+    * only (qid, nid, cos) triples — never vectors. For corpus-×-corpus
+    * annotation the candidate stage swaps to the [[annIvfProbe]]
+    * cell-bounded join (same downstream vote), exactly like
+    * [[dedupSemantic]]. */
+  def knnLabel(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+    val q = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("true_label"))
+    val c = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("label").as("n_label"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    val neighbors = broadcast(q).crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("true_label"), col("nid"), col("n_label"),
+        round(dotd(col("qv"), col("nv")) / (col("qn") * col("nn")), 9).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= KnnK)
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("sim_sum").desc, col("n_label"))
+    neighbors
+      .groupBy(col("qid"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"),
+        sum(col("cos_sim").cast("decimal(18,9)")).cast("double").as("sim_sum"))
+      .withColumn("rn", row_number().over(wVote))
+      .where(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("votes"),
+        (col("n_label") === col("true_label")).as("agree"))
+      .orderBy("vec_id")
+  }
+
+  def knnLabelSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label
+       |  FROM e WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT qid, true_label, e.label AS n_label,
+       |    ${cosine9Sql("qv", "e.v")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${cosine9Sql("qv", "e.v")} DESC, e.vec_id) AS rank
+       |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |votes AS (
+       |  SELECT qid, true_label, n_label, count(*) AS votes,
+       |    CAST(SUM(CAST(cos_sim AS DECIMAL(18,9))) AS DOUBLE) AS sim_sum
+       |  FROM scored WHERE rank <= $KnnK
+       |  GROUP BY qid, true_label, n_label)
+       |SELECT qid AS vec_id, true_label, n_label AS pred_label, votes,
+       |  n_label = true_label AS agree
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY votes DESC, sim_sum DESC, n_label) AS rn FROM votes)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** DuckDB mirror of [[dedupSemantic]] over the shared replayed
     * index: same cells, same pair orientation, same tie-breaks. */
   def dedupSemanticSql: String =

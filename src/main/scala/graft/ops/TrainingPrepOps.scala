@@ -314,4 +314,56 @@ object TrainingPrepOps {
        |SELECT label, MAX(cnt) AS n_vecs,
        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)), 9) AS centroid_norm
        |FROM per GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // shard_manifest: training-shard layout planning
+  // ---------------------------------------------------------------
+
+  private val NShards = 16
+
+  /** Training-shard layout manifest: deterministic content-hash shard
+    * assignment (shard = xhash60(doc_id) mod [[NShards]] — stable
+    * under re-runs, re-partitioning and engine choice, same rationale
+    * as [[graft.ops.DedupOps.sampleHash]]) with per-shard volume
+    * stats: doc/token/byte counts, distinct sources, and each shard's
+    * document fraction. This is the plan a shard WRITER executes
+    * (`df.repartition(NShards, shardExpr).write...`); emitting the
+    * manifest instead of files keeps it oracle-checkable, and the
+    * near-uniform `frac_docs` column IS the balance evidence — a
+    * skewed shard here means a straggler executor at write time.
+    *
+    * One partial-aggregated shuffle to [[NShards]] rows; the fraction
+    * normalizes via an unpartitioned window over that 16-row
+    * aggregate ([[graft.ops.CurationOps.mixWeights]] precedent). At
+    * 100 TB NShards scales to O(10k) and nothing changes shape —
+    * distinct-source counting is the only two-phase piece and it
+    * partial-aggregates on (shard, source) first. */
+  def shardManifest(spark: SparkSession, d: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, d)
+      .select(col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tok"),
+        (xhash60(col("doc_id").cast("string"), 53) % NShards).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("frac_docs",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(wAll), 9))
+      .orderBy("shard_id")
+  }
+
+  def shardManifestSql: String =
+    s"""WITH per AS (
+       |  SELECT ${xhash60Sql("CAST(doc_id AS VARCHAR)", 53)} % $NShards AS shard_id,
+       |    source, n_chars, len(${tokensSql("text")}) AS n_tok
+       |  FROM documents),
+       |agg AS (
+       |  SELECT shard_id, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens, sum(n_chars) AS n_bytes,
+       |    count(DISTINCT source) AS n_sources
+       |  FROM per GROUP BY shard_id)
+       |SELECT shard_id, n_docs, n_tokens, n_bytes, n_sources,
+       |  round(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM agg), 9) AS frac_docs
+       |FROM agg ORDER BY shard_id""".stripMargin
 }

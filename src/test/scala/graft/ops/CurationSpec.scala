@@ -74,4 +74,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(3L)._3,
       s"target-lang doc must outscore off-target: ${out(1L)._3} vs ${out(3L)._3}")
   }
+
+  test("score_ppl: rare-vocabulary docs perplex the corpus LM more than common ones") {
+    // "common" dominates the corpus unigram distribution; doc 10 is
+    // all singletons. Bucket collisions can't flip the aggregate
+    // ordering: even if a rare token shares common's bucket its nll
+    // only drops TO common's, never below.
+    val common = (1 to 50).map(_ => "common").mkString(" ")
+    val rare = (1 to 10).map(i => s"rare$i").mkString(" ")
+    val d = corpus(Seq(
+      (1L, common, "en", "e", 0L), (2L, common, "en", "e", 0L),
+      (3L, common, "en", "e", 0L),
+      (10L, rare, "en", "e", 0L),
+      (11L, "", "en", "e", 0L)))                 // no tokens → absent
+    val out = CurationOps.scorePerplexity(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L))
+    assert(out(1L) === out(2L), "identical docs, identical log-ppl")
+    assert(out(10L)._1 === 10L)
+    assert(out(10L)._2 > out(1L)._2,
+      s"rare-vocab doc must have higher log-ppl: ${out(10L)._2} vs ${out(1L)._2}")
+    // add-1 smoothed floor: -ln p is always positive with B > vocab
+    assert(out(1L)._2 > 0.0)
+  }
+
+  test("shard_manifest conserves corpus totals and spreads docs by content hash") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"tok$i word$i", "en", s"src${i % 4}", 10L + i))
+    val d = corpus(docs)
+    val rows = TrainingPrepOps.shardManifest(spark, d).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    assert(rows.map(_.getLong(1)).sum === 200L, "every doc lands in exactly one shard")
+    assert(rows.map(_.getLong(2)).sum === 400L, "token totals conserved (2/doc)")
+    assert(rows.map(_.getLong(3)).sum === docs.map(_._5).sum, "byte totals conserved")
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-6)
+    // md5-derived assignment spreads: no shard hogs the corpus
+    assert(rows.map(_.getLong(1)).max < 50, "a hash-balanced shard can't hold 25%")
+    // deterministic: a re-run (fresh plan) produces the identical manifest
+    val again = TrainingPrepOps.shardManifest(spark, d).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -83,6 +83,32 @@ class SketchSpec extends AnyFunSuite {
     SimilarityOps.evictIvfCache() // don't leak the temp-dir index entry
   }
 
+  test("knn_label predicts the crafted neighborhood's label, not the query's own") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat) // cos ≈ 0.999
+    val q = vec()
+    // query id 0 (the only id ≡ 0 mod 25) carries label 9; its 10
+    // nearest neighbors (ids 1-10) all carry label 7; fillers at
+    // 201-220 (none ≡ 0 mod 25) are far away with label 3
+    val rows = Seq((0L, q, 9)) ++
+      (1L to 10L).map(i => (i, jitter(q), 7)) ++
+      (201L to 220L).map(i => (i, vec(), 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.knnLabel(spark, dir).collect()
+    assert(out.length === 1, "exactly one holdout query")
+    val r = out.head
+    assert(r.getAs[Long]("vec_id") === 0L)
+    assert(r.getAs[Int]("true_label") === 9)
+    assert(r.getAs[Int]("pred_label") === 7, "majority of the 10 nearest")
+    assert(r.getAs[Long]("votes") === 10L, "all k votes from the crafted cluster")
+    assert(!r.getAs[Boolean]("agree"))
+  }
+
   test("LSH embedding dedup: top-50 usefully overlaps the brute top-50") {
     // deterministic index ⇒ deterministic overlap; 26/50 at sf0.001.
     // The corpus is near-orthogonal random vectors (max cos ≈ 0.5), the
