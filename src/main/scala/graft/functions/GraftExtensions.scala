@@ -11,29 +11,46 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    session build time (the SparkSessionExtensions route), or
   *  - [[GraftFunctions.register]] on a live session.
   *
-  * After either, `SELECT array_dot(a, b)` / `simhash60(hs)` work in
-  * spark.sql strings as well as the Column API.
+  * After either, `SELECT array_dot(a, b)` / `simhash60(hs)` /
+  * `xhash60(s, 7)` / `minhash_sig(h) ... GROUP BY` work in spark.sql
+  * strings as well as the Column API — the full custom-expression
+  * surface is reachable from pure SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDotProduct].getCanonicalName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash60"),
-      new ExpressionInfo(classOf[SimHash60].getCanonicalName, "simhash60"),
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
 }
 
 object GraftFunctions {
+
+  /** The salt argument of SQL `xhash60(s, salt)` must be a foldable
+    * integer literal — it is baked into the generated code, exactly
+    * like the Column API's `Int` parameter. */
+  private def saltOf(e: Expression): Int = {
+    require(e.foldable, s"xhash60 salt must be a literal, got $e")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => sys.error(s"xhash60 salt must be an integer literal, got $other")
+    }
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot"   -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
+    "simhash60"   -> (exprs => SimHash60(exprs.head)),
+    "xhash60"     -> (exprs => Xhash60Expr(exprs(0), saltOf(exprs(1)))),
+    "minhash_sig" -> (exprs => MinHashSigAgg(exprs.head).toAggregateExpression()))
+
   /** Imperative registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("array_dot",
-      exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash60",
-      exprs => SimHash60(exprs.head), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

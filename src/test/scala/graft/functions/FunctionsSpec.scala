@@ -52,5 +52,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r === 11.0)
     val s = spark.sql("SELECT simhash60(array(7L)) AS s").collect().head.getLong(0)
     assert(s === 7L)
+    // xhash60 from SQL ≡ the Column API (same literal salt baked in)
+    val viaSql = spark.sql("SELECT xhash60('abc', 7) AS h").collect().head.getLong(0)
+    val viaCol = Seq("abc").toDF("s")
+      .select(Xhash60.xhash60($"s", 7)).collect().head.getLong(0)
+    assert(viaSql === viaCol)
+    // minhash_sig is usable as a SQL aggregate
+    val sig = spark.sql(
+      "SELECT minhash_sig(h) AS sig FROM VALUES (1L), (2L), (3L) AS t(h)")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === MinHashSigAgg.K)
+    val expected = (0 until MinHashSigAgg.K).map(j =>
+      Seq(1L, 2L, 3L).map(x =>
+        (MinHashSigAgg.As(j) * x + MinHashSigAgg.Bs(j)) % MinHashSigAgg.P).min)
+    assert(sig.toSeq === expected)
+  }
+
+  test("xhash60 SQL form rejects a non-literal salt") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT xhash60('a', CAST(rand() * 3 AS INT)) AS h").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
   }
 }
