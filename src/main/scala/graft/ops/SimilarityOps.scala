@@ -496,27 +496,29 @@ object SimilarityOps {
   private val KnnK = 10
 
   /** kNN label propagation — the "annotate by similarity" pipeline
-    * stage: each held-out vector (every 25th id, a deterministic
-    * holdout) is assigned the majority label of its [[KnnK]] nearest
-    * cosine neighbors among the REST of the corpus; ties break to the
-    * higher cosine sum, then the lower label. Emits the true label
-    * alongside the prediction so the output doubles as a
-    * label-quality audit (the standard use: validating noisy labels /
-    * propagating seed labels before training).
+    * stage: each held-out vector (every 25th id under id 2500 — a
+    * deterministic holdout that is FIXED-SIZE (≤100 queries) at any
+    * corpus scale, the [[graft.ops.DedupOps.dedupEmbedding]]
+    * bounded-by-construction pattern) is assigned the majority label
+    * of its [[KnnK]] nearest cosine neighbors among the REST of the
+    * corpus; ties break to the higher cosine sum, then the lower
+    * label. Emits the true label alongside the prediction so the
+    * output doubles as a label-quality audit (the standard use:
+    * validating noisy labels / propagating seed labels before
+    * training).
     *
-    * Scale stance: the holdout side is BROADCAST (queries are a fixed
-    * fraction of a small seed set in practice), the corpus streams
-    * through one codegen'd dot-product stage, and ranking shuffles
-    * only (qid, nid, cos) triples — never vectors. For corpus-×-corpus
-    * annotation the candidate stage swaps to the [[annIvfProbe]]
-    * cell-bounded join (same downstream vote), exactly like
-    * [[dedupSemantic]]. */
+    * Scale stance: the holdout side is BROADCAST and constant-size,
+    * so cost is O(corpus) — the corpus streams through one codegen'd
+    * dot-product stage, and ranking shuffles only (qid, nid, cos)
+    * triples — never vectors. For corpus-×-corpus annotation the
+    * candidate stage swaps to the [[annIvfProbe]] cell-bounded join
+    * (same downstream vote), exactly like [[dedupSemantic]]. */
   def knnLabel(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
-    val q = e.where(col("vec_id") % 25 === 0)
+    val q = e.where(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("label").as("true_label"))
     val c = e.select(col("vec_id").as("nid"), col("v").as("nv"),
@@ -547,7 +549,7 @@ object SimilarityOps {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
        |  FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label
-       |  FROM e WHERE vec_id % 25 = 0),
+       |  FROM e WHERE vec_id % 25 = 0 AND vec_id < 2500),
        |scored AS (
        |  SELECT qid, true_label, e.label AS n_label,
        |    ${cosine9Sql("qv", "e.v")} AS cos_sim,
