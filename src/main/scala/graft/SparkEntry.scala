@@ -36,6 +36,7 @@ object SparkEntry {
     "top_orders"        -> (RelationalOps.topOrders _),
     "agg_percentiles"   -> (RelationalOps.percentiles _),
     "q14_promo"         -> (RelationalOps.promoRevenue _),
+    "q6_forecast"       -> (RelationalOps.q6Forecast _),
     "agg_approx"        -> (RelationalOps.approxSketches _),
     "validate_lineitem" -> (RelationalOps.validateLineitem _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "top_orders"        -> RelationalOps.topOrdersSql,
     "agg_percentiles"   -> RelationalOps.percentilesSql,
     "q14_promo"         -> RelationalOps.promoRevenueSql,
+    "q6_forecast"       -> RelationalOps.q6ForecastSql,
     "validate_lineitem" -> RelationalOps.validateLineitemSql,
     // agg_approx: the oracle recomputes the exact companions and
     // asserts the within-bound sketch flags TRUE (sketch internals are

@@ -197,6 +197,37 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** TPC-H Q6-shape revenue forecast, expressed as PURE SQL TEXT via
+    * `spark.sql` over a registered temp view — the declared-query
+    * proof that the engine's SQL entry path (not just the Column API)
+    * carries the same plans, pushdown and decimal-exact numerics.
+    * The filters reach the parquet scan exactly as in the DataFrame
+    * queries (Catalyst doesn't care which front end built the plan).
+    * The view name is derived from the data dir so concurrent
+    * verify/bench runs over different dirs can't race on one global
+    * temp-view slot. */
+  def q6Forecast(spark: SparkSession, d: String): DataFrame = {
+    val view = "lineitem_" + math.abs(d.hashCode).toString
+    Tables.lineitem(spark, d).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM $view
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin)
+  }
+
+  def q6ForecastSql: String =
+    """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Pearson correlation per group, built from decimal-exact moments
     * (Σx, Σy, Σxy, Σx², Σy²) instead of the built-in corr() — the
     * built-ins use engine-specific update formulas (Welford vs naive)

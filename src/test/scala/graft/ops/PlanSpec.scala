@@ -33,6 +33,17 @@ class PlanSpec extends AnyFunSuite {
     assert(schema.size === 7, schema.fieldNames.mkString(","))
   }
 
+  test("q6_forecast (pure-SQL entry path) pushes all filters and prunes the scan") {
+    // same plan guarantees as the Column-API queries: the SQL front
+    // end must not cost pushdown or pruning
+    val s = scans(RelationalOps.q6Forecast(spark, sf)).head
+    val pushed = s.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(s.schema.size === 4, s.schema.fieldNames.mkString(","))
+  }
+
   test("join_semi pushes the status equality predicate to the orders scan") {
     val pushed = scans(RelationalOps.semiJoinCustomers(spark, sf))
       .map(_.metadata("PushedFilters"))

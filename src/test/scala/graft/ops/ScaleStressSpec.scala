@@ -85,6 +85,11 @@ class ScaleStressSpec extends AnyFunSuite {
       .write.parquet(s"$dir/lineitem.parquet")
     spark.read.parquet(s"$sf01/customer.parquet")
       .write.parquet(s"$dir/customer.parquet")
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    (0 until mult).map(k => emb
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -154,7 +159,14 @@ class ScaleStressSpec extends AnyFunSuite {
       // shuffle + join back) and the DSIR two-pass fit/score — both
       // must stay linear; a pair-wise or per-span-text blowup trips it
       ("dedup_span", d => { CurationOps.dedupSpan(spark, d).count(); () }),
-      ("score_dsir", d => { CurationOps.scoreDsir(spark, d).count(); () }))
+      ("score_dsir", d => { CurationOps.scoreDsir(spark, d).count(); () }),
+      // LM perplexity shares DSIR's broadcast-model shape; the shard
+      // manifest is one partial-agg shuffle; knn_label's holdout is
+      // FIXED-SIZE by construction (only ×1's low ids qualify), so
+      // ×8 data must cost ~×8 corpus streaming, not ×64 pairs
+      ("score_ppl", d => { CurationOps.scorePerplexity(spark, d).count(); () }),
+      ("shard_manifest", d => { TrainingPrepOps.shardManifest(spark, d).count(); () }),
+      ("knn_label", d => { SimilarityOps.knnLabel(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
