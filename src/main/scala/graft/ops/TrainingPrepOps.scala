@@ -321,10 +321,13 @@ object TrainingPrepOps {
 
   private val NShards = 16
 
-  /** Training-shard layout manifest: deterministic content-hash shard
+  /** Training-shard layout manifest: deterministic id-hash shard
     * assignment (shard = xhash60(doc_id) mod [[NShards]] — stable
-    * under re-runs, re-partitioning and engine choice, same rationale
-    * as [[graft.ops.DedupOps.sampleHash]]) with per-shard volume
+    * under re-runs, re-partitioning and engine choice; the same
+    * engine-independent-routing rationale as
+    * [[graft.ops.DedupOps.sampleHash]], keyed by id so a re-ingested
+    * near-duplicate lands in a new shard's slot, not its twin's) with
+    * per-shard volume
     * stats: doc/token/byte counts, distinct sources, and each shard's
     * document fraction. This is the plan a shard WRITER executes
     * (`df.repartition(NShards, shardExpr).write...`); emitting the
