@@ -44,6 +44,33 @@ class StreamingSpec extends AnyFunSuite {
       && wantPerUser.exceptAll(gotPerUser).isEmpty)
   }
 
+  test("streaming corpus ingest equals batch gate+dedup+agg, duplicates included") {
+    import spark.implicits._
+    // stage sf0.001 documents as TWO drops: the full table plus a
+    // 3-doc re-crawl (exact duplicates) — the dedup must admit each
+    // (source, hash) once no matter which micro-batch it arrives in
+    val d = Files.createTempDirectory("graft-docstream")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("append").parquet(d.toString)
+    docs.limit(3).write.mode("append").parquet(d.toString)
+    val stream = CorpusStreams.readDocuments(spark, d.toString)
+    val got = EventStreams.runToMemory(spark,
+      CorpusStreams.ingestStats(stream), "ingest_out")
+    // batch mirror: the SAME gate function over the duplicated input
+    val batchIn = spark.read.parquet(d.toString)
+    val want = CorpusStreams.gated(batchIn)
+      .dropDuplicates("source", "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_admitted"), sum($"n_tok").as("n_tokens"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and the duplicates really were dropped: admitted == distinct gated
+    val admitted = got.agg(sum("n_admitted")).collect().head.getLong(0)
+    val distinctGated = CorpusStreams.gated(batchIn)
+      .select("source", "h").distinct().count()
+    assert(admitted === distinctGated)
+  }
+
   test("checkpointed file sink processes increments exactly once") {
     val in = Files.createTempDirectory("graft-incr-in")
     val out = Files.createTempDirectory("graft-incr-out").toString
