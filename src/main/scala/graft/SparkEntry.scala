@@ -96,6 +96,7 @@ object SparkEntry {
     "mix_weights"  -> (CurationOps.mixWeights _),
     "score_dsir"   -> (CurationOps.scoreDsir _),
     "score_ppl"    -> (CurationOps.scorePerplexity _),
+    "curate_pipeline" -> (CurationOps.curatePipeline _),
     // Multimodal binary-column plumbing (real WAV decode; image/video
     // decode stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "mix_weights"       -> CurationOps.mixWeightsSql,
     "score_dsir"        -> CurationOps.scoreDsirSql,
     "score_ppl"         -> CurationOps.scorePerplexitySql,
+    "curate_pipeline"   -> CurationOps.curatePipelineSql,
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,

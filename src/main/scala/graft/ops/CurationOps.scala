@@ -202,6 +202,89 @@ object CurationOps {
   }
 
   // ---------------------------------------------------------------
+  // curate_pipeline: composed dedup → quality → sample funnel
+  // ---------------------------------------------------------------
+
+  /** End-to-end curation funnel — the operators composed the way a
+    * real corpus-curation run chains them: exact dedup (keep the
+    * lowest doc_id per content hash) → quality gate (Gopher-lite
+    * length + mean-word-length rules) → 10% reproducible hash sample.
+    * Emits one row per stage with surviving doc/token counts — the
+    * funnel report every curation run ships with.
+    *
+    * Scale shape: ONE corpus pass computes all per-doc flags (the
+    * only shuffle is the content-hash window for the dedup
+    * representative), one partial-aggregated reduction produces the
+    * stage counters, and `stack` unpivots the 1-row aggregate into
+    * the 4-row funnel — no per-stage re-scan, which is exactly how
+    * you'd instrument a 100 TB curation job (flags once, conditional
+    * aggregation, never N passes for N stages). */
+  def curatePipeline(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val flags = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        xhash60(col("text"), 31).as("h"),
+        (xhash60(col("text"), 97) % 10).as("s10"))
+      .select(col("doc_id"), col("h"), col("s10"), size(col("tk")).as("n_tok"),
+        when(size(col("tk")) > 0,
+          round(length(concat_ws("", col("tk"))).cast("double") / size(col("tk")), 9))
+          .otherwise(lit(0.0)).as("mwl"))
+      .withColumn("is_rep", row_number().over(w) === 1)
+      .withColumn("is_q",
+        col("is_rep") && col("n_tok") >= 5 && col("mwl") <= 10.0)
+      .withColumn("is_s", col("is_q") && col("s10") === 0)
+    flags.agg(
+        count(lit(1)).as("in_docs"), sum(col("n_tok")).as("in_toks"),
+        count(when(col("is_rep"), 1)).as("dd_docs"),
+        sum(when(col("is_rep"), col("n_tok")).otherwise(0)).as("dd_toks"),
+        count(when(col("is_q"), 1)).as("q_docs"),
+        sum(when(col("is_q"), col("n_tok")).otherwise(0)).as("q_toks"),
+        count(when(col("is_s"), 1)).as("s_docs"),
+        sum(when(col("is_s"), col("n_tok")).otherwise(0)).as("s_toks"))
+      .selectExpr("""stack(4,
+          0, 'ingest',  in_docs, in_toks,
+          1, 'dedup',   dd_docs, dd_toks,
+          2, 'quality', q_docs,  q_toks,
+          3, 'sample',  s_docs,  s_toks) AS (ord, stage, n_docs, n_tokens)""")
+      .orderBy("ord")
+  }
+
+  def curatePipelineSql: String =
+    s"""WITH f0 AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk,
+       |    ${xhash60Sql("text", 31)} AS h,
+       |    ${xhash60Sql("text", 97)} % 10 AS s10
+       |  FROM documents),
+       |f AS (
+       |  SELECT len(tk) AS n_tok,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS is_rep,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      round(CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk), 9)
+       |      ELSE 0.0 END AS mwl,
+       |    s10
+       |  FROM f0),
+       |fl AS (
+       |  SELECT n_tok, is_rep,
+       |    (is_rep AND n_tok >= 5 AND mwl <= 10.0) AS is_q,
+       |    (is_rep AND n_tok >= 5 AND mwl <= 10.0 AND s10 = 0) AS is_s
+       |  FROM f),
+       |g AS (
+       |  SELECT count(*) AS in_docs, CAST(sum(n_tok) AS BIGINT) AS in_toks,
+       |    count(CASE WHEN is_rep THEN 1 END) AS dd_docs,
+       |    CAST(sum(CASE WHEN is_rep THEN n_tok ELSE 0 END) AS BIGINT) AS dd_toks,
+       |    count(CASE WHEN is_q THEN 1 END) AS q_docs,
+       |    CAST(sum(CASE WHEN is_q THEN n_tok ELSE 0 END) AS BIGINT) AS q_toks,
+       |    count(CASE WHEN is_s THEN 1 END) AS s_docs,
+       |    CAST(sum(CASE WHEN is_s THEN n_tok ELSE 0 END) AS BIGINT) AS s_toks
+       |  FROM fl)
+       |SELECT * FROM (
+       |  SELECT 0 AS ord, 'ingest' AS stage, in_docs AS n_docs, in_toks AS n_tokens FROM g
+       |  UNION ALL SELECT 1, 'dedup', dd_docs, dd_toks FROM g
+       |  UNION ALL SELECT 2, 'quality', q_docs, q_toks FROM g
+       |  UNION ALL SELECT 3, 'sample', s_docs, s_toks FROM g)
+       |ORDER BY ord""".stripMargin
+
+  // ---------------------------------------------------------------
   // score_perplexity: hashed-unigram LM log-perplexity
   // ---------------------------------------------------------------
 

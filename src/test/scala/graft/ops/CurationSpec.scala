@@ -98,6 +98,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0.0)
   }
 
+  test("curate_pipeline funnel: dedup drops the twin, quality drops short/long-word docs") {
+    val d = corpus(Seq(
+      (1L, "a b c d e f", "en", "e", 0L),          // 6 toks, mwl 1 → survives quality
+      (2L, "a b c d e f", "en", "e", 0L),          // exact dup of 1 → dropped at dedup
+      (3L, "x y", "en", "e", 0L),                  // 2 toks < 5 → fails quality
+      (4L, (1 to 6).map(_ => "abcdefghijklmnop").mkString(" "), "en", "e", 0L),
+      //    6 toks, mwl 16 > 10 → fails quality
+      (5L, "", "en", "e", 0L)))                    // 0 toks → fails quality
+    val rows = CurationOps.curatePipeline(spark, d).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("ingest") === ((5L, 20L)))
+    assert(rows("dedup") === ((4L, 14L)), "one exact twin removed")
+    assert(rows("quality") === ((1L, 6L)), "only doc 1 passes the gates")
+    // the sample stage is a hash property of doc 1's text; pin monotonicity
+    assert(rows("sample")._1 <= rows("quality")._1)
+    val ord = CurationOps.curatePipeline(spark, d).collect().map(_.getInt(0)).toSeq
+    assert(ord === Seq(0, 1, 2, 3), "funnel rows arrive in stage order")
+  }
+
   test("shard_manifest conserves corpus totals and spreads docs by content hash") {
     val docs = (1L to 200L).map(i =>
       (i, s"tok$i word$i", "en", s"src${i % 4}", 10L + i))
