@@ -52,6 +52,7 @@ object SparkEntry {
     "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
     "evt_funnel"       -> (EventOps.funnel _),
     "evt_retention"    -> (EventOps.retention _),
+    "evt_rolling"      -> (EventOps.rolling7d _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "evt_asof"          -> AsOfOps.eventAsOfPurchaseSql,
     "evt_funnel"        -> EventOps.funnelSql,
     "evt_retention"     -> EventOps.retentionSql,
+    "evt_rolling"       -> EventOps.rolling7dSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,

@@ -147,6 +147,44 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Trailing-7-day rolling event volume per day — the RANGE-frame
+    * window the rest of the surface doesn't exercise (sessions/ranks
+    * use ROW frames, hourly/daily use tumbling group-bys). The frame
+    * is `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the integer
+    * epoch-day, so days missing from the data correctly shrink the
+    * trailing window (a ROWS frame would silently span gaps).
+    *
+    * Scale shape: the corpus reduces to ≤|days| rows FIRST (one
+    * partial-aggregated shuffle); the range window then runs over
+    * that tiny table — an unpartitioned window over |days| rows, the
+    * mixWeights precedent, NOT a window over raw events. At 100 TB
+    * the daily aggregate is still only a few thousand rows. */
+  def rolling7d(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w7 = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .select(col("day"), col("n_events"),
+        sum(col("n_events")).over(w7).as("n_7d"),
+        round(sum(col("day_value")).over(w7), 6).as("value_7d"))
+      .orderBy("day")
+  }
+
+  def rolling7dSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+      |  FROM events GROUP BY 1, 4)
+      |SELECT day, n_events,
+      |  SUM(n_events) OVER w7 AS n_7d,
+      |  round(SUM(day_value) OVER w7, 6) AS value_7d
+      |FROM daily
+      |WINDOW w7 AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   /** Day-N retention cohorts: users grouped by first-active day, with
     * day-1 and day-7 return counts and rates — the standard
     * product-analytics cohort table. Shape at scale: one distinct on
