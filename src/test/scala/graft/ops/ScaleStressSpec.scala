@@ -165,6 +165,10 @@ class ScaleStressSpec extends AnyFunSuite {
       // FIXED-SIZE by construction (only ×1's low ids qualify), so
       // ×8 data must cost ~×8 corpus streaming, not ×64 pairs
       ("score_ppl", d => { CurationOps.scorePerplexity(spark, d).count(); () }),
+      // the composed funnel claims ONE corpus pass for all stages —
+      // a per-stage re-scan would show up as a superlinear-looking
+      // constant multiple here
+      ("curate_pipeline", d => { CurationOps.curatePipeline(spark, d).count(); () }),
       ("shard_manifest", d => { TrainingPrepOps.shardManifest(spark, d).count(); () }),
       ("knn_label", d => { SimilarityOps.knnLabel(spark, d).count(); () }))
     for ((name, run) <- ops) {
