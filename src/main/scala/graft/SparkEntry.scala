@@ -37,6 +37,7 @@ object SparkEntry {
     "agg_percentiles"   -> (RelationalOps.percentiles _),
     "q14_promo"         -> (RelationalOps.promoRevenue _),
     "q6_forecast"       -> (RelationalOps.q6Forecast _),
+    "agg_histogram"     -> (RelationalOps.histQuantity _),
     "agg_approx"        -> (RelationalOps.approxSketches _),
     "validate_lineitem" -> (RelationalOps.validateLineitem _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "evt_funnel"       -> (EventOps.funnel _),
     "evt_retention"    -> (EventOps.retention _),
     "evt_rolling"      -> (EventOps.rolling7d _),
+    "evt_dow_profile"  -> (EventOps.dowProfile _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "agg_percentiles"   -> RelationalOps.percentilesSql,
     "q14_promo"         -> RelationalOps.promoRevenueSql,
     "q6_forecast"       -> RelationalOps.q6ForecastSql,
+    "agg_histogram"     -> RelationalOps.histQuantitySql,
     "validate_lineitem" -> RelationalOps.validateLineitemSql,
     // agg_approx: the oracle recomputes the exact companions and
     // asserts the within-bound sketch flags TRUE (sketch internals are
@@ -142,6 +145,7 @@ object SparkEntry {
     "evt_funnel"        -> EventOps.funnelSql,
     "evt_retention"     -> EventOps.retentionSql,
     "evt_rolling"       -> EventOps.rolling7dSql,
+    "evt_dow_profile"   -> EventOps.dowProfileSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,

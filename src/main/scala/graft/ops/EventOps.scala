@@ -147,6 +147,23 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Day-of-week × hour-of-day activity profile — the calendar-grid
+    * aggregation behind "when is traffic" dashboards, exercising the
+    * calendar extraction functions (dayofweek/hour) the rest of the
+    * surface doesn't. Single partial-aggregated shuffle to ≤168 rows
+    * at any scale. */
+  def dowProfile(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dow", "hr")
+
+  def dowProfileSql: String =
+    """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
+
   /** Trailing-7-day rolling event volume per day — the RANGE-frame
     * window the rest of the surface doesn't exercise (sessions/ranks
     * use ROW frames, hourly/daily use tumbling group-bys). The frame

@@ -197,6 +197,33 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** Equi-width histogram of `l_quantity` (fixed domain [1, 50],
+    * width 5 → 10 buckets) with per-bucket revenue — the
+    * data-profiling complement to [[percentiles]]. The fixed domain
+    * keeps it a SINGLE corpus pass (a data-driven min/max would need
+    * a second scan or a broadcast pre-aggregate, the DSIR two-pass
+    * shape); bucket assignment is integer arithmetic, so both engines
+    * agree exactly and the map-side partial aggregation reduces each
+    * partition to ≤10 rows before the one tiny shuffle. */
+  def histQuantity(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(floor((col("l_quantity") - 1) / 5).cast("int").as("bucket"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+      .select(col("bucket"), (col("bucket") * 5 + 1).as("lo"),
+        (col("bucket") * 5 + 5).as("hi"), col("n_items"), col("revenue"))
+      .orderBy("bucket")
+
+  def histQuantitySql: String =
+    """SELECT bucket, bucket * 5 + 1 AS lo, bucket * 5 + 5 AS hi,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (SELECT CAST(floor((l_quantity - 1) / 5) AS INT) AS bucket,
+      |        l_extendedprice, l_discount
+      |      FROM lineitem)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** TPC-H Q6-shape revenue forecast, expressed as PURE SQL TEXT via
     * `spark.sql` over a registered temp view — the declared-query
     * proof that the engine's SQL entry path (not just the Column API)
