@@ -230,11 +230,11 @@ object RelationalOps {
     * carries the same plans, pushdown and decimal-exact numerics.
     * The filters reach the parquet scan exactly as in the DataFrame
     * queries (Catalyst doesn't care which front end built the plan).
-    * The view name is derived from the data dir so concurrent
-    * verify/bench runs over different dirs can't race on one global
-    * temp-view slot. */
+    * The view name embeds the sanitized data dir (unique per dir by
+    * construction, not by hash) so concurrent verify/bench runs over
+    * different dirs can't race on one global temp-view slot. */
   def q6Forecast(spark: SparkSession, d: String): DataFrame = {
-    val view = "lineitem_" + math.abs(d.hashCode).toString
+    val view = "lineitem_" + d.replaceAll("[^A-Za-z0-9]", "_")
     Tables.lineitem(spark, d).createOrReplaceTempView(view)
     spark.sql(
       s"""SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
