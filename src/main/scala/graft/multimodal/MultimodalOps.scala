@@ -327,12 +327,13 @@ object MultimodalOps {
       |  FROM fr JOIN (SELECT unnest(range(16)) AS i) u ON u.i < fr.flen
       |  GROUP BY fr.doc_id)
       |SELECT f.doc_id AS asset_id,
-      |  224 + f.movi_body AS avi_bytes,
+      |  CAST(224 + f.movi_body AS BIGINT) AS avi_bytes,
       |  32 + (f.doc_id % 8) * 16 AS width,
       |  24 + (f.doc_id % 6) * 12 AS height,
       |  f.nf AS n_frames, f.nf AS frames_present,
-      |  f.movi_payload AS movi_bytes,
-      |  CASE (f.doc_id // 3) % 3 WHEN 0 THEN 30 WHEN 1 THEN 25 ELSE 24 END AS fps,
+      |  CAST(f.movi_payload AS BIGINT) AS movi_bytes,
+      |  CAST(CASE (f.doc_id // 3) % 3 WHEN 0 THEN 30 WHEN 1 THEN 25
+      |            ELSE 24 END AS BIGINT) AS fps,
       |  (f.nf * (CASE (f.doc_id // 3) % 3 WHEN 0 THEN 33333 WHEN 1 THEN 40000
       |                                    ELSE 41667 END)) // 1000 AS duration_ms,
       |  CAST(pay.psum AS BIGINT) AS payload_sum

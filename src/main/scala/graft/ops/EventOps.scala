@@ -179,25 +179,33 @@ object EventOps {
   def rolling7d(spark: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(spark, d)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      // keep the day sum DECIMAL through the window so the 7-day total
+      // is exact (order-independent) and only THEN becomes a double —
+      // the dsum pattern, with the double cast hoisted past the window
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("day_value"))
       .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
     val w7 = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
     daily
       .select(col("day"), col("n_events"),
         sum(col("n_events")).over(w7).as("n_7d"),
-        round(sum(col("day_value")).over(w7), 6).as("value_7d"))
+        sum(col("day_value")).over(w7).cast("double").as("value_7d"))
       .orderBy("day")
   }
 
+  // CAST(... AS BIGINT): DuckDB promotes integer SUMs (plain and
+  // windowed) to HUGEINT, which hash-diverges from Spark's LongType
+  // even when every value matches. The decimal window sum mirrors the
+  // Spark plan exactly — one decimal→double cast after the window.
   def rolling7dSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS day_value,
       |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
       |  FROM events GROUP BY 1, 4)
       |SELECT day, n_events,
-      |  SUM(n_events) OVER w7 AS n_7d,
-      |  round(SUM(day_value) OVER w7, 6) AS value_7d
+      |  CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_7d,
+      |  CAST(SUM(day_value) OVER w7 AS DOUBLE) AS value_7d
       |FROM daily
       |WINDOW w7 AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin

@@ -363,7 +363,8 @@ object TrainingPrepOps {
        |  FROM documents),
        |agg AS (
        |  SELECT shard_id, count(*) AS n_docs,
-       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens, sum(n_chars) AS n_bytes,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_bytes,
        |    count(DISTINCT source) AS n_sources
        |  FROM per GROUP BY shard_id)
        |SELECT shard_id, n_docs, n_tokens, n_bytes, n_sources,

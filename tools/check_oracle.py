@@ -8,7 +8,7 @@ matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir
 tables, sorts columns by name + rows by all values, and compares
 exactly (with a float report when exact fails).
 """
-import json, math, os, sys
+import json, math, numbers, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -44,6 +44,18 @@ def main(outdir, sfdir):
         w = want[wc].sort_values(wc, kind="mergesort").reset_index(drop=True)
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        # The driver's hash is type-KIND-sensitive: DuckDB HUGEINT (an
+        # uncast integer SUM) lands in pandas as float64 while Spark's
+        # BIGINT is int64, and 735.0 hash-diverges from 735 — that
+        # shipped three r5 failures past the old value-only comparison.
+        # Integer WIDTH (int32 vs int64) is driver-tolerated (19 r5
+        # hash-green queries mix them), so compare dtype.kind, not the
+        # exact dtype.
+        dt_bad = [(c, str(g[c].dtype), str(w[c].dtype))
+                  for c in gc if g[c].dtype.kind != w[c].dtype.kind]
+        if dt_bad:
+            print(f"FAIL {name}: dtype kinds diverge (spark vs oracle): {dt_bad}")
+            n_fail += 1; continue
         bad = []
         for c in gc:
             for i, (a, b) in enumerate(zip(g[c], w[c])):
@@ -56,7 +68,16 @@ def main(outdir, sfdir):
                             continue
                         bad.append((c, i, a, b,
                                     abs(a - b) if a is not None and b is not None else None))
-                    elif a != b and str(a) != str(b):
+                    # integer width is driver-tolerated; any other
+                    # per-value type split (HUGEINT→int vs Decimal, str
+                    # vs int inside object columns) is not
+                    elif isinstance(a, numbers.Integral) and isinstance(b, numbers.Integral):
+                        if int(a) != int(b):
+                            bad.append((c, i, a, b, None))
+                    elif type(a) is not type(b):
+                        bad.append((c, i, f"{a}:{type(a).__name__}",
+                                    f"{b}:{type(b).__name__}", None))
+                    elif a != b:
                         bad.append((c, i, a, b, None))
                 except Exception:
                     bad.append((c, i, a, b, None))
