@@ -246,11 +246,22 @@ object SimilarityOps {
        |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
-  // IVF configuration. Centroid coordinates are means of 1e-6-quantized
-  // components summed as BIGINT — exact and order-independent, so Spark
-  // (distributed partial aggregation) and DuckDB (single-node) build
-  // bit-identical centroids and the index is reproducible anywhere.
-  private val IvfCells = 16
+  // IVF configuration. The cell count k is sized ∝ corpus — each cell
+  // targets ~[[IvfCellPop]] vectors, the SemDeDup recipe that keeps the
+  // within-cell pairwise stage's per-cell population (and so per-cell
+  // pair count) flat as the corpus grows. k is computed INSIDE the plan
+  // (a 1-row count aggregate cross-joined into the seed selection — no
+  // driver action) and clamped to [IvfMinCells, IvfMaxCells]: the
+  // ceiling keeps the broadcast centroid table bounded (65536 cells ×
+  // 64 dims × 8 B ≈ 34 MB); past ~2M vectors a two-level
+  // coarse-quantizer IVF shards the index instead. Centroid coordinates
+  // are means of 1e-6-quantized components summed as BIGINT — exact and
+  // order-independent, so Spark (distributed partial aggregation) and
+  // DuckDB (single-node) build bit-identical centroids and the index is
+  // reproducible anywhere.
+  private val IvfCellPop = 32
+  private val IvfMinCells = 4
+  private val IvfMaxCells = 65536
   private val IvfProbe = 4
   private val IvfRounds = 3
   private val QScale = 1000000.0
@@ -269,7 +280,7 @@ object SimilarityOps {
                       c: org.apache.spark.sql.Column, n2c: org.apache.spark.sql.Column) =
     (n2v - lit(2.0) * dotd(v, c)) + n2c
 
-  /** Nearest-centroid assignment: broadcast the (≤ IvfCells-row)
+  /** Nearest-centroid assignment: broadcast the (≤ IvfMaxCells-row)
     * centroid table against the streaming corpus; ties break to the
     * lower cell id. */
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
@@ -298,9 +309,20 @@ object SimilarityOps {
       .withColumn("cn2", norm2(col("c")))
   }
 
+  /** 1-row (k) table: the corpus-proportional cell count, computed as
+    * a plan-side count aggregate so the build stays a lazy DataFrame.
+    * ceil(n / [[IvfCellPop]]) clamped to [[IvfMinCells]]..[[IvfMaxCells]]. */
+  private def ivfK(e: DataFrame): DataFrame =
+    e.agg(greatest(lit(IvfMinCells.toLong),
+      least(lit(IvfMaxCells.toLong),
+        ceil(count(lit(1)) / lit(IvfCellPop.toDouble)))).as("k"))
+
   /** IVF index build — the one-off indexing step, as a plain lazy
-    * DataFrame: seeds are the [[IvfCells]] lowest xhash60(vec_id)
-    * vectors (deterministic on any cluster), refined by [[IvfRounds]]
+    * DataFrame: seeds are the k lowest xhash60(vec_id) vectors
+    * (deterministic on any cluster; k ∝ corpus via [[ivfK]], taken by
+    * capping at [[IvfMaxCells]] with an ordered limit — a distributed
+    * top-k, never a corpus-wide window — then filtering to the first k
+    * against the broadcast 1-row count), refined by [[IvfRounds]]
     * Lloyd's iterations expressed entirely as joins + aggregations.
     * No MLlib fit, no driver-side action — at 100 TB this runs as an
     * ordinary distributed job and the (tiny) result is persisted once
@@ -308,10 +330,13 @@ object SimilarityOps {
   def annIvfCentroids(spark: SparkSession, d: String): DataFrame = {
     val e = corpus(spark, d)
     val hashed = e.withColumn("hk", xhash60(col("vec_id").cast("string"), 7))
-    val seedW = Window.orderBy(col("hk"), col("vec_id")) // ≤ IvfCells rows
-    var cents = hashed.orderBy(col("hk"), col("vec_id")).limit(IvfCells)
+    val seedW = Window.orderBy(col("hk"), col("vec_id")) // ≤ IvfMaxCells rows
+    var cents = hashed.orderBy(col("hk"), col("vec_id")).limit(IvfMaxCells)
       .select((row_number().over(seedW) - 1).as("cell"),
         col("v").as("c"), col("n2").as("cn2"))
+      .crossJoin(broadcast(ivfK(e)))
+      .where(col("cell") < col("k"))
+      .select(col("cell"), col("c"), col("cn2"))
     for (_ <- 1 to IvfRounds)
       cents = recomputeCentroids(assignCells(e, cents))
     cents
@@ -326,7 +351,7 @@ object SimilarityOps {
     * identical index, so this approximate operator is hash-checked
     * end-to-end. */
   // One persisted centroid table per (session, sf-dir): repeat annIvf
-  // calls on the same data reuse the SAME ≤ IvfCells-row cache entry
+  // calls on the same data reuse the SAME k-row cache entry
   // instead of accumulating a fresh persist per call, and a long-lived
   // session can drop them all via [[evictIvfCache]]. Keyed by session
   // identity so a stale DataFrame from a stopped session is never
@@ -413,9 +438,14 @@ object SimilarityOps {
        |  FROM embeddings),
        |hashed AS (SELECT vec_id, v, n2,
        |    ${xhash60Sql("CAST(vec_id AS VARCHAR)", 7)} AS hk FROM e),
+       |kk AS (
+       |  SELECT GREATEST($IvfMinCells, LEAST($IvfMaxCells,
+       |    CAST(ceil(COUNT(*) / ${IvfCellPop}.0) AS BIGINT))) AS k FROM e),
        |c0 AS (
-       |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS c, n2 AS cn2
-       |  FROM (SELECT * FROM hashed ORDER BY hk, vec_id LIMIT $IvfCells)),
+       |  SELECT cell, c, cn2 FROM (
+       |    SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS c, n2 AS cn2
+       |    FROM (SELECT * FROM hashed ORDER BY hk, vec_id LIMIT $IvfMaxCells)) s, kk
+       |  WHERE s.cell < kk.k),
        |$rounds,
        |${assignCteSql("af", s"c$IvfRounds")}""".stripMargin
   }

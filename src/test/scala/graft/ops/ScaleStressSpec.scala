@@ -205,6 +205,37 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(hotClusterSize === HotCount)
   }
 
+  test("IVF cells scale ∝ corpus: per-cell population and pair count flat ×1→×8") {
+    // The SemDeDup scale claim: the within-cell pairwise stage stays
+    // feasible because the CELL COUNT grows with the corpus while the
+    // per-cell population targets a constant — so total candidate
+    // pairs grow ~linearly, never quadratically. A fixed cell count
+    // (the pre-r6 IvfCells=16) fails this: at ×8 the per-cell
+    // population is ×8 and Σ pop² is ×64.
+    def cellPops(dir: String): Array[Long] =
+      SimilarityOps.dedupSemantic(spark, dir)
+        .groupBy("cell").count()
+        .select(col("count")).collect().map(_.getLong(0))
+    val (p1, p8) = (cellPops(dirX1), cellPops(dirX8))
+    val (k1, k8) = (p1.length.toLong, p8.length.toLong)
+    val (mean1, mean8) = (p1.sum.toDouble / k1, p8.sum.toDouble / k8)
+    val pairs1 = p1.map(n => n * (n - 1) / 2).sum
+    val pairs8 = p8.map(n => n * (n - 1) / 2).sum
+    info(f"x1: k=$k1 meanPop=$mean1%.1f pairs=$pairs1; " +
+      f"x8: k=$k8 meanPop=$mean8%.1f pairs=$pairs8 (ratio ${pairs8.toDouble / pairs1}%.1f)")
+    // cell count grows ~×8 (clamp not hit at either scale)
+    assert(k8.toDouble / k1 > 6 && k8.toDouble / k1 < 10,
+      s"cell count not ∝ corpus: k x1=$k1 x8=$k8")
+    // per-cell population flat (the quantity that bounds per-cell work)
+    assert(mean8 / mean1 < 1.5 && mean8 / mean1 > 0.6,
+      f"per-cell population not flat: x1 $mean1%.1f vs x8 $mean8%.1f")
+    // total pair count ~linear in corpus (quadratic would be ×64); the
+    // ×8 embeddings are 8 coincident copies per point, a worst case
+    // for cell-population skew, so allow 2× headroom over linear
+    assert(pairs8.toDouble / pairs1 < 16,
+      s"within-cell pairs superlinear: x1 $pairs1 vs x8 $pairs8")
+  }
+
   test("AQE splits the skewed partition of a hot-key join (skew=true in the final plan)") {
     // The join-side skew mitigation at 100 TB is AQE's runtime
     // re-plan (the agg-side mitigation is ScaleOps.saltedSum, proven
