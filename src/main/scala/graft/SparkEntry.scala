@@ -105,6 +105,7 @@ object SparkEntry {
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
     "mm_bmp"      -> (MultimodalOps.mmBmp _),
+    "mm_png"      -> (MultimodalOps.mmPng _),
     "mm_avi"      -> (MultimodalOps.mmAvi _),
   )
 
@@ -190,6 +191,7 @@ object SparkEntry {
     "mm_features"      -> MultimodalOps.mmFeaturesSql,
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,
+    "mm_png"           -> MultimodalOps.mmPngSql,
     "mm_avi"           -> MultimodalOps.mmAviSql,
   )
 }

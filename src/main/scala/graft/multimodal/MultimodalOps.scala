@@ -24,12 +24,16 @@ import graft.Tables
   * and per-frame payload read (`framePayloadSum`) — [[mmWav]]/
   * [[mmBmp]]/[[mmAvi]] below encode on one side of the shuffle,
   * decode on the other, and the oracle recomputes header AND payload
-  * statistics from the generation arithmetic. The only remaining gap
-  * is COMPRESSED-codec decode (JPEG entropy coding, MP3, H.264),
-  * which genuinely requires media libraries this container doesn't
-  * ship; [[StubCodec]] remains its honest deterministic stand-in on
-  * the legacy `mm_features` surface. Swap the body, keep the
-  * contract.
+  * statistics from the generation arithmetic. COMPRESSED decode is
+  * real too: [[PngCodec]] (JDK ImageIO — zlib inflate + scanline
+  * unfilter) roundtrips actual PNGs in [[mmPng]], with the lossless
+  * pixel sum as the oracle-checkable invariant. The only remaining
+  * gap is LOSSY-codec decode (JPEG, MP3, H.264): JPEG is decodable
+  * with the same ImageIO call, but a lossy roundtrip has no bit-exact
+  * invariant for the oracle to check, and MP3/H.264 genuinely require
+  * media libraries this container doesn't ship — [[StubCodec]]
+  * remains their honest deterministic stand-in on the legacy
+  * `mm_features` surface. Swap the body, keep the contract.
   */
 object MultimodalOps {
 
@@ -245,6 +249,83 @@ object MultimodalOps {
       |  GREATEST(1, CAST(trunc(g.w * g.scale) AS BIGINT)) AS resized_w,
       |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h,
       |  CAST(px.psum AS BIGINT) AS pixel_sum
+      |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
+
+  /** Real PNG payloads for the corpus's image assets — a COMPRESSED
+    * format (deflate over filtered scanlines), encoded with the JDK's
+    * ImageIO: dims keyed on doc_id, RGB triplets cycled from the
+    * document text like [[bmpAssets]]. */
+  def pngAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (8 + (id * 5) % 120).toInt
+          val h = (1 + id % 17).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val rgb = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
+          (id, PngCodec.encode(w, h, rgb))
+        }
+      }.toDF("asset_id", "png")
+  }
+
+  /** Declared query: decode REAL compressed PNG bytes (zlib inflate +
+    * scanline unfilter, via the JDK decoder) back to dims + an exact
+    * pixel sum, then run a REAL bilinear thumbnail resize. PNG is
+    * lossless, so pixel_sum equals the sum of the generated source
+    * triplets — the oracle recomputes it from the text bytes, making a
+    * faithful compressed roundtrip the thing being hash-checked. The
+    * compressed byte length is encoder-dependent and deliberately NOT
+    * declared (MultimodalSpec asserts it instead). resized_w/h are
+    * read back off the physically resized raster. */
+  def mmPng(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = pngAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = PngCodec // per-partition codec handle
+        rows.map { case (id, png) =>
+          val img = codec.decode(png)
+          val resized = codec.resize(img, 64)
+          (id, img.getWidth.toLong, img.getHeight.toLong,
+            img.getWidth.toLong * img.getHeight, codec.pixelSum(img),
+            resized.getWidth.toLong, resized.getHeight.toLong)
+        }
+      }
+    decoded.toDF("asset_id", "width", "height", "n_px", "pixel_sum",
+      "resized_w", "resized_h")
+      .orderBy("asset_id")
+  }
+
+  // Mirrors the generation arithmetic (dims from doc_id, RGB cycled
+  // from the text bytes — same closed-form cycle sum as mmBmpSql) and
+  // the resize formula with the same trunc-after-double-multiply
+  // order. Nothing here knows PNG: agreement means Spark's inflate +
+  // unfilter reproduced every source byte.
+  def mmPngSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + (doc_id * 5) % 120 AS w, 1 + doc_id % 17 AS h,
+      |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |geo AS (
+      |  SELECT doc_id, w, h, bl, hx,
+      |    LEAST(1.0, 64.0 / GREATEST(w, h)) AS scale,
+      |    w * h * 3 AS total
+      |  FROM dims),
+      |px AS (
+      |  SELECT doc_id, CASE WHEN bl = 0 THEN 0 ELSE
+      |      (total // bl) * COALESCE(list_sum(list_transform(range(bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |      + COALESCE(list_sum(list_transform(range(total % bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |    END AS psum
+      |  FROM geo)
+      |SELECT g.doc_id AS asset_id, g.w AS width, g.h AS height,
+      |  g.w * g.h AS n_px,
+      |  CAST(px.psum AS BIGINT) AS pixel_sum,
+      |  GREATEST(1, CAST(trunc(g.w * g.scale) AS BIGINT)) AS resized_w,
+      |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
   private val FrameRates = Array((30, 1, 33333), (25, 1, 40000), (24, 1, 41667))

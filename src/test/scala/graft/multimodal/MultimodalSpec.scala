@@ -261,6 +261,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PngCodec round-trips compressed pixels exactly (PNG is lossless)") {
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((1, 1), (64, 3), (127, 17), (8, 16))) {
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val png = PngCodec.encode(w, h, rgb)
+      // a real PNG: magic bytes + (for the non-trivial sizes) the
+      // deflate stream actually compresses structured input
+      assert(png.take(8).map(_ & 0xff).toSeq ===
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), s"$w x $h: not a PNG")
+      val img = PngCodec.decode(png)
+      assert(img.getWidth === w && img.getHeight === h)
+      val expected = rgb.map(b => (b & 0xff).toLong).sum
+      assert(PngCodec.pixelSum(img) === expected, s"$w x $h: lossy roundtrip")
+    }
+    // compression evidence: constant pixels deflate far below raw size
+    val flat = PngCodec.encode(100, 100, Array.fill[Byte](100 * 100 * 3)(7))
+    assert(flat.length < 100 * 100 * 3 / 10,
+      s"flat 100x100 PNG should compress >10x, got ${flat.length} bytes")
+  }
+
+  test("PngCodec resize really downscales (raster dims, never upscales)") {
+    val img = PngCodec.decode(PngCodec.encode(120, 15, Array.fill[Byte](120 * 15 * 3)(3)))
+    val down = PngCodec.resize(img, 64)
+    assert(down.getWidth === 64 && down.getHeight === math.max(1, (15 * 64.0 / 120).toInt))
+    val tiny = PngCodec.resize(PngCodec.decode(PngCodec.encode(8, 4, new Array[Byte](96))), 64)
+    assert(tiny.getWidth === 8 && tiny.getHeight === 4, "must not upscale")
+  }
+
+  test("mm_png decodes real compressed PNGs to the generation arithmetic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalOps.mmPng(spark, sf).collect()
+    assert(rows.length === docs.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h) = ((8 + (id * 5) % 120).toInt, (1 + id % 17).toInt)
+      assert(r.getAs[Long]("width") === w.toLong, s"doc $id")
+      assert(r.getAs[Long]("height") === h.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_px") === w.toLong * h, s"doc $id")
+      val src = { val b = docs(id).getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+      val expected = (0 until w * h * 3).map(i => (src(i % src.length) & 0xff).toLong).sum
+      assert(r.getAs[Long]("pixel_sum") === expected, s"doc $id")
+      val scale = math.min(1.0, 64.0 / math.max(w, h))
+      assert(r.getAs[Long]("resized_w") === math.max(1, (w * scale).toInt).toLong, s"doc $id")
+      assert(r.getAs[Long]("resized_h") === math.max(1, (h * scale).toInt).toLong, s"doc $id")
+    }
+  }
+
   test("frame sampling respects stride and cap") {
     val d = MultimodalOps.StubCodec.decode(Array.fill[Byte](100)(1))
     val frames = MultimodalOps.StubCodec.sampleFrames(d, 4, 8)
