@@ -55,6 +55,9 @@ object SparkEntry {
     "evt_retention"    -> (EventOps.retention _),
     "evt_rolling"      -> (EventOps.rolling7d _),
     "evt_dow_profile"  -> (EventOps.dowProfile _),
+    // Structured Streaming under the hash gate: the watermark-window
+    // pipeline driven to completion; oracle = the batch twin SQL
+    "stream_hourly"    -> (graft.streaming.EventStreams.streamHourly _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -139,6 +142,7 @@ object SparkEntry {
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
+    "stream_hourly"     -> EventOps.hourlySql,
     "evt_sessions"      -> EventOps.sessionsSql,
     "evt_json"          -> EventOps.jsonExtractSql,
     "evt_daily_active"  -> EventOps.dailyActiveSql,

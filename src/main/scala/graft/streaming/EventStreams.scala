@@ -106,6 +106,32 @@ object EventStreams {
         col("p_ts"), col("amount"))
   }
 
+  // one memory-sink table per call — a counter, not a path hash, so
+  // repeated calls (bench reps) can never collide on a catalog slot
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The watermark-windowed [[hourlyAgg]] pipeline DRIVEN to
+    * completion over the dir's events table as a file stream — the
+    * declared-query face of the streaming surface, putting Structured
+    * Streaming itself under the driver's DuckDB hash gate (oracle =
+    * the batch twin `EventOps.hourlySql`; batch≡stream is the
+    * property being checked). AvailableNow + Complete mode: every
+    * window emits once the static input drains, exactly the batch
+    * result. */
+  def streamHourly(spark: SparkSession, d: String): DataFrame = {
+    // the sf tables are single parquet FILES; a file-stream source
+    // needs a directory of drops, so stage the table as one drop
+    // (in production the ingest dir IS the landing directory)
+    val n = sinkSeq.incrementAndGet()
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-hourly-$n")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(d, "events.parquet"),
+      drop.resolve("drop1.parquet"))
+    runToMemory(spark, hourlyAgg(readEvents(spark, drop.toString)),
+      s"graft_stream_hourly_$n")
+      .orderBy("hr", "event_type")
+  }
+
   /** Run a streaming DataFrame to completion against a static input
     * (file stream) and return the result via a memory sink. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
