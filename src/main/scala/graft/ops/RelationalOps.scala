@@ -230,11 +230,16 @@ object RelationalOps {
     * carries the same plans, pushdown and decimal-exact numerics.
     * The filters reach the parquet scan exactly as in the DataFrame
     * queries (Catalyst doesn't care which front end built the plan).
-    * The view name embeds the sanitized data dir (unique per dir by
-    * construction, not by hash) so concurrent verify/bench runs over
-    * different dirs can't race on one global temp-view slot. */
+    * The view name embeds the sanitized data dir PLUS a short hash of
+    * the raw path — sanitization alone maps distinct dirs differing
+    * only in non-alphanumerics (`a-b` vs `a_b`) onto one slot, which
+    * would reintroduce the concurrent-runs race the naming exists to
+    * prevent. */
   def q6Forecast(spark: SparkSession, d: String): DataFrame = {
-    val view = "lineitem_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "lineitem_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(
+        java.security.MessageDigest.getInstance("MD5").digest(
+          d.getBytes("UTF-8")).take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)))
     Tables.lineitem(spark, d).createOrReplaceTempView(view)
     spark.sql(
       s"""SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,

@@ -117,7 +117,7 @@ class CurationSpec extends AnyFunSuite {
     assert(ord === Seq(0, 1, 2, 3), "funnel rows arrive in stage order")
   }
 
-  test("shard_manifest conserves corpus totals and spreads docs by content hash") {
+  test("shard_manifest conserves corpus totals and spreads docs by id hash") {
     val docs = (1L to 200L).map(i =>
       (i, s"tok$i word$i", "en", s"src${i % 4}", 10L + i))
     val d = corpus(docs)
@@ -127,7 +127,7 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === 400L, "token totals conserved (2/doc)")
     assert(rows.map(_.getLong(3)).sum === docs.map(_._5).sum, "byte totals conserved")
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-6)
-    // md5-derived assignment spreads: no shard hogs the corpus
+    // md5(doc_id)-derived assignment spreads: no shard hogs the corpus
     assert(rows.map(_.getLong(1)).max < 50, "a hash-balanced shard can't hold 25%")
     // deterministic: a re-run (fresh plan) produces the identical manifest
     val again = TrainingPrepOps.shardManifest(spark, d).collect()
