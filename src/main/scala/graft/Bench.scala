@@ -64,7 +64,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY (same contract as Verify): builder-side
+    // isolation runs; absent for the driver → every query benches
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     // warmup: same plans, smallest data, results discarded; errors
     // surface in the timed passes, not here
     val warmupDir = "/root/testdata/sf0.001"
