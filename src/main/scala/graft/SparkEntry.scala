@@ -58,6 +58,7 @@ object SparkEntry {
     // Structured Streaming under the hash gate: the watermark-window
     // pipeline driven to completion; oracle = the batch twin SQL
     "stream_hourly"    -> (graft.streaming.EventStreams.streamHourly _),
+    "stream_sessions"  -> (graft.streaming.EventStreams.streamSessions _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,
+    "stream_sessions"   -> graft.streaming.EventStreams.streamSessionsSql,
     "evt_sessions"      -> EventOps.sessionsSql,
     "evt_json"          -> EventOps.jsonExtractSql,
     "evt_daily_active"  -> EventOps.dailyActiveSql,

@@ -118,19 +118,65 @@ object EventStreams {
     * property being checked). AvailableNow + Complete mode: every
     * window emits once the static input drains, exactly the batch
     * result. */
-  def streamHourly(spark: SparkSession, d: String): DataFrame = {
-    // the sf tables are single parquet FILES; a file-stream source
-    // needs a directory of drops, so stage the table as one drop
-    // (in production the ingest dir IS the landing directory)
-    val n = sinkSeq.incrementAndGet()
-    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-hourly-$n")
+  /** Stage the dir's events table as a one-drop landing directory:
+    * the sf tables are single parquet FILES and a file-stream source
+    * needs a directory (in production the ingest dir IS the landing
+    * directory). */
+  private def stageEventsDrop(d: String, tag: String, n: Long): String = {
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-$tag-$n")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(d, "events.parquet"),
       drop.resolve("drop1.parquet"))
-    runToMemory(spark, hourlyAgg(readEvents(spark, drop.toString)),
+    drop.toString
+  }
+
+  def streamHourly(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    runToMemory(spark,
+      hourlyAgg(readEvents(spark, stageEventsDrop(d, "stream-hourly", n))),
       s"graft_stream_hourly_$n")
       .orderBy("hr", "event_type")
   }
+
+  /** [[sessionAgg]] driven to completion — `session_window` itself
+    * under the hash gate. The oracle replays session_window's
+    * µs-precision semantics directly (new session when the gap to the
+    * previous event is ≥ 30 min; window end = last event + 30 min),
+    * which differs from the batch EventOps.sessions ms-precision `>`
+    * rule only on exact-30:00.000 ties — none exist in the
+    * ns-granular driver data (checked at every SF). */
+  def streamSessions(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    runToMemory(spark,
+      sessionAgg(readEvents(spark, stageEventsDrop(d, "stream-sessions", n))),
+      s"graft_stream_sessions_$n")
+      .orderBy("user_id", "start_ts")
+  }
+
+  // epoch_us/make_timestamp keep the full µs precision Spark's
+  // session_window computes with (epoch_ms would truncate: ~10% of the
+  // driver's event timestamps carry sub-ms components); COUNT(*) is
+  // BIGINT in DuckDB (no HUGEINT cast needed), the value sum uses the
+  // dsum decimal mirror.
+  def streamSessionsSql: String =
+    """WITH evs AS (
+      |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 30*60*1000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM evs),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+      |  FROM flagged)
+      |SELECT user_id, make_timestamp(MIN(ts_us)) AS start_ts,
+      |  make_timestamp(MAX(ts_us) + 30*60*1000000) AS end_ts,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, seq
+      |ORDER BY user_id, start_ts""".stripMargin
 
   /** Run a streaming DataFrame to completion against a static input
     * (file stream) and return the result via a memory sink. */
