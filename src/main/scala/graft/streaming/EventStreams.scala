@@ -130,12 +130,24 @@ object EventStreams {
     drop.toString
   }
 
+  /** Delete a staged drop dir once the stream has drained — the
+    * memory sink holds the results, so repeated calls (bench reps)
+    * must not accumulate 20 MB staging copies in the temp dir. */
+  private def dropStaged(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      java.nio.file.Files.list(p).forEach(f => java.nio.file.Files.deleteIfExists(f))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+  }
+
   def streamHourly(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
-    runToMemory(spark,
-      hourlyAgg(readEvents(spark, stageEventsDrop(d, "stream-hourly", n))),
+    val staged = stageEventsDrop(d, "stream-hourly", n)
+    try runToMemory(spark, hourlyAgg(readEvents(spark, staged)),
       s"graft_stream_hourly_$n")
       .orderBy("hr", "event_type")
+    finally dropStaged(staged)
   }
 
   /** [[sessionAgg]] driven to completion — `session_window` itself
@@ -147,10 +159,11 @@ object EventStreams {
     * ns-granular driver data (checked at every SF). */
   def streamSessions(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
-    runToMemory(spark,
-      sessionAgg(readEvents(spark, stageEventsDrop(d, "stream-sessions", n))),
+    val staged = stageEventsDrop(d, "stream-sessions", n)
+    try runToMemory(spark, sessionAgg(readEvents(spark, staged)),
       s"graft_stream_sessions_$n")
       .orderBy("user_id", "start_ts")
+    finally dropStaged(staged)
   }
 
   // epoch_us/make_timestamp keep the full µs precision Spark's
