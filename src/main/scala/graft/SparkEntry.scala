@@ -62,6 +62,7 @@ object SparkEntry {
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
+    "graph_pagerank"      -> (GraphOps.pagerank _),
     "dedup_simhash"       -> (DedupOps.dedupSimhash _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "evt_dow_profile"   -> EventOps.dowProfileSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
+    "graph_pagerank"      -> GraphOps.pagerankSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,

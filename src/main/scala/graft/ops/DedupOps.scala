@@ -166,7 +166,11 @@ object DedupOps {
     pairs.where(col("jaccard") >= 0.6).orderBy("d1", "d2")
   }
 
-  def dedupMinhashSql: String = {
+  /** The full signature→band→candidate→jaccard CTE chain, ending in
+    * `pairs` (d1 < d2, jaccard) — shared by [[dedupMinhashSql]] and
+    * the graph oracles that build on the verified pair graph
+    * ([[GraphOps.pagerankSql]]). */
+  private[ops] def minhashPairsCteSql: String = {
     val sigCols = (0 until NumHashes).map(j =>
       s"list_min(list_transform(hx, x -> (${As(j)} * x + ${Bs(j)}) % $P)) AS h$j")
       .mkString(",\n    ")
@@ -175,7 +179,7 @@ object DedupOps {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $shingledSql,
+    s"""$shingledSql,
        |hashed AS (
        |  SELECT doc_id, sh,
        |    list_transform(sh, s -> ${xhash60Sql("s", 0)} % $P) AS hx
@@ -196,9 +200,12 @@ object DedupOps {
        |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
        |  FROM cands
        |  JOIN shingled s1 ON s1.doc_id = d1
-       |  JOIN shingled s2 ON s2.doc_id = d2)
-       |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY d1, d2""".stripMargin
+       |  JOIN shingled s2 ON s2.doc_id = d2)""".stripMargin
   }
+
+  def dedupMinhashSql: String =
+    s"""WITH $minhashPairsCteSql
+       |SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.6 ORDER BY d1, d2""".stripMargin
 
   /** SimHash: 60-bit per-document fingerprint (sign of per-bit vote
     * over token-occurrence hashes). Pure map-side work — one fused

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the near-duplicate pair graph —
+  * the missing shape between one-shot relational queries and the
+  * fixpoint label propagation of [[DedupOps.dedupClusters]]: a
+  * FIXED-round iterative computation whose per-round arithmetic must
+  * be bit-reproducible on any cluster.
+  *
+  * The concrete operator is PageRank over the jaccard-verified
+  * MinHash pair graph ([[DedupOps.dedupMinhash]], symmetrized). The
+  * pipeline use: canonical-representative selection — inside a
+  * near-dup cluster the highest-centrality member is the "most
+  * connected" variant, a principled alternative to keep-lowest-id
+  * when choosing which duplicate to retain.
+  *
+  * Scale shape: edges are materialized once (lazy localCheckpoint,
+  * the [[DedupOps.dedupMinhash]] pattern) and each round is one
+  * equi-join (rank × edge, keyed on src) plus one aggregation (keyed
+  * on dst) — the standard distributed PR round. At 100 TB the edge
+  * table would be hash-partitioned by src once and every round
+  * reuses that partitioning; ranks are |V| rows, always the small
+  * side. Contributions are 1e-9-quantized to BIGINT before the sum
+  * (the [[SimilarityOps]] centroid trick), so the reduce is
+  * order-independent and Spark (any partitioning) and DuckDB
+  * (single-node) produce bit-identical doubles every round.
+  */
+object GraphOps {
+
+  private val Damping = 0.85
+  private val Base = 0.15
+  private val Rounds = 5
+  private val QScale = 1000000000.0 // 1e-9 contribution quantum
+
+  /** PageRank on the symmetrized near-dup graph: r₀ = 1, then
+    * [[Rounds]] rounds of r'(v) = 0.15 + 0.85·Σ_{u→v} r(u)/deg(u).
+    * Edge-induced subgraph only (every node has degree ≥ 1, so there
+    * is no dangling mass and every node receives rank each round). */
+  def pagerank(spark: SparkSession, d: String): DataFrame =
+    pagerankOnPairs(DedupOps.dedupMinhash(spark, d).select(col("d1"), col("d2")))
+
+  /** PR over an arbitrary undirected pair list (d1, d2) — the testable
+    * core; [[pagerank]] feeds it the minhash near-dup pairs. */
+  private[ops] def pagerankOnPairs(pairs: DataFrame): DataFrame = {
+    // symmetrize once, materialize once: five rounds must re-read
+    // blocks, not re-run the upstream pipeline
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
+    for (_ <- 1 to Rounds) {
+      ranks = withDeg.join(ranks, col("id") === col("src"))
+        .select(col("dst"),
+          // quantized contribution: exact BIGINT sum in any order
+          round(col("r") / col("deg") * lit(QScale)).cast("long").as("cq"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cq")).as("sq"))
+        .select(col("dst").as("id"),
+          (lit(Base) + lit(Damping) * (col("sq").cast("double") / lit(QScale))).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the shared minhash pair CTEs, then [[Rounds]]
+    * unrolled PR rounds with the identical quantize→BIGINT-sum→
+    * dequantize arithmetic (same association order), so the final
+    * doubles match bit for bit. */
+  def pagerankSql: String = {
+    val round1 = (1 to Rounds).map { t =>
+      s"""r$t AS (
+         |  SELECT e.dst AS id,
+         |    $Base + $Damping * (CAST(SUM(CAST(round(r.r / e.deg * $QScale) AS BIGINT)) AS DOUBLE) / $QScale) AS r
+         |  FROM wdeg e JOIN r${t - 1} r ON r.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashPairsCteSql},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs WHERE jaccard >= 0.6
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs WHERE jaccard >= 0.6),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |wdeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+       |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+       |$round1
+       |SELECT id AS doc_id, r AS rank FROM r$Rounds ORDER BY doc_id""".stripMargin
+  }
+}

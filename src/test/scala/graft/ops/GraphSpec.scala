@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** PageRank over near-dup pair graphs: mass conservation, centrality
+  * ordering, and the bit-reproducibility the quantized contribution
+  * sum exists to provide. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a star (hub 1 ↔ leaves 2..6) plus a disjoint 2-cycle (10 ↔ 11)
+  private def starPairs = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (10L, 11L))
+    .toDF("d1", "d2")
+
+  test("pagerank conserves rank mass on a symmetric graph") {
+    val ranks = GraphOps.pagerankOnPairs(starPairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // symmetric graph, no dangling nodes: every round redistributes
+    // all mass, so Σr stays |V| up to the 1e-9 contribution quantum
+    assert(math.abs(ranks.values.sum - ranks.size) < 1e-6,
+      s"rank mass drifted: ${ranks.values.sum} over ${ranks.size} nodes")
+  }
+
+  test("pagerank ranks the hub above the leaves, and symmetric peers equally") {
+    val ranks = GraphOps.pagerankOnPairs(starPairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((2L to 6L).forall(l => ranks(1L) > ranks(l)),
+      s"hub must out-rank leaves: $ranks")
+    // the five leaves are automorphic — identical rank to the bit
+    assert((3L to 6L).forall(l => ranks(l) == ranks(2L)))
+    // the 2-cycle is regular: both nodes hold exactly rank 1 forever
+    assert(math.abs(ranks(10L) - 1.0) < 1e-9 && ranks(10L) == ranks(11L))
+  }
+
+  test("pagerank is bit-identical across partitionings (quantized sums)") {
+    val base = GraphOps.pagerankOnPairs(starPairs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val shuffled = GraphOps.pagerankOnPairs(starPairs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // == on doubles, not approx: the 1e-9 quantization makes every
+    // round's reduce order-independent, so any partitioning must give
+    // the same bits
+    assert(base.sorted.sameElements(shuffled.sorted))
+  }
+
+  test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
+    val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val pairDocs = DedupOps.dedupMinhash(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_.getLong(0)).toSet === pairDocs,
+      "rank exactly the nodes of the near-dup pair graph")
+    assert(rows.forall(_.getDouble(1) > 0))
+  }
+}
