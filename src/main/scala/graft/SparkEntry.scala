@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
     "graph_pagerank"      -> (GraphOps.pagerank _),
+    "graph_triangles"     -> (GraphOps.triangles _),
     "dedup_simhash"       -> (DedupOps.dedupSimhash _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embedding"     -> (DedupOps.dedupEmbedding _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "graph_pagerank"      -> GraphOps.pagerankSql,
+    "graph_triangles"     -> GraphOps.trianglesSql,
     "dedup_simhash"       -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding"     -> DedupOps.dedupEmbeddingSql,

@@ -65,6 +65,67 @@ object GraphOps {
     ranks.select(col("id").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }
 
+  /** Triangle count + local clustering coefficient per node of the
+    * near-dup graph — the cluster-density audit: a near-dup cluster
+    * should be near-clique (coefficient → 1); a low-coefficient,
+    * high-degree node is a false bridge created by an over-eager
+    * band (the thing a minhash-threshold tuning pass looks for).
+    *
+    * Shape: triangles enumerate via the standard ordered two-join
+    * (a<b<c — each triangle counted exactly once, no orientation
+    * blow-up); per-node counts come from one explode + count. The
+    * coefficient is a single double division of exact integers
+    * (2·T / deg·(deg−1)) — both engines divide the same two BIGINTs,
+    * so no quantization is needed. */
+  def triangles(spark: SparkSession, d: String): DataFrame =
+    trianglesOnPairs(DedupOps.dedupMinhash(spark, d).select(col("d1"), col("d2")))
+
+  private[ops] def trianglesOnPairs(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint(false) // (d1 < d2) by upstream construction
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val tri = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .join(pairs.select(col("d1").as("b"), col("d2").as("c")), Seq("b"))
+      .join(pairs.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+    val cnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(cnt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("doc_id")
+  }
+
+  def trianglesSql: String =
+    s"""WITH ${DedupOps.minhashPairsCteSql},
+       |up AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.6),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM up
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM up),
+       |deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+       |tri AS (
+       |  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+       |  FROM up ab
+       |  JOIN up bc ON bc.d1 = ab.d2
+       |  JOIN up ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+       |cnt AS (
+       |  SELECT node AS doc_id, COUNT(*) AS n_tri FROM (
+       |    SELECT a AS node FROM tri UNION ALL
+       |    SELECT b FROM tri UNION ALL
+       |    SELECT c FROM tri) GROUP BY node)
+       |SELECT d.doc_id, d.deg,
+       |  COALESCE(c.n_tri, 0) AS n_tri,
+       |  CASE WHEN d.deg >= 2
+       |       THEN CAST(COALESCE(c.n_tri, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1))
+       |       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+       |FROM deg d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB mirror: the shared minhash pair CTEs, then [[Rounds]]
     * unrolled PR rounds with the identical quantize→BIGINT-sum→
     * dequantize arithmetic (same association order), so the final

@@ -46,6 +46,21 @@ class GraphSpec extends AnyFunSuite {
     assert(base.sorted.sameElements(shuffled.sorted))
   }
 
+  test("triangle counts and clustering coefficients on known shapes") {
+    // K4 on 1..4 (every node: deg 3, 3 triangles, coeff 1.0) plus a
+    // path 10-11-12 (ends: deg 1 coeff 0; middle: deg 2, no triangle)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("d1", "d2")
+    val rows = GraphOps.trianglesOnPairs(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1L to 4L).foreach { v =>
+      assert(rows(v) === ((3L, 3L, 1.0)), s"K4 node $v")
+    }
+    assert(rows(10L) === ((1L, 0L, 0.0)))
+    assert(rows(11L) === ((2L, 0L, 0.0)), "path middle: degree 2, no triangle")
+    assert(rows(12L) === ((1L, 0L, 0.0)))
+  }
+
   test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
     val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
