@@ -61,6 +61,30 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(12L) === ((1L, 0L, 0.0)))
   }
 
+  test("pair-graph cache: one persisted table per dir, shared, evictable, stable") {
+    // exact getPersistentRDDs counts are flaky here: the pipeline's
+    // transient localCheckpoint RDDs register there too and the
+    // ContextCleaner unpersists them asynchronously — so assert the
+    // cache's actual contract: one shared persisted instance per
+    // (session, dir), rebuilt fresh after eviction, identical results.
+    val sf = "/root/testdata/sf0.001"
+    GraphOps.evictPairCache()
+    val first = GraphOps.pagerank(spark, sf).collect().toSeq
+    val p1 = GraphOps.cachedPairs(spark, sf)
+    assert(p1.storageLevel.useMemory, "pair table must be persisted")
+    assert(GraphOps.cachedPairs(spark, sf) eq p1,
+      "pagerank and triangles must share ONE cached pair table per dir")
+    val second = GraphOps.triangles(spark, sf).collect().toSeq
+    assert(GraphOps.pagerank(spark, sf).collect().toSeq === first,
+      "repeat rank must return identical results")
+    GraphOps.evictPairCache()
+    val p2 = GraphOps.cachedPairs(spark, sf)
+    assert(!(p2 eq p1), "eviction must drop the cached instance")
+    assert(GraphOps.triangles(spark, sf).collect().toSeq === second,
+      "post-evict probes rebuild and still agree")
+    GraphOps.evictPairCache()
+  }
+
   test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
     val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
