@@ -91,6 +91,7 @@ object SparkEntry {
     "text_bigram_pmi"   -> (TextAnalysisOps.topBigramsPmi _),
     "text_gopher_rules" -> (TextAnalysisOps.gopherRules _),
     "text_tfidf"        -> (TextAnalysisOps.tfidf _),
+    "agg_topk_sketch"   -> (TextAnalysisOps.topkSketch _),
     // Training-data preparation (chunking / decontamination /
     // sampling / packing / incremental ingest / centroids)
     "text_chunk"        -> (TrainingPrepOps.textChunk _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "text_bigram_pmi"   -> TextAnalysisOps.topBigramsPmiSql,
     "text_gopher_rules" -> TextAnalysisOps.gopherRulesSql,
     "text_tfidf"        -> TextAnalysisOps.tfidfSql,
+    "agg_topk_sketch"   -> TextAnalysisOps.topkSketchSql,
     "text_chunk"        -> TrainingPrepOps.textChunkSql,
     "decontaminate"     -> TrainingPrepOps.decontaminateSql,
     "sample_stratified" -> TrainingPrepOps.sampleStratifiedSql,

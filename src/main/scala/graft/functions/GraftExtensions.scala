@@ -44,7 +44,8 @@ object GraftFunctions {
     "array_dot"   -> (exprs => ArrayDotProduct(exprs(0), exprs(1))),
     "simhash60"   -> (exprs => SimHash60(exprs.head)),
     "xhash60"     -> (exprs => Xhash60Expr(exprs(0), saltOf(exprs(1)))),
-    "minhash_sig" -> (exprs => MinHashSigAgg(exprs.head).toAggregateExpression()))
+    "minhash_sig" -> (exprs => MinHashSigAgg(exprs.head).toAggregateExpression()),
+    "mg_topk"     -> (exprs => MgTopKAgg(exprs.head).toAggregateExpression()))
 
   /** Imperative registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -527,4 +527,52 @@ object TextAnalysisOps {
        |  FROM scored)
        |SELECT doc_id, term, tf, tfidf, rank FROM ranked
        |WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
+
+  private val TopkRanks = 5
+
+  /** Heavy-hitter tokens per language via the [[graft.functions.MgTopKAgg]]
+    * Misra–Gries sketch, scored IN-QUERY against the exact counts —
+    * the `agg_approx` pattern for approximate operators: raw sketch
+    * counters are merge-tree-dependent and must never be declared, so
+    * the declared columns are the exact top-[[TopkRanks]] tokens plus
+    * two flags that any CORRECT MG state makes deterministically true
+    * (under-estimate bounds contain the exact count; every token
+    * heavier than the error bound is tracked). A broken update/merge
+    * schedule flips a flag and fails the oracle hash.
+    *
+    * Scale shape: the sketch groupBy ships ≤ K counters per language
+    * partial (map-side combined TypedImperativeAggregate); the exact
+    * companion is the scoring harness, not the production path. */
+  def topkSketch(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val sk = tok.groupBy(col("lang"))
+      .agg(graft.functions.MgTopKAgg.mg_topk(col("token")).as("sk"))
+    val exact = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val top = exact
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+      .where(col("rank") <= TopkRanks)
+    val est = coalesce(element_at(col("sk.counts"), col("token")), lit(0L))
+    top.join(sk, Seq("lang"))
+      .select(col("lang"), col("rank"), col("token"), col("n"),
+        (est <= col("n") && col("n") <= est + col("sk.err")).as("bounds_hold"),
+        (est > 0 || col("n") <= col("sk.err")).as("hh_tracked"))
+      .orderBy("lang", "rank")
+  }
+
+  // The oracle computes the exact top-K and asserts the two MG
+  // guarantees as literal TRUE — the sketch side has no SQL replay
+  // (its counters are merge-tree-dependent by design); a wrong
+  // implementation produces a false flag and hash-mismatches.
+  def topkSketchSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${tokensSql("text")}) AS token FROM documents),
+       |exact AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+       |ranked AS (
+       |  SELECT lang, token, n, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n DESC, token) AS rank
+       |  FROM exact)
+       |SELECT lang, rank, token, n, TRUE AS bounds_hold, TRUE AS hh_tracked
+       |FROM ranked WHERE rank <= $TopkRanks ORDER BY lang, rank""".stripMargin
 }

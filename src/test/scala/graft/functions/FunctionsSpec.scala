@@ -68,6 +68,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig.toSeq === expected)
   }
 
+  test("mg_topk upholds MG guarantees for EVERY token under any partitioning") {
+    import spark.implicits._
+    // zipf-ish stream: token "t<i>" appears 200/i times (i = 1..60:
+    // 28 tokens above the K=32 budget, heavy head, long tail), scanned
+    // under 4 different partitionings that change the merge tree
+    val rows = (1 to 60).flatMap(i => Seq.fill(200 / i)(s"t$i"))
+    val truth = rows.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    for (parts <- Seq(1, 2, 7, 32)) {
+      val sk = rows.toDF("token").repartition(parts)
+        .agg(MgTopKAgg.mg_topk(org.apache.spark.sql.functions.col("token")).as("sk"))
+        .select("sk.err", "sk.counts").head()
+      val err = sk.getLong(0)
+      val counts = sk.getMap[String, Long](1).toMap
+      assert(counts.size <= MgTopKAgg.K)
+      assert(err <= rows.size.toLong / (MgTopKAgg.K + 1),
+        s"parts=$parts: err $err above N/(K+1)")
+      truth.foreach { case (t, n) =>
+        val est = counts.getOrElse(t, 0L)
+        assert(est <= n && n <= est + err,
+          s"parts=$parts: bounds violated for $t (est=$est n=$n err=$err)")
+        assert(est > 0 || n <= err,
+          s"parts=$parts: heavy token $t (n=$n > err=$err) not tracked")
+      }
+    }
+  }
+
+  test("mg_topk is SQL-reachable and groups independently") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "token").createOrReplaceTempView("mg_in")
+    val out = spark.sql(
+      "SELECT g, mg_topk(token) AS sk FROM mg_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(out.length === 2)
+    val aCounts = out(0).getStruct(1).getMap[String, Long](1).toMap
+    assert(aCounts === Map("x" -> 2L, "y" -> 1L))
+    assert(out(0).getStruct(1).getLong(0) === 0L, "no evictions, no error")
+  }
+
   test("xhash60 SQL form rejects a non-literal salt") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
