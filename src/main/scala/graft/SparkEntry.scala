@@ -48,6 +48,7 @@ object SparkEntry {
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
     "evt_sessions"     -> (EventOps.sessions _),
+    "evt_overlap"      -> (EventOps.sessionOverlap _),
     "evt_json"         -> (EventOps.jsonExtract _),
     "evt_daily_active" -> (EventOps.dailyActive _),
     "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "stream_hourly"     -> EventOps.hourlySql,
     "stream_sessions"   -> graft.streaming.EventStreams.streamSessionsSql,
     "evt_sessions"      -> EventOps.sessionsSql,
+    "evt_overlap"       -> EventOps.sessionOverlapSql,
     "evt_json"          -> EventOps.jsonExtractSql,
     "evt_daily_active"  -> EventOps.dailyActiveSql,
     "evt_asof"          -> AsOfOps.eventAsOfPurchaseSql,

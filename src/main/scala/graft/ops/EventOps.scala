@@ -59,8 +59,12 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
-  def sessionsSql: String =
-    """WITH evs AS (
+  /** The gap-rule sessionization CTE chain ending in `sessions`
+    * (per-event rows tagged with session_seq) — shared by
+    * [[sessionsSql]] and the interval-join oracle
+    * [[sessionOverlapSql]]. */
+  private def sessionsCteSql: String =
+    """evs AS (
       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
       |    LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
       |  FROM events),
@@ -71,12 +75,76 @@ object EventOps {
       |sessions AS (
       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  def sessionsSql: String =
+    s"""WITH $sessionsCteSql
       |SELECT user_id, session_seq, COUNT(*) AS n_events,
       |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
+
+  private val OverlapBinMs = 3600000L // 1-hour bins for the interval join
+
+  /** Interval (range-overlap) self-join at scale: per-session
+    * concurrency — how many OTHER sessions (any user) overlap each
+    * session in time. Spark has no native interval join, and the
+    * naive formulation (inequality-only join condition) degenerates
+    * to a cartesian product; the scale pattern is BIN + EQUI-JOIN +
+    * exact predicate: each interval explodes to the 1-hour bins it
+    * spans, candidates meet on bin equality (an ordinary shuffled
+    * equi-join, AQE-skew-splittable), the exact overlap predicate
+    * filters, and a distinct collapses pairs that met in several
+    * bins. Bin width is tuned to the median interval so the explode
+    * factor stays small; the DuckDB oracle runs its native IEJoin
+    * over the raw inequality instead — two different algorithms
+    * agreeing on every count.
+    *
+    * Overlap is closed-interval ([s1,e1] ∩ [s2,e2] ≠ ∅ ⇔ s1 ≤ e2 ∧
+    * s2 ≤ e1); a session never counts itself. */
+  def sessionOverlap(spark: SparkSession, d: String): DataFrame = {
+    val s = sessions(spark, d)
+      .select(col("user_id"), col("session_seq"), col("start_ms"), col("end_ms"))
+    val binned = s.withColumn("bin",
+      explode(sequence(expr(s"start_ms div $OverlapBinMs"),
+        expr(s"end_ms div $OverlapBinMs"))))
+    val a = binned.select(col("bin"), col("user_id").as("u1"),
+      col("session_seq").as("q1"), col("start_ms").as("s1"), col("end_ms").as("e1"))
+    val b = binned.select(col("bin"), col("user_id").as("u2"),
+      col("session_seq").as("q2"), col("start_ms").as("s2"), col("end_ms").as("e2"))
+    val pairs = a.join(b, Seq("bin"))
+      .where((col("u1") =!= col("u2") || col("q1") =!= col("q2")) &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("u1"), col("q1"), col("u2"), col("q2")).distinct()
+    val cnt = pairs.groupBy(col("u1").as("user_id"), col("q1").as("session_seq"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    s.join(cnt, Seq("user_id", "session_seq"), "left_outer")
+      .select(col("user_id"), col("session_seq"), col("start_ms"), col("end_ms"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // The oracle expresses the SAME semantics as a raw inequality join
+  // (DuckDB plans an IEJoin) — deliberately NOT the binned rewrite,
+  // so the bin/dedup plumbing is checked against an independent
+  // algorithm, not replayed.
+  def sessionOverlapSql: String =
+    s"""WITH $sessionsCteSql,
+       |s AS (
+       |  SELECT user_id, session_seq, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+       |  FROM sessions GROUP BY user_id, session_seq),
+       |cnt AS (
+       |  SELECT a.user_id, a.session_seq, COUNT(*) AS n_concurrent
+       |  FROM s a JOIN s b
+       |    ON a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+       |   AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+       |  GROUP BY a.user_id, a.session_seq)
+       |SELECT s.user_id, s.session_seq, s.start_ms, s.end_ms,
+       |  COALESCE(c.n_concurrent, 0) AS n_concurrent
+       |FROM s LEFT JOIN cnt c
+       |  ON c.user_id = s.user_id AND c.session_seq = s.session_seq
+       |ORDER BY s.user_id, s.session_seq""".stripMargin
 
   /** Semi-structured extraction: pull `k` out of the JSON `props`
     * column, aggregate per event type. JSON parsing stays inside

@@ -31,4 +31,38 @@ class EventWindowSpec extends AnyFunSuite {
       "2024-01-02" -> ((1L, 3L)),   // day 1 still inside the 7-day frame
       "2024-01-10" -> ((1L, 1L)))) // gap: days 1-2 aged out by RANGE, not row count
   }
+
+  test("evt_overlap: closed-interval semantics, cross-bin sessions, no cartesian plan") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(9, 0), 10L, "click", 1.0, "{}"),   // u10 s1 [9:00, 9:10]
+      (2L, ts(9, 10), 10L, "click", 1.0, "{}"),
+      (3L, ts(13, 0), 10L, "click", 1.0, "{}"),  // u10 s2 [13:00, 13:00]
+      (4L, ts(9, 5), 11L, "click", 1.0, "{}"),   // u11 [9:05, 9:05]
+      (5L, ts(12, 0), 12L, "click", 1.0, "{}"),  // u12 [12:00, 12:00]
+      (6L, ts(9, 10), 13L, "click", 1.0, "{}"),  // u13 [9:10, 9:10] touches u10 s1
+      (7L, ts(9, 55), 14L, "click", 1.0, "{}"),  // u14 [9:55, 10:05] spans 2 bins
+      (8L, ts(10, 5), 14L, "click", 1.0, "{}"),
+      (9L, ts(10, 0), 15L, "click", 1.0, "{}"))  // u15 [10:00, 10:00]
+    val dir = java.nio.file.Files.createTempDirectory("graft-evover").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = EventOps.sessionOverlap(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got === Map(
+      (10L, 1L) -> 2L, // u11 inside + u13 touching the right endpoint
+      (10L, 2L) -> 0L,
+      (11L, 1L) -> 1L,
+      (12L, 1L) -> 0L,
+      (13L, 1L) -> 1L, // closed intervals: endpoint contact IS overlap
+      (14L, 1L) -> 1L, // found via the 10:00 bin; dedup keeps it at 1
+      (15L, 1L) -> 1L))
+    // the whole point of the bin rewrite: candidates meet on an
+    // EQUI-join, never a cartesian/nested-loop expansion
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a product plan:\n$plan")
+  }
 }
