@@ -91,32 +91,32 @@ object EventOps {
     * concurrency — how many OTHER sessions (any user) overlap each
     * session in time. Spark has no native interval join, and the
     * naive formulation (inequality-only join condition) degenerates
-    * to a cartesian product; the scale pattern is BIN + EQUI-JOIN +
-    * exact predicate: each interval explodes to the 1-hour bins it
-    * spans, candidates meet on bin equality (an ordinary shuffled
-    * equi-join, AQE-skew-splittable), the exact overlap predicate
-    * filters, and a distinct collapses pairs that met in several
-    * bins. Bin width is tuned to the median interval so the explode
-    * factor stays small; the DuckDB oracle runs its native IEJoin
-    * over the raw inequality instead — two different algorithms
-    * agreeing on every count.
+    * to a nested-loop over the cross product — so the join is
+    * DECLARED with the [[graft.functions.RangeOverlap]] predicate and
+    * [[graft.plans.RewriteRangeOverlapJoin]] (installed here, once
+    * per session) plans it as the binned equi-join: each interval
+    * explodes to the 1-hour bins it spans, candidates meet on bin
+    * equality (ordinary shuffled equi-join, AQE-skew-splittable),
+    * and the residual filter applies the exact predicate plus the
+    * one-canonical-bin condition, so every overlapping pair survives
+    * exactly once — no distinct pass. The DuckDB oracle runs its
+    * native IEJoin over the raw inequality instead — two different
+    * algorithms agreeing on every count.
     *
     * Overlap is closed-interval ([s1,e1] ∩ [s2,e2] ≠ ∅ ⇔ s1 ≤ e2 ∧
     * s2 ≤ e1); a session never counts itself. */
   def sessionOverlap(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPlans.install(spark)
     val s = sessions(spark, d)
       .select(col("user_id"), col("session_seq"), col("start_ms"), col("end_ms"))
-    val binned = s.withColumn("bin",
-      explode(sequence(expr(s"start_ms div $OverlapBinMs"),
-        expr(s"end_ms div $OverlapBinMs"))))
-    val a = binned.select(col("bin"), col("user_id").as("u1"),
-      col("session_seq").as("q1"), col("start_ms").as("s1"), col("end_ms").as("e1"))
-    val b = binned.select(col("bin"), col("user_id").as("u2"),
-      col("session_seq").as("q2"), col("start_ms").as("s2"), col("end_ms").as("e2"))
-    val pairs = a.join(b, Seq("bin"))
-      .where((col("u1") =!= col("u2") || col("q1") =!= col("q2")) &&
-        col("s1") <= col("e2") && col("s2") <= col("e1"))
-      .select(col("u1"), col("q1"), col("u2"), col("q2")).distinct()
+    val a = s.select(col("user_id").as("u1"), col("session_seq").as("q1"),
+      col("start_ms").as("s1"), col("end_ms").as("e1"))
+    val b = s.select(col("user_id").as("u2"), col("session_seq").as("q2"),
+      col("start_ms").as("s2"), col("end_ms").as("e2"))
+    val pairs = a.join(b,
+      graft.functions.RangeOverlap.range_overlap(
+        col("s1"), col("e1"), col("s2"), col("e2"), OverlapBinMs) &&
+        (col("u1") =!= col("u2") || col("q1") =!= col("q2")))
     val cnt = pairs.groupBy(col("u1").as("user_id"), col("q1").as("session_seq"))
       .agg(count(lit(1)).as("n_concurrent"))
     s.join(cnt, Seq("user_id", "session_seq"), "left_outer")
