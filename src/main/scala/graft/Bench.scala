@@ -65,8 +65,18 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_ONLY (same contract as Verify): builder-side
-    // isolation runs; absent for the driver → every query benches
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // isolation runs; absent OR BLANK for the driver → every query
+    // benches (a blank/empty-segment value must not silently select
+    // zero queries), and a name that matches nothing fails fast
+    // instead of emitting a shorter-than-expected result.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)

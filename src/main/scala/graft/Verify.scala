@@ -17,8 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional name filter for local iteration (comma-separated);
-    // absent for the driver → all queries run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // absent or blank for the driver → all queries run; unknown names
+    // fail fast (same contract as Bench).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val todo = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Queries are independent Spark jobs — run them concurrently so
     // the scheduler keeps all cores busy (single queries rarely do).

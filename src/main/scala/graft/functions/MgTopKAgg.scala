@@ -3,6 +3,7 @@ package graft.functions
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -43,6 +44,16 @@ case class MgTopKAgg(
   extends TypedImperativeAggregate[MgTopKAgg.State] {
 
   import MgTopKAgg._
+
+  // analysis-time typing like the framework's other expressions
+  // (Xhash60Expr style): a non-string child is rejected during
+  // analysis instead of ClassCastException-ing on UTF8String at
+  // execution
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_topk expects a string column, got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): State = new State(mutable.HashMap.empty, 0L)
 

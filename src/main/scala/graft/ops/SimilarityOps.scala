@@ -374,6 +374,14 @@ object SimilarityOps {
     ivfCache.clear()
   }
 
+  /** Test hook: the cache's live entries. Assertions about caching
+    * behavior must target THESE DataFrames (count, identity,
+    * storageLevel), never the context-global persistent-RDD registry —
+    * that registry is shared by every suite on the session and mutates
+    * asynchronously (other ops' caches, the ContextCleaner), which
+    * made the eviction test flake in full-suite runs. */
+  private[graft] def ivfCacheSnapshot: Seq[DataFrame] = ivfCache.values.toSeq
+
   /** Probe against an EXISTING index — the build-once/probe-many path:
     * `centroids` may be the freshly built [[annIvfCentroids]] or the
     * same table read back from storage (SketchSpec proves the parquet

@@ -553,7 +553,12 @@ object TextAnalysisOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
       .where(col("rank") <= TopkRanks)
-    val est = coalesce(element_at(col("sk.counts"), col("token")), lit(0L))
+    // try_element_at, not element_at: Spark 4 runs ANSI mode by
+    // default, where element_at THROWS on a missing map key — and a
+    // top-K token the MG sketch evicted (est = 0) is exactly the case
+    // the hh_tracked flag exists to score, so it must map to 0, not
+    // fail the query on flat token distributions.
+    val est = coalesce(try_element_at(col("sk.counts"), col("token")), lit(0L))
     top.join(sk, Seq("lang"))
       .select(col("lang"), col("rank"), col("token"), col("n"),
         (est <= col("n") && col("n") <= est + col("sk.err")).as("bounds_hold"),

@@ -35,8 +35,24 @@ import graft.functions.RangeOverlap
   */
 object RewriteRangeOverlapJoin extends Rule[LogicalPlan] {
 
+  /** Reserved prefix of the attributes this rule generates. Doubles as
+    * the idempotency marker: in a fixed-point batch shared with
+    * PushDownPredicates (the `injectOptimizerRule` path), the
+    * rewrite's residual Filter — which still contains the RangeOverlap
+    * predicate — gets pushed back into the bin equi-join's condition,
+    * and without a guard the rule would re-fire on its own output
+    * every iteration until the Optimizer aborts on max-iterations.
+    * A join whose inputs already expose `__graft_bin_*` attributes IS
+    * that bin join (the top-level Project prunes them from the
+    * rewrite's output, so no user-visible plan ever carries them), so
+    * it must be left alone. */
+  private val BinPrefix = "__graft_bin_"
+
+  private def isBinJoin(left: LogicalPlan, right: LogicalPlan): Boolean =
+    (left.outputSet ++ right.outputSet).exists(_.name.startsWith(BinPrefix))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
+    case j @ Join(left, right, Inner, Some(cond), _) if !isBinJoin(left, right) =>
       val conjuncts = splitConjuncts(cond)
       val hit = conjuncts.collectFirst {
         case ro: RangeOverlap if orient(ro, left, right).isDefined =>
@@ -83,8 +99,8 @@ object RewriteRangeOverlapJoin extends Rule[LogicalPlan] {
     def binsOf(s: Expression, e: Expression) =
       new Sequence(binStart(s), binStart(e), None, Some(conf.sessionLocalTimeZone))
 
-    val binL = AttributeReference("__graft_bin_l", LongType, nullable = false)()
-    val binR = AttributeReference("__graft_bin_r", LongType, nullable = false)()
+    val binL = AttributeReference(BinPrefix + "l", LongType, nullable = false)()
+    val binR = AttributeReference(BinPrefix + "r", LongType, nullable = false)()
     val genL = Generate(Explode(binsOf(ls, le)), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binL), child = left)
     val genR = Generate(Explode(binsOf(rs, re)), unrequiredChildIndex = Nil,

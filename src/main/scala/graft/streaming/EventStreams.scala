@@ -136,7 +136,11 @@ object EventStreams {
   private def dropStaged(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(p)) {
-      java.nio.file.Files.list(p).forEach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.list holds a directory fd until closed — bench reps call
+      // this repeatedly, so an unclosed stream leaks an fd per call
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
       java.nio.file.Files.deleteIfExists(p)
     }
   }
