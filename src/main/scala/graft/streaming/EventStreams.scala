@@ -26,10 +26,17 @@ object EventStreams {
   private val rawSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING"
 
-  /** File-based event stream from a directory of parquet drops. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  /** File-based event stream from a directory of parquet drops.
+    * `maxFilesPerTrigger` caps files per micro-batch (tests use 1 to
+    * force multi-batch replays; production ingest tunes it to bound
+    * batch size). */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Streaming mirror of EventOps.hourly: tumbling 1-hour windows
     * with a 1-hour watermark. */
@@ -50,24 +57,48 @@ object EventStreams {
       .select(col("user_id"), col("sess.start").as("start_ts"),
         col("sess.end").as("end_ts"), col("n_events"), col("total_value"))
 
+  /** How long a silent user's running-total state survives past their
+    * last event before event-time timeout reaps it. */
+  private val StateHorizonMs: Long = 2L * 60 * 60 * 1000
+
   /** Custom state machine via mapGroupsWithState: running per-user
     * event count + last-seen timestamp — the arbitrary-stateful shape
-    * (KeyValueGroupedDataset) the built-in windows can't express. */
+    * (KeyValueGroupedDataset) the built-in windows can't express.
+    *
+    * State is BOUNDED: EventTimeTimeout against the stream's watermark
+    * reaps any user silent for [[StateHorizonMs]] past their last
+    * event (the timed-out group emits its final totals once, then its
+    * state is removed) — on an unbounded stream the state store holds
+    * only users active inside the horizon, never all users ever seen. */
   def userRunningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    case class UserState(n: Long, total: Double, lastMs: Long)
-    val typed = events.select(col("user_id").as("uid"),
+    // the watermarked ts column must survive into the stateful op's
+    // input (Spark's streaming checker looks for the watermark tag on
+    // the child's OUTPUT — a unix_millis projection strips it)
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("uid"), col("ts"),
         unix_millis(col("ts")).as("ms"), col("value"))
-      .as[(Long, Long, Double)]
+      .as[(Long, java.sql.Timestamp, Long, Double)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[(Long, Double, Long)]) =>
-          val prev = state.getOption.getOrElse((0L, 0.0, 0L))
-          val (n, total, last) = rows.foldLeft(prev) { case ((c, t, l), (_, ms, v)) =>
-            (c + 1, t + v, math.max(l, ms))
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no new events: emit the final totals
+            // and drop the state row
+            val (n, total, last) = state.get
+            state.remove()
+            (uid, n, total, last)
+          } else {
+            val prev = state.getOption.getOrElse((0L, 0.0, 0L))
+            val (n, total, last) = rows.foldLeft(prev) { case ((c, t, l), (_, _, ms, v)) =>
+              (c + 1, t + v, math.max(l, ms))
+            }
+            state.update((n, total, last))
+            state.setTimeoutTimestamp(last + StateHorizonMs)
+            (uid, n, total, last)
           }
-          state.update((n, total, last))
-          (uid, n, total, last)
       }
       .toDF("user_id", "n_events", "total_value", "last_ms")
   }
@@ -160,12 +191,20 @@ object EventStreams {
     * previous event is ≥ 30 min; window end = last event + 30 min),
     * which differs from the batch EventOps.sessions ms-precision `>`
     * rule only on exact-30:00.000 ties — none exist in the
-    * ns-granular driver data (checked at every SF). */
+    * ns-granular driver data (checked at every SF).
+    *
+    * Scale-safe sink: the (user × session) result cardinality grows
+    * linearly with the data, so the result lands in a PARQUET sink via
+    * [[runToParquetSink]] (executors write it distributed; the driver
+    * never materializes a row) — unlike the naturally-bounded
+    * [[streamHourly]], a Complete-mode memory sink here would
+    * accumulate every session in driver memory (~10M rows at 100×
+    * sf0.1), the classic driver-OOM scale ceiling. */
   def streamSessions(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-sessions", n)
-    try runToMemory(spark, sessionAgg(readEvents(spark, staged)),
-      s"graft_stream_sessions_$n")
+    try runToParquetSink(spark, sessionAgg(readEvents(spark, staged)),
+      "stream_sessions")
       .orderBy("user_id", "start_ts")
     finally dropStaged(staged)
   }
@@ -196,7 +235,11 @@ object EventStreams {
       |ORDER BY user_id, start_ts""".stripMargin
 
   /** Run a streaming DataFrame to completion against a static input
-    * (file stream) and return the result via a memory sink. */
+    * (file stream) and return the result via a memory sink. Memory
+    * sinks materialize every result row IN DRIVER MEMORY — only use
+    * this where the result cardinality is structurally bounded
+    * (hours × event types, a test's crafted corpus); unbounded-result
+    * queries go through [[runToParquetSink]]. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q: StreamingQuery = df.writeStream
@@ -207,5 +250,46 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  // last parquet sink dir per query tag: repeated calls (bench
+  // warmup + two passes) must not accumulate result dirs in /tmp, so
+  // each call reaps the predecessor AFTER its own sink is written
+  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
+
+  /** Run a streaming DataFrame to completion and land each batch's
+    * (Complete-mode) result in a parquet sink via foreachBatch — the
+    * executors write the result DISTRIBUTED and the final batch's
+    * overwrite wins, so no result row ever crosses the driver; the
+    * returned DataFrame reads the sink back lazily. This is the
+    * scale path for unbounded-cardinality streaming results: state
+    * lives partitioned in the executors' state stores, results live
+    * in the sink's storage, and driver memory holds neither. */
+  def runToParquetSink(spark: SparkSession, df: DataFrame, tag: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"graft-sink-$tag-$n").toString
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val prev = lastSink.put(tag, sink)
+    if (prev != null && prev != sink) deleteRecursively(prev)
+    spark.read.parquet(sink)
   }
 }

@@ -145,12 +145,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("parquet-sink streaming sessions equal the memory-sink result (scale-safe path)") {
+    // streamSessions routes through runToParquetSink (executors write
+    // the result; the driver holds no rows) — it must produce exactly
+    // the rows the memory-sink harness produced
+    val got = EventStreams.streamSessions(spark, sf)
+    val want = EventStreams.runToMemory(spark,
+      EventStreams.sessionAgg(EventStreams.readEvents(spark, eventsStreamDir)),
+      "sess_parity_out")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("EventTimeTimeout reaps a silent user's running-total state past the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val in = Files.createTempDirectory("graft-timeout-in")
+    val t0 = 1700000000000000000L // ns
+    val hourNs = 3600L * 1000000000L
+    def writeDrop(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    // drop 1: user 1 at t0 and t0+10min; drop 2 (4h later): user 2 only.
+    // With maxFilesPerTrigger=1 the drops replay as separate batches:
+    // after batch 2 the watermark (t0+3h) passes user 1's timeout
+    // (last event + 2h horizon), so the final no-data batch emits
+    // user 1's totals once and removes the state row.
+    writeDrop(Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"),
+      (2L, t0 + hourNs / 6, 1L, "click", 2.0, "{}")))
+    writeDrop(Seq((3L, t0 + 4 * hourNs, 2L, "view", 5.0, "{}")))
+    val stream = EventStreams.readEvents(spark, in.toString, maxFilesPerTrigger = Some(1))
+    val q = EventStreams.userRunningTotals(spark, stream)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("timeout_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finalState = q.recentProgress.flatMap(_.stateOperators).last.numRowsTotal
+    assert(finalState === 1L,
+      s"user 1's state must be reaped past the horizon (state rows: $finalState)")
+    val out = spark.table("timeout_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // user 1 appears twice — the live update and the timeout's final
+    // emission — with identical totals; user 2 once
+    assert(out.count(_._1 == 1L) === 2)
+    assert(out.filter(_._1 == 1L).toSet === Set((1L, 2L, 3.0)))
+    assert(out.filter(_._1 == 2L) === Seq((2L, 1L, 5.0)))
+  }
+
   test("mapGroupsWithState running totals match batch per-user counts") {
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
     val got = EventStreams.userRunningTotals(spark, stream)
+    // distinct: a user whose timeout lands inside the replayed horizon
+    // emits a SECOND (identical-totals) row when reaped — dedupe the
+    // final-state duplicates, then the totals must equal the batch agg
     val res = EventStreams.runToMemory(spark, got.toDF(), "state_out",
       org.apache.spark.sql.streaming.OutputMode.Update())
-      .select("user_id", "n_events")
+      .select("user_id", "n_events").distinct()
     val want = graft.Tables.events(spark, sf)
       .groupBy(col("user_id")).agg(count("*").as("n_events"))
     assert(res.exceptAll(want).isEmpty && want.exceptAll(res).isEmpty)
