@@ -90,23 +90,47 @@ object GraphOps {
     * high-degree node is a false bridge created by an over-eager
     * band (the thing a minhash-threshold tuning pass looks for).
     *
-    * Shape: triangles enumerate via the standard ordered two-join
-    * (a<b<c — each triangle counted exactly once, no orientation
-    * blow-up); per-node counts come from one explode + count. The
-    * coefficient is a single double division of exact integers
-    * (2·T / deg·(deg−1)) — both engines divide the same two BIGINTs,
-    * so no quantization is needed. */
+    * Shape: triangles enumerate via the DEGREE-ORDERED two-join —
+    * each undirected edge is oriented from its lower-(deg, id)
+    * endpoint to the higher, a total order, so every triangle is
+    * enumerated exactly once (as its unique x→y→z orientation) AND
+    * the candidate-path join is hub-proof: a degree-D node has ≤ the
+    * number of HIGHER-degree neighbors as out-edges (O(√m) on any
+    * graph), so a celebrity node contributes O(√m²)=O(m) candidate
+    * paths instead of the O(D²) an id-ordered join can hit when the
+    * hub happens to get a low id. Per-node counts come from one
+    * explode + count. The coefficient is a single double division of
+    * exact integers (2·T / deg·(deg−1)) — both engines divide the
+    * same two BIGINTs, so no quantization is needed. */
   def triangles(spark: SparkSession, d: String): DataFrame =
     trianglesOnPairs(cachedPairs(spark, d))
+
+  /** The degree-oriented edge list (lo → hi by (deg, id)) — exposed
+    * for ScaleStressSpec's planted-hub candidate-count assertion. */
+  private[ops] def orientedEdges(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val isLower = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("d1") < col("d2"))
+    pairs
+      .join(deg.select(col("doc_id").as("d1"), col("deg").as("deg1")), Seq("d1"))
+      .join(deg.select(col("doc_id").as("d2"), col("deg").as("deg2")), Seq("d2"))
+      .select(
+        when(isLower, col("d1")).otherwise(col("d2")).as("lo"),
+        when(isLower, col("d2")).otherwise(col("d1")).as("hi"))
+  }
 
   private[ops] def trianglesOnPairs(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.localCheckpoint(false) // (d1 < d2) by upstream construction
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
-    val tri = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .join(pairs.select(col("d1").as("b"), col("d2").as("c")), Seq("b"))
-      .join(pairs.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+    // materialize the oriented list once: the two-join reads it thrice
+    val ord = orientedEdges(pairs).localCheckpoint(false)
+    val tri = ord.select(col("lo").as("a"), col("hi").as("b"))
+      .join(ord.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .join(ord.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
     val cnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
     deg.join(cnt, Seq("doc_id"), "left_outer")

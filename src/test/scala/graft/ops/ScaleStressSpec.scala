@@ -136,6 +136,32 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("degree-ordered triangle join is hub-proof: planted star yields zero candidate paths") {
+    // A 1000-spoke star whose hub gets the LOWEST id is the id-ordered
+    // enumeration's worst case: every edge is (hub, spoke) with
+    // hub < spoke, so the a<b<c path join pivots on the hub and
+    // generates deg² ≈ 10⁶ candidate (spoke, spoke) pairs — at a
+    // 100×-scale celebrity node that's the quadratic blowup. The
+    // degree orientation points every edge spoke→hub (spokes: deg 1;
+    // hub: deg 1000), so no node has 2 out-edges and the candidate
+    // path join is EMPTY. Correctness is unchanged: a star has no
+    // triangles, and the mixed-shape goldens in GraphSpec pin counts.
+    import spark.implicits._
+    val star = (1L to 1000L).map(s => (0L, s)).toDF("d1", "d2")
+    val ord = GraphOps.orientedEdges(star)
+    // every oriented edge leaves a spoke and enters the hub
+    assert(ord.where(col("lo") === 0L).count() === 0L, "hub must have no out-edges")
+    val candidates = ord.select(col("lo").as("a"), col("hi").as("b"))
+      .join(ord.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+      .count()
+    assert(candidates === 0L,
+      s"star candidate paths must be 0 under degree ordering, got $candidates")
+    // and the full operator still answers correctly on the star
+    val rows = GraphOps.trianglesOnPairs(star).collect()
+    assert(rows.length === 1001)
+    assert(rows.forall(_.getAs[Long]("n_tri") === 0L), "a star has no triangles")
+  }
+
   test("dedup_minhash / text_lang_ngram / q3 runtime grows ≲ linearly at ×8 data") {
     // Warm each op once ON EACH dir (janino codegen for these large
     // pipelines is seconds; the first ×8 read also pays cold page
