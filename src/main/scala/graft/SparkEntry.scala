@@ -108,12 +108,13 @@ object SparkEntry {
     "score_dsir"   -> (CurationOps.scoreDsir _),
     "score_ppl"    -> (CurationOps.scorePerplexity _),
     "curate_pipeline" -> (CurationOps.curatePipeline _),
-    // Multimodal binary-column plumbing (real WAV decode; image/video
-    // decode stubbed — see graft.multimodal)
+    // Multimodal binary-column plumbing (real WAV/BMP/PNG/JPEG/AVI
+    // decode; MP3/H.264 stubbed — see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
     "mm_bmp"      -> (MultimodalOps.mmBmp _),
     "mm_png"      -> (MultimodalOps.mmPng _),
+    "mm_jpeg"     -> (MultimodalOps.mmJpeg _),
     "mm_avi"      -> (MultimodalOps.mmAvi _),
   )
 
@@ -206,6 +207,7 @@ object SparkEntry {
     "mm_wav"           -> MultimodalOps.mmWavSql,
     "mm_bmp"           -> MultimodalOps.mmBmpSql,
     "mm_png"           -> MultimodalOps.mmPngSql,
+    "mm_jpeg"          -> MultimodalOps.mmJpegSql,
     "mm_avi"           -> MultimodalOps.mmAviSql,
   )
 }

@@ -328,6 +328,77 @@ object MultimodalOps {
       |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
+  // JPEG roundtrip tolerances (quality 0.9, grayscale sources): any
+  // correct JPEG implementation lands far inside these — luma DCT
+  // quantization at q=0.9 is a few units per sample even on
+  // noise-like content; the flags are the agg_approx-style declarable
+  // invariants of a LOSSY codec. Bounds carry ≥2× margin over the
+  // worst case observed across the sf tables.
+  private val JpegMeanTol = 8.0
+  private val JpegPeakTol = 96
+  private val JpegDcTol = 4.0
+
+  /** Real JPEG payloads for the corpus's image assets — the LOSSY
+    * compressed format ([[JpegCodec]], JDK ImageIO): dims keyed on
+    * doc_id, grayscale luma cycled from the document text. The source
+    * raster rides along (gray_src) as the in-query scoring companion,
+    * the way agg_approx carries its exact aggregates. */
+  def jpegAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (8 + (id * 3) % 96).toInt
+          val h = (1 + id % 13).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val gray = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+          (id, JpegCodec.encode(w, h, gray), gray)
+        }
+      }.toDF("asset_id", "jpeg", "gray_src")
+  }
+
+  /** Declared query: decode REAL lossy JPEG bytes and score the
+    * roundtrip in-query against the deterministic source raster —
+    * exact header metadata (dims parsed from the JPEG) plus
+    * within-tolerance flags for mean/peak/DC error that hold for any
+    * correct encoder+decoder at the fixed quality. The oracle
+    * recomputes the metadata from the generation arithmetic and
+    * asserts the flags as literal TRUE (the compressed bytes and the
+    * exact error values are encoder-dependent and deliberately NOT
+    * declared; MultimodalSpec bounds them instead). */
+  def mmJpeg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = jpegAssets(spark, d)
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = JpegCodec // per-partition codec handle
+        rows.map { case (id, jpeg, gray) =>
+          val img = codec.decode(jpeg)
+          val (mae, peak, dc) = codec.errorStats(gray, img)
+          (id, img.getWidth.toLong, img.getHeight.toLong,
+            img.getWidth.toLong * img.getHeight,
+            mae <= JpegMeanTol, peak <= JpegPeakTol, dc <= JpegDcTol)
+        }
+      }
+    decoded.toDF("asset_id", "width", "height", "n_px",
+      "mae_ok", "peak_ok", "dc_ok")
+      .orderBy("asset_id")
+  }
+
+  // Metadata mirror of the generation arithmetic; the three flags are
+  // literal TRUE — a broken DCT path, quantization table, or chroma
+  // handling flips one on Spark's side and hash-mismatches. Nothing
+  // here knows JPEG.
+  def mmJpegSql: String =
+    """SELECT doc_id AS asset_id,
+      |  8 + (doc_id * 3) % 96 AS width,
+      |  1 + doc_id % 13 AS height,
+      |  (8 + (doc_id * 3) % 96) * (1 + doc_id % 13) AS n_px,
+      |  TRUE AS mae_ok, TRUE AS peak_ok, TRUE AS dc_ok
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin
+
   private val FrameRates = Array((30, 1, 33333), (25, 1, 40000), (24, 1, 41667))
 
   /** Real AVI payloads for the corpus's video assets: frame rate and

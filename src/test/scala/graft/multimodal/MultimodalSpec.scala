@@ -311,6 +311,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JpegCodec is a real lossy codec: bounded error, actual compression, JFIF magic") {
+    val rnd = new scala.util.Random(1234)
+    for ((w, h) <- Seq((8, 8), (96, 13), (64, 1), (33, 7))) {
+      val gray = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val jpeg = JpegCodec.encode(w, h, gray)
+      // SOI marker FF D8: it's really a JPEG stream
+      assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+        s"$w x $h: not a JPEG")
+      val img = JpegCodec.decode(jpeg)
+      assert(img.getWidth === w && img.getHeight === h)
+      val (mae, peak, dc) = JpegCodec.errorStats(gray, img)
+      // noise-like grayscale at q=0.9: small mean error, bounded peak
+      // (declared tolerances are 8.0 / 96 / 4.0 with >=2x margin)
+      assert(mae <= 4.0, s"$w x $h: mae $mae")
+      assert(peak <= 64, s"$w x $h: peak $peak")
+      assert(dc <= 2.0, s"$w x $h: dc drift $dc")
+    }
+    // lossy compression evidence: a flat image compresses far below
+    // raw, and the roundtrip of a flat image is (near-)exact
+    val flatGray = Array.fill[Byte](100 * 100)(55)
+    val flat = JpegCodec.encode(100, 100, flatGray)
+    assert(flat.length < 100 * 100 / 4,
+      s"flat 100x100 JPEG should compress >4x vs 1Bpp raw, got ${flat.length}")
+    val (fmae, fpeak, _) = JpegCodec.errorStats(flatGray, JpegCodec.decode(flat))
+    assert(fmae <= 0.5 && fpeak <= 8, s"flat roundtrip mae=$fmae peak=$fpeak")
+  }
+
+  test("mm_jpeg decodes real lossy JPEGs: exact metadata, all tolerance flags true") {
+    val nImages = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 0).count()
+    val rows = MultimodalOps.mmJpeg(spark, sf).collect()
+    assert(rows.length === nImages && rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h) = ((8 + (id * 3) % 96).toInt, (1 + id % 13).toInt)
+      assert(r.getAs[Long]("width") === w.toLong, s"doc $id")
+      assert(r.getAs[Long]("height") === h.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_px") === w.toLong * h, s"doc $id")
+      assert(r.getAs[Boolean]("mae_ok"), s"doc $id: mean error out of tolerance")
+      assert(r.getAs[Boolean]("peak_ok"), s"doc $id: peak error out of tolerance")
+      assert(r.getAs[Boolean]("dc_ok"), s"doc $id: DC drift out of tolerance")
+    }
+  }
+
   test("frame sampling respects stride and cap") {
     val d = MultimodalOps.StubCodec.decode(Array.fill[Byte](100)(1))
     val frames = MultimodalOps.StubCodec.sampleFrames(d, 4, 8)
