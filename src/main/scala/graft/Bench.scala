@@ -91,12 +91,26 @@ object Bench {
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // drop the warmup pass's cached artifacts (keyed per dir, so the
+    // sfDir entries don't exist yet — this just frees sf0.001 state)
+    graft.ops.GraphOps.evictPairCache()
+    graft.ops.SimilarityOps.evictIvfCache()
+
     val cpu0 = osBean.getProcessCpuTime
     val wall0 = System.nanoTime()
     // two timed passes, per-query minimum: the box is shared (driver
     // jobs run periodically), and min-of-2 reports steady-state cost
     // instead of whatever transient contention one pass hits
     val p1 = timedPass(spark, ordered, sfDir)
+    // cold-build honesty: the build-once caches (minhash pair graph,
+    // IVF centroids) are evicted BETWEEN passes, so min-of-2 reports a
+    // cold build + probe for the first query in name order that builds
+    // each cache (graph_pagerank, dedup_semantic) rather than pass-2's
+    // warm probe; later queries sharing the cache within a pass
+    // (graph_triangles, sim_ann_ivf) still measure the intended
+    // build-once/probe-many pipeline shape
+    graft.ops.GraphOps.evictPairCache()
+    graft.ops.SimilarityOps.evictIvfCache()
     val p2 = timedPass(spark, ordered, sfDir)
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9

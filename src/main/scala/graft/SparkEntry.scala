@@ -60,6 +60,8 @@ object SparkEntry {
     // pipeline driven to completion; oracle = the batch twin SQL
     "stream_hourly"    -> (graft.streaming.EventStreams.streamHourly _),
     "stream_sessions"  -> (graft.streaming.EventStreams.streamSessions _),
+    "stream_dedup"     -> (graft.streaming.EventStreams.streamDedup _),
+    "stream_attribution" -> (graft.streaming.EventStreams.streamAttribution _),
     // Deduplication suite (training-data pipeline extensions)
     "dedup_exact"         -> (DedupOps.dedupExact _),
     "dedup_minhash"       -> (DedupOps.dedupMinhash _),
@@ -150,6 +152,8 @@ object SparkEntry {
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,
     "stream_sessions"   -> graft.streaming.EventStreams.streamSessionsSql,
+    "stream_dedup"      -> graft.streaming.EventStreams.streamDedupSql,
+    "stream_attribution" -> graft.streaming.EventStreams.streamAttributionSql,
     "evt_sessions"      -> EventOps.sessionsSql,
     "evt_overlap"       -> EventOps.sessionOverlapSql,
     "evt_json"          -> EventOps.jsonExtractSql,

@@ -153,11 +153,14 @@ object EventStreams {
     * the sf tables are single parquet FILES and a file-stream source
     * needs a directory (in production the ingest dir IS the landing
     * directory). */
-  private def stageEventsDrop(d: String, tag: String, n: Long): String = {
+  private def stageEventsDrop(d: String, tag: String, n: Long,
+      copies: Int = 1): String = {
     val drop = java.nio.file.Files.createTempDirectory(s"graft-$tag-$n")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(d, "events.parquet"),
-      drop.resolve("drop1.parquet"))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"),
+        drop.resolve(s"drop$i.parquet"))
+    }
     drop.toString
   }
 
@@ -208,6 +211,62 @@ object EventStreams {
       .orderBy("user_id", "start_ts")
     finally dropStaged(staged)
   }
+
+  /** Streaming exact dedup under the hash gate: the events table
+    * staged as TWO identical drops, replayed as SEPARATE micro-batches
+    * (`maxFilesPerTrigger = 1`), so the watermark-bounded
+    * dropDuplicates state must carry across batches — batch 2's rows
+    * are either deduped against retained state or dropped as late
+    * (older than the post-batch-1 watermark), and the declared result
+    * is exactly the distinct events table. Append mode, parquet sink:
+    * rows emit on first sight, nothing driver-side. */
+  def streamDedup(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val staged = stageEventsDrop(d, "stream-dedup", n, copies = 2)
+    try runToParquetSink(spark,
+      dedupedEvents(readEvents(spark, staged, maxFilesPerTrigger = Some(1)))
+        .select("event_id", "user_id", "event_type", "value"),
+      "stream_dedup", OutputMode.Append())
+      .orderBy("event_id")
+    finally dropStaged(staged)
+  }
+
+  // event_ids are unique in the driver data (checked at every SF), so
+  // the deduped double-replay is exactly the events table
+  def streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** The stream-stream [[attribution]] join under the hash gate:
+    * click→purchase matching with event-time range bounds and
+    * watermarks on both sides (the state-expiry contract that keeps a
+    * stream-stream join viable on unbounded input). Inner join ⇒
+    * Append mode; parquet sink. */
+  def streamAttribution(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val staged = stageEventsDrop(d, "stream-attr", n)
+    try runToParquetSink(spark, attribution(readEvents(spark, staged)),
+      "stream_attribution", OutputMode.Append())
+      .orderBy("user_id", "click_id", "purchase_id")
+    finally dropStaged(staged)
+  }
+
+  // epoch_us arithmetic on both sides mirrors Spark's µs timestamp
+  // semantics exactly (the streamSessionsSql precision discipline);
+  // 3600000000 µs = the 1-hour attribution window
+  def streamAttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us,
+      |    value AS amount
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id,
+      |  make_timestamp(p.p_us) AS p_ts, p.amount
+      |FROM c JOIN p ON p.user_id = c.user_id
+      |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   // epoch_us/make_timestamp keep the full µs precision Spark's
   // session_window computes with (epoch_ms would truncate: ~10% of the
@@ -280,10 +339,15 @@ object EventStreams {
     val n = sinkSeq.incrementAndGet()
     val sink = java.nio.file.Files
       .createTempDirectory(s"graft-sink-$tag-$n").toString
+    // Complete mode hands every batch the FULL result → the last
+    // overwrite wins; Append/Update hand only the batch's delta → each
+    // batch appends (an empty no-data batch must not wipe the sink)
+    val saveMode =
+      if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q: StreamingQuery = df.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(sink)
+        batch.write.mode(saveMode).parquet(sink)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -145,6 +145,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("declared stream_dedup carries dedup state across micro-batches") {
+    // the declared query replays the table twice in SEPARATE batches
+    // (maxFilesPerTrigger=1): batch 2 must contribute nothing
+    val got = EventStreams.streamDedup(spark, sf)
+    val want = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(got.count() === want.count(), "double replay must dedupe to one copy")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("declared stream_attribution equals the batch click->purchase join") {
+    val got = EventStreams.streamAttribution(spark, sf).drop("p_ts")
+    val ev = graft.Tables.events(spark, sf)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+    val want = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id", "amount")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("parquet-sink streaming sessions equal the memory-sink result (scale-safe path)") {
     // streamSessions routes through runToParquetSink (executors write
     // the result; the driver holds no rows) — it must produce exactly
