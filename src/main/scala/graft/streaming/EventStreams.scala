@@ -141,6 +141,31 @@ object EventStreams {
   // repeated calls (bench reps) can never collide on a catalog slot
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Shuffle/state partition count for the declared streaming runs.
+    * Stateful operators pay a fixed per-partition per-batch state-store
+    * cost (snapshot, maintenance, the no-data cleanup batch — a
+    * stream-stream join keeps FOUR stores per partition), so the
+    * harness's 100k-row replays run with 8 state partitions instead of
+    * inheriting the batch session's 32: measured 2× on
+    * stream_attribution with identical results (state is hash-keyed;
+    * results are partition-count-independent, and the decimal-sum
+    * aggregates keep them bit-stable). At production scale this is the
+    * knob you SIZE UP with input rate — state partition count is fixed
+    * at first start by spark.sql.shuffle.partitions. */
+  private val StreamShufflePartitions = 8
+
+  /** A per-run session clone for a declared streaming query: streaming
+    * conf (state partition count) must not leak into the shared batch
+    * session, and a streaming query snapshots its session's conf at
+    * START — so each run gets its own `newSession` (shared
+    * SparkContext/catalog-state, independent conf; the builder's
+    * initial options — timezone, nanosAsLong — are re-applied). */
+  private def streamingSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    s
+  }
+
   /** The watermark-windowed [[hourlyAgg]] pipeline DRIVEN to
     * completion over the dir's events table as a file stream — the
     * declared-query face of the streaming surface, putting Structured
@@ -182,7 +207,8 @@ object EventStreams {
   def streamHourly(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-hourly", n)
-    try runToMemory(spark, hourlyAgg(readEvents(spark, staged)),
+    val ss = streamingSession(spark)
+    try runToMemory(ss, hourlyAgg(readEvents(ss, staged)),
       s"graft_stream_hourly_$n")
       .orderBy("hr", "event_type")
     finally dropStaged(staged)
@@ -206,7 +232,8 @@ object EventStreams {
   def streamSessions(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-sessions", n)
-    try runToParquetSink(spark, sessionAgg(readEvents(spark, staged)),
+    val ss = streamingSession(spark)
+    try runToParquetSink(ss, sessionAgg(readEvents(ss, staged)),
       "stream_sessions")
       .orderBy("user_id", "start_ts")
     finally dropStaged(staged)
@@ -223,8 +250,9 @@ object EventStreams {
   def streamDedup(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-dedup", n, copies = 2)
-    try runToParquetSink(spark,
-      dedupedEvents(readEvents(spark, staged, maxFilesPerTrigger = Some(1)))
+    val ss = streamingSession(spark)
+    try runToParquetSink(ss,
+      dedupedEvents(readEvents(ss, staged, maxFilesPerTrigger = Some(1)))
         .select("event_id", "user_id", "event_type", "value"),
       "stream_dedup", OutputMode.Append())
       .orderBy("event_id")
@@ -245,7 +273,8 @@ object EventStreams {
   def streamAttribution(spark: SparkSession, d: String): DataFrame = {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-attr", n)
-    try runToParquetSink(spark, attribution(readEvents(spark, staged)),
+    val ss = streamingSession(spark)
+    try runToParquetSink(ss, attribution(readEvents(ss, staged)),
       "stream_attribution", OutputMode.Append())
       .orderBy("user_id", "click_id", "purchase_id")
     finally dropStaged(staged)

@@ -33,19 +33,31 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = "/root/testdata/sf0.1"
-    val queries: Seq[(String, () => Unit)] = Seq(
-      "dedup_minhash" -> (() => { graft.ops.DedupOps.dedupMinhash(spark, sf1).count(); () }),
-      "dedup_clusters" -> (() => { graft.ops.DedupOps.dedupClusters(spark, sf1).count(); () }),
-      "q3_top_revenue" -> (() => { graft.ops.RelationalOps.q3TopRevenue(spark, sf1).count(); () }),
-      "decontaminate" -> (() => { graft.ops.TrainingPrepOps.decontaminate(spark, sf1).count(); () }))
-    for ((name, run) <- queries) {
-      run() // warm
-      for (i <- 1 to 3) {
-        val g0 = gcMs
-        time(s"$name pass $i")(run())
-        println(s"[probe]   gc delta: ${gcMs - g0} ms")
+    // round-7 probe: where do stream_attribution's seconds go?
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        println(s"[probe] query started ${e.id}")
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[probe] batch ${p.batchId}: rows=${p.numInputRows} " +
+          s"durations=${p.durationMs} stateRows=" +
+          p.stateOperators.map(_.numRowsTotal).mkString(","))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        println(s"[probe] query terminated")
+    })
+    (1 to 2).foreach { i =>
+      time(s"stream_attribution pass $i") {
+        graft.streaming.EventStreams.streamAttribution(spark, sf1).count()
       }
     }
+    (1 to 2).foreach { i =>
+      time(s"stream_sessions pass $i") {
+        graft.streaming.EventStreams.streamSessions(spark, sf1).count()
+      }
+    }
+    Thread.sleep(2000)
     spark.stop()
   }
 }
