@@ -56,6 +56,7 @@ object SparkEntry {
     "evt_retention"    -> (EventOps.retention _),
     "evt_rolling"      -> (EventOps.rolling7d _),
     "evt_dow_profile"  -> (EventOps.dowProfile _),
+    "evt_prune"        -> (EventOps.prunedWindow _),
     // Structured Streaming under the hash gate: the watermark-window
     // pipeline driven to completion; oracle = the batch twin SQL
     "stream_hourly"    -> (graft.streaming.EventStreams.streamHourly _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "evt_retention"     -> EventOps.retentionSql,
     "evt_rolling"       -> EventOps.rolling7dSql,
     "evt_dow_profile"   -> EventOps.dowProfileSql,
+    "evt_prune"         -> EventOps.prunedWindowSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "graph_pagerank"      -> GraphOps.pagerankSql,

@@ -215,6 +215,27 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Partition-pruned week-window aggregate over the DATE-PARTITIONED
+    * events layout ([[graft.sources.PartitionedTables.eventsByDay]]):
+    * the literal date range reaches the scan as a PARTITION filter, so
+    * only 7 of the 30 `event_date=` directories are even listed — the
+    * 100 TB-critical behavior a single-file table can't exhibit
+    * (PlanSpec pins PartitionFilters + the 7-file scan). The oracle
+    * replays the same window off the raw events table. */
+  def prunedWindow(spark: SparkSession, d: String): DataFrame =
+    graft.sources.PartitionedTables.eventsByDay(spark, d)
+      .where(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
+  def prunedWindowSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Day-of-week × hour-of-day activity profile — the calendar-grid
     * aggregation behind "when is traffic" dashboards, exercising the
     * calendar extraction functions (dayofweek/hour) the rest of the
