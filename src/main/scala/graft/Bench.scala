@@ -57,6 +57,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // unique warehouse per JVM: managed-table staging (join_bucketed)
+      // would otherwise hit LOCATION_ALREADY_EXISTS on the next run --
+      // the in-memory catalog forgets tables, the directory persists
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

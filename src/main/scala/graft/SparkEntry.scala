@@ -44,6 +44,7 @@ object SparkEntry {
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
     "join_full_outer"   -> (RelationalOps.fullOuterNation _),
+    "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
+    "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

@@ -37,6 +37,50 @@ object ScaleOps {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  // One bucketed (orders, lineitem) table pair per (session, sf-dir) —
+  // the layout is a property of the table (the PartitionedTables /
+  // IVF-cache keying); the declared query pays the exchange-free join,
+  // which is the point.
+  private val bucketedStage =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  private def stagedOrderTables(spark: SparkSession, d: String): (String, String) =
+    bucketedStage.getOrElseUpdate((System.identityHashCode(spark), d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val ot = s"graft_bkt_orders_$tag"
+      val lt = s"graft_bkt_lineitem_$tag"
+      writeBucketed(graft.Tables.orders(spark, d), ot, "o_orderkey", 8)
+      writeBucketed(graft.Tables.lineitem(spark, d), lt, "l_orderkey", 8)
+      (ot, lt)
+    })
+
+  /** Declared-query face of the bucketed layout: orders ⋈ lineitem on
+    * the order key over tables bucketed (and sorted) by their join
+    * keys with matching bucket counts — the join reads co-partitioned
+    * buckets and plans WITHOUT a shuffle exchange on either side
+    * (PlanSpec pins it), the co-located fact⋈fact join that at 100 TB
+    * replaces the two largest shuffles in the plan. Only the final
+    * small groupBy(status) aggregation exchanges. */
+  def bucketedOrderStats(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.OpsUtil.dsum
+    val (ot, lt) = stagedOrderTables(spark, d)
+    // merge hint: at production scale neither fact side is
+    // broadcastable, so SMJ is the real plan — the hint keeps the
+    // harness (tiny SF, where the optimizer would broadcast orders)
+    // planning the same co-located bucket join the layout exists for
+    spark.table(ot).hint("merge").join(spark.table(lt),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  def bucketedOrderStatsSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Write a fact table hive-partitioned by a derived date column —
     * the 100 TB layout for time-series facts: queries filtering on
     * the partition column scan only matching directories (partition

@@ -33,31 +33,18 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = "/root/testdata/sf0.1"
-    // round-7 probe: where do stream_attribution's seconds go?
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit =
-        println(s"[probe] query started ${e.id}")
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        println(s"[probe] batch ${p.batchId}: rows=${p.numInputRows} " +
-          s"durations=${p.durationMs} stateRows=" +
-          p.stateOperators.map(_.numRowsTotal).mkString(","))
-      }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        println(s"[probe] query terminated")
-    })
-    (1 to 2).foreach { i =>
-      time(s"stream_attribution pass $i") {
-        graft.streaming.EventStreams.streamAttribution(spark, sf1).count()
+    // round-7 probe: dedup_clusters cost split — pair build vs CC rounds
+    (1 to 3).foreach { i =>
+      time(s"dedup_minhash pass $i") {
+        graft.ops.DedupOps.dedupMinhash(spark, sf1).count()
       }
     }
-    (1 to 2).foreach { i =>
-      time(s"stream_sessions pass $i") {
-        graft.streaming.EventStreams.streamSessions(spark, sf1).count()
+    (1 to 3).foreach { i =>
+      time(s"dedup_clusters pass $i") {
+        graft.ops.DedupOps.dedupClusters(spark, sf1).count()
       }
     }
-    Thread.sleep(2000)
+    println(s"[probe] gc total ${gcMs} ms")
     spark.stop()
   }
 }

@@ -50,6 +50,23 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.exists(_.contains("EqualTo(o_orderstatus,O)")), pushed)
   }
 
+  test("join_bucketed's fact-fact join reads co-partitioned buckets: no shuffle below the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // inspect the plan BEFORE execution: AQE's materialized stages
+    // (QueryStageExec) hide their subtrees from collect()
+    val df = ScaleOps.bucketedOrderStats(spark, sf)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = finalPlan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join over the bucketed tables:\n$finalPlan")
+    val shufflesBelowJoin = smj.head.collect { case s: ShuffleExchangeExec => s }
+    assert(shufflesBelowJoin.isEmpty,
+      s"bucketed join must not exchange its inputs:\n${smj.head}")
+  }
+
   test("evt_prune's date range is a PARTITION filter: 7 of 30 day-directories scanned") {
     val df = EventOps.prunedWindow(spark, sf)
     val scan = scans(df).head
