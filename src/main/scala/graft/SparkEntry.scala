@@ -45,6 +45,7 @@ object SparkEntry {
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
     "join_full_outer"   -> (RelationalOps.fullOuterNation _),
     "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
+    "agg_salted"        -> (ScaleOps.saltedTypeRevenue _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
     "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,
+    "agg_salted"        -> ScaleOps.saltedTypeRevenueSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

@@ -106,6 +106,24 @@ object ScaleOps {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"))
 
+  /** Declared-query face of salted aggregation: per-type event value
+    * sums through the two-stage salted shape — the manual skew
+    * mitigation for hot GROUP BY keys (AQE splits skewed JOIN
+    * partitions only). The salt changes ONLY the shuffle shape: the
+    * decimal partials compose exactly, so the result is bit-identical
+    * to the direct aggregate, which is precisely what the oracle
+    * replays (a wrong salt design — e.g. salting derived from a data
+    * column that doesn't spread, or partials that don't compose —
+    * shows up as a hash mismatch or in ScaleSpec's spread assert). */
+  def saltedTypeRevenue(spark: SparkSession, d: String): DataFrame =
+    saltedSum(graft.Tables.events(spark, d), Seq("event_type"), "value", 8)
+      .orderBy("event_type")
+
+  def saltedTypeRevenueSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** First (salted) stage, exposed so ScaleSpec can assert a
     * constant-valued hot key really spreads across salt buckets. */
   def saltedPartial(df: DataFrame, groupCols: Seq[String], valueCol: String,
