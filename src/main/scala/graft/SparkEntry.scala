@@ -120,6 +120,8 @@ object SparkEntry {
     "mm_bmp"      -> (MultimodalOps.mmBmp _),
     "mm_png"      -> (MultimodalOps.mmPng _),
     "mm_jpeg"     -> (MultimodalOps.mmJpeg _),
+    "mm_mp3"      -> (MultimodalOps.mmMp3 _),
+    "mm_h264"     -> (MultimodalOps.mmH264 _),
     "mm_avi"      -> (MultimodalOps.mmAvi _),
   )
 
@@ -218,6 +220,8 @@ object SparkEntry {
     "mm_bmp"           -> MultimodalOps.mmBmpSql,
     "mm_png"           -> MultimodalOps.mmPngSql,
     "mm_jpeg"          -> MultimodalOps.mmJpegSql,
+    "mm_mp3"           -> MultimodalOps.mmMp3Sql,
+    "mm_h264"          -> MultimodalOps.mmH264Sql,
     "mm_avi"           -> MultimodalOps.mmAviSql,
   )
 }

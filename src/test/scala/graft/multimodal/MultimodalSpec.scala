@@ -311,6 +311,112 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Mp3Codec round-trips frames across the full bitrate/sample-rate tables") {
+    val fill = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    for (bIdx <- 1 to 14; srIdx <- 0 to 2) {
+      val mode = if (bIdx % 2 == 0) 3 else 0
+      val mp3 = Mp3Codec.encode(bIdx, srIdx, mode, 3, fill)
+      val m = Mp3Codec.decode(mp3)
+      assert(m.bitrateKbps === Mp3Codec.BitrateKbps(bIdx), s"b$bIdx s$srIdx")
+      assert(m.sampleRate === Mp3Codec.SampleRates(srIdx), s"b$bIdx s$srIdx")
+      assert(m.nFrames === 3)
+      assert(m.channels === (if (mode == 3) 1 else 2))
+      val flen = Mp3Codec.frameLength(bIdx, srIdx, 0)
+      assert(mp3.length === flen * 3)
+      assert(m.payloadBytes === (flen - 4) * 3L)
+      val expected = (0 until (flen - 4) * 3).map(i => (fill(i % 100) & 0xff).toLong).sum
+      assert(Mp3Codec.payloadSum(mp3) === expected)
+      assert(m.durationMs === 3L * 1152 * 1000 / m.sampleRate)
+    }
+  }
+
+  test("Mp3Codec honors the padding bit when striding frames") {
+    // hand-build: frame 0 with padding=1 (one extra byte), frame 1 plain
+    val base = Mp3Codec.encode(9, 0, 3, 1, Array[Byte](5, 6, 7))
+    val flen = Mp3Codec.frameLength(9, 0, 0)
+    val padded = new Array[Byte](flen + 1 + flen)
+    System.arraycopy(base, 0, padded, 0, flen)
+    padded(2) = (padded(2) | 0x02).toByte // padding bit on frame 0
+    padded(flen) = 9 // the pad byte frame 0 now carries
+    System.arraycopy(base, 0, padded, flen + 1, flen)
+    val m = Mp3Codec.decode(padded)
+    assert(m.nFrames === 2, "padded stride must land exactly on frame 1's sync")
+    assert(m.payloadBytes === 2L * (flen - 4) + 1)
+  }
+
+  test("Mp3Codec fails loudly on non-MP3 / truncated bytes") {
+    intercept[IllegalArgumentException](Mp3Codec.decode("not an mp3 stream!!".getBytes))
+    val ok = Mp3Codec.encode(5, 1, 0, 2, Array[Byte](1))
+    intercept[IllegalArgumentException](Mp3Codec.decode(ok.dropRight(3)))
+  }
+
+  test("mm_mp3 walks real generated MP3 frames to the expected metadata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalOps.mmMp3(spark, sf).collect()
+    assert(rows.length === docs.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val bl = docs(id).getBytes("UTF-8").length
+      val bIdx = (1 + id % 14).toInt
+      val srIdx = ((id / 3) % 3).toInt
+      val flen = Mp3Codec.frameLength(bIdx, srIdx, 0)
+      val nf = 1 + bl % 24
+      assert(r.getAs[Long]("bitrate_kbps") === Mp3Codec.BitrateKbps(bIdx).toLong, s"doc $id")
+      assert(r.getAs[Long]("sample_rate") === Mp3Codec.SampleRates(srIdx).toLong, s"doc $id")
+      assert(r.getAs[Long]("n_frames") === nf.toLong, s"doc $id")
+      assert(r.getAs[Long]("mp3_bytes") === flen.toLong * nf, s"doc $id")
+      assert(r.getAs[Long]("channels") === (if (id % 2 == 0) 1L else 2L), s"doc $id")
+    }
+  }
+
+  test("H264Codec round-trips Annex-B streams: both start-code forms, NAL classification") {
+    val fill = "the fast key order sort table".getBytes("UTF-8")
+    for ((nSlices, k) <- Seq((1, 1), (7, 2), (12, 4), (30, 3))) {
+      val h264 = H264Codec.encode(nSlices, k, fill)
+      val m = H264Codec.decode(h264)
+      assert(m.nSps === 1 && m.nPps === 1, s"n=$nSlices k=$k")
+      assert(m.nIdr === (nSlices + k - 1) / k, s"n=$nSlices k=$k: IDR cadence")
+      assert(m.nIdr + m.nNonIdr === nSlices, s"n=$nSlices k=$k")
+      assert(m.nNals === 2 + nSlices)
+      val expectedSliceBytes = (0 until nSlices).map(s => 1 + (s + fill.length) % 24).sum
+      assert(m.sliceBytes === expectedSliceBytes.toLong, s"n=$nSlices k=$k: payload walk")
+      val expectedSum = (0 until expectedSliceBytes)
+        .map(i => (fill(i % fill.length) & 0xff).toLong).sum
+      assert(H264Codec.slicePayloadSum(h264) === expectedSum, s"n=$nSlices k=$k")
+      assert(m.streamBytes === h264.length.toLong)
+    }
+  }
+
+  test("H264Codec fails loudly on non-Annex-B bytes and forbidden-bit NALs") {
+    intercept[IllegalArgumentException](H264Codec.decode("no start codes here".getBytes))
+    val ok = H264Codec.encode(2, 1, Array[Byte](65, 66))
+    ok(4) = (ok(4) | 0x80).toByte // set forbidden_zero_bit on the SPS
+    intercept[IllegalArgumentException](H264Codec.decode(ok))
+  }
+
+  test("mm_h264 walks real generated Annex-B streams to the expected metadata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalOps.mmH264(spark, sf).collect()
+    assert(rows.length === docs.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val bl = docs(id).getBytes("UTF-8").length
+      val nSlices = 1 + bl % 30
+      val k = (1 + (id / 3) % 4).toInt
+      assert(r.getAs[Long]("n_slices") === nSlices.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_idr") === ((nSlices + k - 1) / k).toLong, s"doc $id")
+      assert(r.getAs[Long]("n_nals") === (2 + nSlices).toLong, s"doc $id")
+      assert(r.getAs[Long]("slice_bytes") ===
+        (0 until nSlices).map(s => 1 + (s + bl) % 24).sum.toLong, s"doc $id")
+    }
+  }
+
   test("JpegCodec is a real lossy codec: bounded error, actual compression, JFIF magic") {
     val rnd = new scala.util.Random(1234)
     for ((w, h) <- Seq((8, 8), (96, 13), (64, 1), (33, 7))) {
