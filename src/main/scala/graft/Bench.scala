@@ -54,14 +54,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warehouseDir =
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // unique warehouse per JVM: managed-table staging (join_bucketed)
       // would otherwise hit LOCATION_ALREADY_EXISTS on the next run --
       // the in-memory catalog forgets tables, the directory persists
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -139,6 +140,7 @@ object Bench {
       f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_wall_ratio":$ratio%.2f,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+    graft.ops.OpsUtil.deleteRecursively(warehouseDir)
     // a crashing query must fail the bench loudly, not vanish into a
     // plausible-looking total
     if (errors.nonEmpty) sys.exit(1)

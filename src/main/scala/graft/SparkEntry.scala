@@ -113,8 +113,9 @@ object SparkEntry {
     "score_dsir"   -> (CurationOps.scoreDsir _),
     "score_ppl"    -> (CurationOps.scorePerplexity _),
     "curate_pipeline" -> (CurationOps.curatePipeline _),
-    // Multimodal binary-column plumbing (real WAV/BMP/PNG/JPEG/AVI
-    // decode; MP3/H.264 stubbed — see graft.multimodal)
+    // Multimodal binary-column plumbing: real WAV/BMP/PNG/JPEG/AVI
+    // decode plus container-level MP3 frame walks and H.264 NAL walks
+    // (only their lossy payload decode stays stubbed — graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
     "mm_bmp"      -> (MultimodalOps.mmBmp _),

@@ -105,12 +105,13 @@ object GraphOps {
   def triangles(spark: SparkSession, d: String): DataFrame =
     trianglesOnPairs(cachedPairs(spark, d))
 
-  /** The degree-oriented edge list (lo → hi by (deg, id)) — exposed
-    * for ScaleStressSpec's planted-hub candidate-count assertion. */
-  private[ops] def orientedEdges(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+  /** The degree-oriented edge list (lo → hi by (deg, id)) given a
+    * precomputed (doc_id, deg) table — exposed (with the convenience
+    * overload) for ScaleStressSpec's planted-hub assertion. Taking deg
+    * as input lets [[trianglesOnPairs]] reuse the one degree aggregate
+    * it already needs for the clustering coefficient instead of
+    * rebuilding the edge union + groupBy a second time. */
+  private[ops] def orientedEdges(pairs: DataFrame, deg: DataFrame): DataFrame = {
     val isLower = col("deg1") < col("deg2") ||
       (col("deg1") === col("deg2") && col("d1") < col("d2"))
     pairs
@@ -121,13 +122,21 @@ object GraphOps {
         when(isLower, col("d2")).otherwise(col("d1")).as("hi"))
   }
 
+  private[ops] def orientedEdges(pairs: DataFrame): DataFrame =
+    orientedEdges(pairs, degreesOf(pairs))
+
+  private def degreesOf(pairs: DataFrame): DataFrame =
+    pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+
   private[ops] def trianglesOnPairs(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.localCheckpoint(false) // (d1 < d2) by upstream construction
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    // one degree aggregate feeds BOTH the orientation and the final
+    // coefficient join (localCheckpoint: small |V|-row table, read 3×)
+    val deg = degreesOf(pairs).localCheckpoint(false)
     // materialize the oriented list once: the two-join reads it thrice
-    val ord = orientedEdges(pairs).localCheckpoint(false)
+    val ord = orientedEdges(pairs, deg).localCheckpoint(false)
     val tri = ord.select(col("lo").as("a"), col("hi").as("b"))
       .join(ord.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
       .join(ord.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))

@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * the driver's hash compare.
   */
 object OpsUtil {
+
+  /** Recursively delete a directory tree (no-op if absent) — the ONE
+    * walk-and-delete used by every temp-artifact owner (staged
+    * layouts, streaming sinks, per-JVM warehouses), so fd-handling
+    * fixes live in one place. */
+  def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
   /** Order-independent exact sum of a double column: sum as
     * DECIMAL(18,6) then back to double. DuckDB mirror:
     * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`. */

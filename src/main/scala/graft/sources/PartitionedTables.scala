@@ -44,15 +44,13 @@ object PartitionedTables {
 
   /** Drop every staged layout (all sessions) and delete the files. */
   def evictStaged(): Unit = {
-    staged.values.foreach { dir =>
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally st.close()
-      }
-    }
+    staged.values.foreach(graft.ops.OpsUtil.deleteRecursively)
     staged.clear()
+  }
+
+  // staged layouts are full table copies — reap them at JVM exit so
+  // driver rounds don't accumulate one per round in /tmp
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => evictStaged()))
   }
 }

@@ -103,15 +103,23 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value", "last_ms")
   }
 
-  /** Streaming exact dedup: watermark-bounded dropDuplicates on the
-    * event id — the streaming face of DedupOps.dedupExact. State
-    * holds one key per event inside the watermark horizon; late
-    * duplicates beyond it age out (the standard at-least-once →
-    * effectively-once pattern for training-data ingest). */
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on
+    * (event id, event time) — the streaming face of
+    * DedupOps.dedupExact. The event-time column MUST be part of the
+    * dedup key: Spark's streaming dedup only builds its state-eviction
+    * predicate when the watermarked column is among the keys (that is
+    * the entire reason dropDuplicatesWithinWatermark exists), so
+    * deduping on event_id alone would retain every id ever seen —
+    * unbounded state on an unbounded stream. With ts in the key,
+    * state holds one entry per event inside the watermark horizon;
+    * late duplicates beyond it are dropped as late data (the standard
+    * at-least-once → effectively-once pattern for training-data
+    * ingest). A true duplicate (a re-crawl/re-delivery) carries the
+    * same event time, so the composite key dedupes it identically. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
 
   /** Stream-stream self-join: click→purchase attribution — each
     * purchase matched to the same user's clicks in the preceding hour.
@@ -345,14 +353,15 @@ object EventStreams {
   // each call reaps the predecessor AFTER its own sink is written
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def deleteRecursively(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(p)) {
-      val st = java.nio.file.Files.walk(p)
-      try st.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally st.close()
-    }
+  private def deleteRecursively(dir: String): Unit =
+    graft.ops.OpsUtil.deleteRecursively(dir)
+
+  // the FINAL sink per tag survives each call (its DataFrame reads it
+  // lazily) — reap it at JVM exit so driver rounds don't pile sinks
+  // up in /tmp
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      lastSink.values().forEach(d => deleteRecursively(d))))
   }
 
   /** Run a streaming DataFrame to completion and land each batch's

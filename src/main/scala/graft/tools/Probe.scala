@@ -33,7 +33,11 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf1 = "/root/testdata/sf0.1"
-    // round-7 probe: dedup_clusters cost split — pair build vs CC rounds
+    // round-7 probe: dedup_clusters cost split — pair build vs CC rounds.
+    // Untimed warmup first (janino codegen + cold parquet page cache are
+    // seconds for these pipelines and would pollute pass 1's split).
+    graft.ops.DedupOps.dedupMinhash(spark, sf1).count()
+    graft.ops.DedupOps.dedupClusters(spark, sf1).count()
     (1 to 3).foreach { i =>
       time(s"dedup_minhash pass $i") {
         graft.ops.DedupOps.dedupMinhash(spark, sf1).count()

@@ -68,20 +68,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("evt_prune's date range is a PARTITION filter: 7 of 30 day-directories scanned") {
-    val df = EventOps.prunedWindow(spark, sf)
-    val scan = scans(df).head
-    val pf = scan.metadata("PartitionFilters")
-    assert(pf.contains("event_date"), s"date range must prune partitions, got: $pf")
-    // the week window must touch exactly the 7 matching day-partitions
-    // out of the staged 30 — asked of the file index itself, with the
-    // scan's own partition filters (deterministic, no execution)
-    val selected = scan.relation.location
-      .listFiles(scan.partitionFilters, scan.dataFilters)
-    assert(selected.length === 7,
-      s"expected 7 pruned day-partitions, listed ${selected.length}")
-    val total = scan.relation.location.listFiles(Nil, Nil)
-    assert(total.length === 30, s"staged layout should hold 30 days, got ${total.length}")
-    graft.sources.PartitionedTables.evictStaged()
+    try {
+      val df = EventOps.prunedWindow(spark, sf)
+      val scan = scans(df).head
+      val pf = scan.metadata("PartitionFilters")
+      assert(pf.contains("event_date"), s"date range must prune partitions, got: $pf")
+      // the week window must touch exactly the 7 matching day-partitions
+      // out of the staged 30 — asked of the file index itself, with the
+      // scan's own partition filters (deterministic, no execution)
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+      assert(selected.length === 7,
+        s"expected 7 pruned day-partitions, listed ${selected.length}")
+      val total = scan.relation.location.listFiles(Nil, Nil)
+      assert(total.length === 30, s"staged layout should hold 30 days, got ${total.length}")
+    } finally graft.sources.PartitionedTables.evictStaged() // even on a red run
   }
 
   test("grep's case-insensitive contains stays post-scan (lower() is not pushable)") {
