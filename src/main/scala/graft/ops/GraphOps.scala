@@ -61,7 +61,15 @@ object GraphOps {
     pagerankOnPairs(cachedPairs(spark, d))
 
   /** PR over an arbitrary undirected pair list (d1, d2) — the testable
-    * core; [[pagerank]] feeds it the minhash near-dup pairs. */
+    * core; [[pagerank]] feeds it the minhash near-dup pairs.
+    *
+    * Join strategies are PINNED with explicit hints rather than left
+    * to stats: the pair table arrives from a shared persisted cache
+    * whose size estimate differs by orders of magnitude between the
+    * unmaterialized (plan-estimate) and materialized (actual-bytes)
+    * states, so an unhinted plan flips broadcast↔SMJ with cache
+    * warmth. deg/ranks are |V| rows — always the broadcast side at
+    * any scale (|V| ≪ |E| for the near-dup graph). */
   private[ops] def pagerankOnPairs(pairs: DataFrame): DataFrame = {
     // symmetrize once, materialize once: five rounds must re-read
     // blocks, not re-run the upstream pipeline
@@ -69,10 +77,10 @@ object GraphOps {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+    val withDeg = edges.join(broadcast(deg), Seq("src")).localCheckpoint(false)
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
     for (_ <- 1 to Rounds) {
-      ranks = withDeg.join(ranks, col("id") === col("src"))
+      ranks = withDeg.join(broadcast(ranks), col("id") === col("src"))
         .select(col("dst"),
           // quantized contribution: exact BIGINT sum in any order
           round(col("r") / col("deg") * lit(QScale)).cast("long").as("cq"))
@@ -114,9 +122,11 @@ object GraphOps {
   private[ops] def orientedEdges(pairs: DataFrame, deg: DataFrame): DataFrame = {
     val isLower = col("deg1") < col("deg2") ||
       (col("deg1") === col("deg2") && col("d1") < col("d2"))
+    // deg is |V| rows vs |E| pairs — pin the broadcast so the plan
+    // doesn't depend on whether the shared pair cache is materialized
     pairs
-      .join(deg.select(col("doc_id").as("d1"), col("deg").as("deg1")), Seq("d1"))
-      .join(deg.select(col("doc_id").as("d2"), col("deg").as("deg2")), Seq("d2"))
+      .join(broadcast(deg.select(col("doc_id").as("d1"), col("deg").as("deg1"))), Seq("d1"))
+      .join(broadcast(deg.select(col("doc_id").as("d2"), col("deg").as("deg2"))), Seq("d2"))
       .select(
         when(isLower, col("d1")).otherwise(col("d2")).as("lo"),
         when(isLower, col("d2")).otherwise(col("d1")).as("hi"))
@@ -137,12 +147,16 @@ object GraphOps {
     val deg = degreesOf(pairs).localCheckpoint(false)
     // materialize the oriented list once: the two-join reads it thrice
     val ord = orientedEdges(pairs, deg).localCheckpoint(false)
+    // the candidate-path self-joins are edge-scale on BOTH sides —
+    // pin sort-merge so a warm (tiny-stats) cache can't flip them to
+    // broadcast and make the plan cache-state-dependent
     val tri = ord.select(col("lo").as("a"), col("hi").as("b"))
-      .join(ord.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
-      .join(ord.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+      .join(ord.select(col("lo").as("b"), col("hi").as("c")).hint("merge"), Seq("b"))
+      .join(ord.select(col("lo").as("a"), col("hi").as("c")).hint("merge"), Seq("a", "c"))
     val cnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
-    deg.join(cnt, Seq("doc_id"), "left_outer")
+    // cnt ≤ |V| rows; broadcast the right (inner) side of the outer join
+    deg.join(broadcast(cnt), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("deg") >= 2,

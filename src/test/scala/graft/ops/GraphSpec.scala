@@ -85,6 +85,24 @@ class GraphSpec extends AnyFunSuite {
     GraphOps.evictPairCache()
   }
 
+  test("graph plan shapes are identical with the pair cache cold and materialized") {
+    // the r7 red artifact: an unhinted plan flipped broadcast↔SMJ with
+    // the warmth of the shared pair cache (unmaterialized IMR = plan
+    // estimate, materialized = actual bytes). The hints in GraphOps pin
+    // every join strategy; this probes BOTH states and demands one shape.
+    val sf = "/root/testdata/sf0.001"
+    import graft.tools.PlanFingerprint
+    for (name <- Seq("graph_pagerank", "graph_triangles")) {
+      GraphOps.evictPairCache()
+      val cold = PlanFingerprint.of(graft.SparkEntry.queries(name)(spark, sf))
+      GraphOps.cachedPairs(spark, sf).count() // materialize → real stats
+      val warm = PlanFingerprint.of(graft.SparkEntry.queries(name)(spark, sf))
+      assert(cold === warm,
+        s"$name plan is cache-state-dependent:\n  cold: [$cold]\n  warm: [$warm]")
+    }
+    GraphOps.evictPairCache()
+  }
+
   test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
     val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
