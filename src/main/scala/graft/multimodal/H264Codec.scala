@@ -108,14 +108,24 @@ object H264Codec {
       sliceBytes, bytes.length.toLong)
   }
 
-  // zeros immediately before the NEXT start code belong to that start
-  // code (4-byte form), not to this NAL's payload
+  // At most ONE zero immediately before the NEXT start code can belong
+  // to that start code (its 4-byte `00 00 00 01` form contributes
+  // exactly one byte beyond the `00 00 01` the splitter keyed on). A
+  // spec-valid NAL can never contribute more: rbsp_trailing_bits end
+  // in a stop bit, so the last payload byte of a well-formed NAL is
+  // nonzero. More than one trailing zero therefore means a malformed
+  // (or padding-bearing) stream — fail loudly rather than silently
+  // misattribute payload bytes to the start code.
   private def trailingStartCodeZeros(bytes: Array[Byte], from: Int, end: Int): Int = {
     if (end >= bytes.length) 0
     else {
       var z = 0
       var i = end - 1
       while (i >= from && bytes(i) == 0) { z += 1; i -= 1 }
+      require(z <= 1,
+        s"malformed Annex-B: $z trailing zeros before a start code — a " +
+          "valid NAL ends with rbsp_trailing_bits (nonzero last byte), " +
+          "so at most the 4-byte start code's single extra 00 may trail")
       z
     }
   }

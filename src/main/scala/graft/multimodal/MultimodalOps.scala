@@ -333,15 +333,27 @@ object MultimodalOps {
       |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
-  // JPEG roundtrip tolerances (quality 0.9, grayscale sources): any
-  // correct JPEG implementation lands far inside these — luma DCT
-  // quantization at q=0.9 is a few units per sample even on
-  // noise-like content; the flags are the agg_approx-style declarable
-  // invariants of a LOSSY codec. Bounds carry ≥2× margin over the
-  // worst case observed across the sf tables.
-  private val JpegMeanTol = 8.0
-  private val JpegPeakTol = 96
-  private val JpegDcTol = 4.0
+  // JPEG roundtrip tolerances (quality 0.9, grayscale sources),
+  // derived from SPEC-level reasoning rather than one JVM's observed
+  // worst case, so a different vendor codec can't shift a correct
+  // roundtrip past them:
+  //  - peak: per-coefficient quantization error is ≤ q/2; at IJG
+  //    quality ~90 the luma table tops out near ~24, and the worst
+  //    adversarial alignment across 63 AC bases (amplitude ≤ 1/4)
+  //    bounds the spatial error near ~128 before the [0,255] clamp —
+  //    192 sits above any correct codec's reachable error yet far
+  //    below the vacuous 255.
+  //  - mean: quantization error energy (Σ(q/2)²/12 over the table)
+  //    puts the per-sample RMS at a few units for noise-like content;
+  //    16 is ~4× the IJG-derived expectation and ≥4× the worst case
+  //    ever observed on the sf tables (≤4.0, pinned by MultimodalSpec
+  //    at half-tolerance so codec drift fails a TEST, not the gate).
+  //  - dc: the DC quantum at q≈90 is ~3; its spatial spread is e/8
+  //    per sample, so whole-image mean drift stays sub-unit — 8 is an
+  //    order of magnitude of slack for vendor rounding differences.
+  private[multimodal] val JpegMeanTol = 16.0
+  private[multimodal] val JpegPeakTol = 192
+  private[multimodal] val JpegDcTol = 8.0
 
   /** Real JPEG payloads for the corpus's image assets — the LOSSY
     * compressed format ([[JpegCodec]], JDK ImageIO): dims keyed on

@@ -44,9 +44,15 @@ object ScaleOps {
   private val bucketedStage =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
 
+  // table-name uniquifier: a fresh suffix per staged entry, so two sf
+  // dirs with colliding String.hashCode (or a second session staging
+  // the same dir) can never overwrite a catalog table another cache
+  // entry still points at
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def stagedOrderTables(spark: SparkSession, d: String): (String, String) =
     bucketedStage.getOrElseUpdate((System.identityHashCode(spark), d), {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = stageSeq.incrementAndGet()
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
       writeBucketed(graft.Tables.orders(spark, d), ot, "o_orderkey", 8)

@@ -392,6 +392,10 @@ object EventStreams {
     q.awaitTermination()
     val prev = lastSink.put(tag, sink)
     if (prev != null && prev != sink) deleteRecursively(prev)
-    spark.read.parquet(sink)
+    // explicit schema: an input that yields zero output batches (e.g.
+    // an empty source in Append mode) leaves the sink with no parquet
+    // files, and schema inference would throw — an empty typed result
+    // is the correct answer there
+    spark.read.schema(df.schema).parquet(sink)
   }
 }

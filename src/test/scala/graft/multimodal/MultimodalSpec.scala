@@ -397,6 +397,24 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](H264Codec.decode(ok))
   }
 
+  test("H264Codec rejects >1 trailing zero before a start code (rbsp_trailing_bits contract)") {
+    // a valid NAL's last payload byte is nonzero (rbsp stop bit), so at
+    // most the 4-byte start code's single extra 00 may trail — a NAL
+    // whose payload ends in 00 followed by a 4-byte start code shows
+    // TWO trailing zeros and must fail loudly, not silently undercount
+    val bad = Array[Byte](
+      0, 0, 1, 0x67, 9, 0,      // SPS whose payload illegally ends in 0x00
+      0, 0, 0, 1, 0x68, 7)      // 4-byte start code → two zeros trail the SPS
+    val ex = intercept[IllegalArgumentException](H264Codec.decode(bad))
+    assert(ex.getMessage.contains("trailing zeros"))
+    // the legal single-zero case (4-byte code after a clean payload) parses
+    val good = Array[Byte](
+      0, 0, 1, 0x67, 9, 5,
+      0, 0, 0, 1, 0x68, 7)
+    val m = H264Codec.decode(good)
+    assert(m.nSps === 1 && m.nPps === 1 && m.nNals === 2)
+  }
+
   test("mm_h264 walks real generated Annex-B streams to the expected metadata") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .where(col("doc_id") % 3 === 2)
@@ -429,7 +447,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(img.getWidth === w && img.getHeight === h)
       val (mae, peak, dc) = JpegCodec.errorStats(gray, img)
       // noise-like grayscale at q=0.9: small mean error, bounded peak
-      // (declared tolerances are 8.0 / 96 / 4.0 with >=2x margin)
+      // (declared spec-level tolerances are 16.0 / 192 / 8.0)
       assert(mae <= 4.0, s"$w x $h: mae $mae")
       assert(peak <= 64, s"$w x $h: peak $peak")
       assert(dc <= 2.0, s"$w x $h: dc drift $dc")
@@ -459,6 +477,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("peak_ok"), s"doc $id: peak error out of tolerance")
       assert(r.getAs[Boolean]("dc_ok"), s"doc $id: DC drift out of tolerance")
     }
+  }
+
+  test("corpus-wide JPEG error stays below HALF the declared tolerances") {
+    // Early-warning margin: the mm_jpeg gate asserts error <= tol; this
+    // pins the actual worst case across every sf asset at <= tol/2, so
+    // a JDK/vendor codec drift surfaces as a unit-test failure (with
+    // the measured numbers) before it can ever hash-mismatch the gate.
+    import spark.implicits._
+    val worst = MultimodalOps.jpegAssets(spark, sf)
+      .as[(Long, Array[Byte], Array[Byte])]
+      .map { case (_, jpeg, gray) =>
+        JpegCodec.errorStats(gray, JpegCodec.decode(jpeg))
+      }.collect()
+    val (maxMae, maxPeak, maxDc) =
+      (worst.map(_._1).max, worst.map(_._2).max, worst.map(_._3).max)
+    assert(maxMae <= MultimodalOps.JpegMeanTol / 2,
+      s"corpus worst mae $maxMae exceeds half-tolerance ${MultimodalOps.JpegMeanTol / 2}")
+    assert(maxPeak <= MultimodalOps.JpegPeakTol / 2,
+      s"corpus worst peak $maxPeak exceeds half-tolerance ${MultimodalOps.JpegPeakTol / 2}")
+    assert(maxDc <= MultimodalOps.JpegDcTol / 2,
+      s"corpus worst dc drift $maxDc exceeds half-tolerance ${MultimodalOps.JpegDcTol / 2}")
   }
 
   test("frame sampling respects stride and cap") {

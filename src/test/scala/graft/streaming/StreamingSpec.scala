@@ -184,6 +184,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("runToParquetSink returns an empty typed result when no batch ever fires") {
+    // Append-mode + an empty source = zero output batches = zero
+    // parquet files in the sink; the read-back must yield an empty
+    // DataFrame with the query's schema, not a schema-inference error
+    import org.apache.spark.sql.streaming.OutputMode
+    // a source directory with NO files: AvailableNow terminates
+    // without ever invoking foreachBatch, so the sink stays file-less
+    val empty = Files.createTempDirectory("graft-empty-stream")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(empty.toString)
+    val out = EventStreams.runToParquetSink(spark,
+      stream.select(col("event_id"), col("event_type")),
+      "empty_sink_probe", OutputMode.Append())
+    assert(out.columns.toSeq === Seq("event_id", "event_type"))
+    assert(out.count() === 0L)
+  }
+
   test("EventTimeTimeout reaps a silent user's running-total state past the horizon") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
