@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference workloads re-expressed (SURVEY.md §2.2)
     "word_count"      -> (TextOps.wordCount _),
+    "mr_word_count"   -> (graft.mr.MrQueries.mrWordCount _),
     "grep"            -> (TextOps.grep _),
     "distinct_tokens" -> (TextOps.distinctTokens _),
     // Relational surface (SURVEY.md §2.3 EXT)
@@ -130,6 +131,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "word_count"        -> TextOps.wordCountSql,
+    "mr_word_count"     -> TextOps.wordCountSql, // MR engine, same contract
     "grep"              -> TextOps.grepSql,
     "distinct_tokens"   -> TextOps.distinctTokensSql,
     "q1_pricing"        -> RelationalOps.q1PricingSql,

@@ -1,0 +1,66 @@
+package graft.mr
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MR parity layer's face on the declared-query gate: the same
+  * word count the relational `word_count` query computes, but driven
+  * through the FULL [[MapReduceRunner]] dataflow — textFile scan,
+  * per-partition streaming map, md5-mod shuffle with in-partition
+  * byte sort, key-adjacent streaming reduce, part-file text sink —
+  * and only then lifted back into a DataFrame. CrossLayerSpec proves
+  * layer equivalence in-suite; this entry makes the driver's DuckDB
+  * oracle hash the MR engine's actual output end-to-end.
+  *
+  * Scale: the MR stages are the reference's own shapes (SURVEY.md §3)
+  * on Spark's sort-based shuffle — nothing here is harness-only. The
+  * final read-back is |vocabulary| rows (the corpus vocabulary is
+  * closed), eagerly checkpointed so the scratch dirs can be deleted
+  * immediately instead of leaking one pair per run.
+  */
+object MrQueries {
+
+  /** Declared query `mr_word_count`: oracle-identical to
+    * `word_count` ([[graft.ops.TextOps.wordCountSql]]) — lowercase
+    * whitespace tokens, (word, cnt), ordered by word. */
+  def mrWordCount(spark: SparkSession, d: String): DataFrame = {
+    val inDir = Files.createTempDirectory("graft-mrwc-in").toString
+    graft.Tables.documents(spark, d).select(col("text"))
+      .write.mode("overwrite").text(inDir)
+    val outDir = Files.createTempDirectory("graft-mrwc-out")
+    Files.delete(outDir) // the runner owns creation (F9 reset)
+
+    // mapper = the library's canonical tokenizer (OpsUtil.tokens:
+    // lowercase, \s+ split, drop empties); reducer = the reference's
+    // wc_reduce.sh adjacent-key count. Newlines inside a document
+    // only split its text-file lines, which is token-neutral for a
+    // whitespace tokenizer.
+    MapReduceRunner.run(spark, MapReduceJob(
+      inputDirectory = inDir,
+      outputDirectory = outDir.toString,
+      mapper = FnSpec(_.flatMap(_.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty).map(w => s"$w\t1")),
+      reducer = FnSpec(Workloads.wcReduceSh),
+      numMappers = 8, numReducers = 8))
+
+    val counts = spark.read.text(outDir.toString)
+      .select(split(col("value"), "\t").as("kv"))
+      .select(col("kv").getItem(0).as("word"),
+        col("kv").getItem(1).cast("long").as("cnt"))
+      .orderBy("word")
+      .localCheckpoint(true) // |vocab| rows — pin, then drop scratch
+    deleteRecursively(inDir)
+    deleteRecursively(outDir.toString)
+    counts
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+    }
+  }
+}
