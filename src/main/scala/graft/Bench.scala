@@ -121,6 +121,21 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
 
+    // Self-describing cache accounting (r7 verdict item 5): the four
+    // queries sharing the build-once caches are re-probed with BOTH
+    // caches warm (p2 just built them), so the JSON carries an
+    // explicit warm number next to the headline one and the
+    // cold-pricing policy can't be misread as a regression.
+    // Within a timed pass (name order) the builders run cold after
+    // the inter-pass eviction, the later sharers warm:
+    //   dedup_semantic (cold IVF build) -> sim_ann_ivf (warm probe)
+    //   graph_pagerank (cold pair build) -> graph_triangles (warm)
+    val cacheCoupled = Seq(
+      "dedup_semantic", "graph_pagerank", "graph_triangles", "sim_ann_ivf")
+      .filter(n => ordered.exists(_._1 == n))
+    val pWarm = timedPass(spark,
+      ordered.filter { case (n, _) => cacheCoupled.contains(n) }, sfDir)
+
     val errors = ordered.flatMap { case (name, _) =>
       (p1(name).err orElse p2(name).err).map(name -> _)
     }
@@ -135,7 +150,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ratio = if (wallSec > 0) cpuSec / wallSec else 0.0
+    // cache annotation: state each coupled query's headline pricing and
+    // its measured warm-probe time (caches were warm for pWarm)
+    val cacheJson = cacheCoupled.filterNot(failed).map { n =>
+      val pricing =
+        if (n == "dedup_semantic" || n == "graph_pagerank") "cold_build" else "warm_shared"
+      "\"" + n + "\":{\"headline\":\"" + pricing + "\"" +
+        pWarm.get(n).filter(_.err.isEmpty)
+          .map(t => ",\"warm_sec\":" + t.sec).getOrElse("") + "}"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cache":$cacheJson,""" +
       s""""errors":$errJson,"failed":${errors.size},""" +
       f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_wall_ratio":$ratio%.2f,""" +
       s""""sf":"$sfDir"}""")
