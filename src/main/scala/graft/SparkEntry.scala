@@ -47,6 +47,7 @@ object SparkEntry {
     "join_full_outer"   -> (RelationalOps.fullOuterNation _),
     "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
     "agg_salted"        -> (ScaleOps.saltedTypeRevenue _),
+    "agg_salted_collect" -> (ScaleOps.saltedLangDocs _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
     "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,
     "agg_salted"        -> ScaleOps.saltedTypeRevenueSql,
+    "agg_salted_collect" -> ScaleOps.saltedLangDocsSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

@@ -138,4 +138,47 @@ object ScaleOps {
         pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
       .groupBy((groupCols :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__partial"))
+
+  /** Two-stage salted COLLECT — the salt where it buys the most.
+    *
+    * For algebraic aggregates (sum/count/min/max) Spark's map-side
+    * partial aggregation already collapses a hot key to one row per
+    * input partition, so the shuffle never sees the skew. HOLISTIC
+    * aggregates — collect_list, the "gather every example of a key"
+    * packing shape a training pipeline runs constantly — have no such
+    * collapse: partial collect_list still carries every element, so a
+    * direct groupBy lands a hot key's ENTIRE row mass on one reduce
+    * task. Salting the first stage bounds the max task at
+    * ~total/saltFactor (ScaleStressSpec asserts this on actual task
+    * shuffle-read metrics, not key spread); the second stage then
+    * concatenates `saltFactor` pre-built sub-lists per key — rows
+    * cross that exchange already packed into arrays, the cheap shape.
+    * array_sort on the result makes the output salt-placement
+    * independent (a set-semantics gather, deterministic under any
+    * partitioning — same reasoning as the decimal partials above). */
+  def saltedCollect(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, saltFactor: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(collect_list(col(valueCol)).as("__sub"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(flatten(collect_list(col("__sub")))).as(s"all_$valueCol"))
+
+  /** Declared-query face of [[saltedCollect]]: gather every doc_id of
+    * each language through the two-stage salted shape, joined to one
+    * string per group so the DuckDB oracle hash-checks the full
+    * gathered contents (array columns don't hash portably; a sorted
+    * join of BIGINTs does). */
+  def saltedLangDocs(spark: SparkSession, d: String): DataFrame =
+    saltedCollect(graft.Tables.documents(spark, d), Seq("lang"), "doc_id", 8)
+      .select(col("lang"),
+        array_join(transform(col("all_doc_id"), _.cast("string")), ",")
+          .as("doc_ids"))
+      .orderBy("lang")
+
+  def saltedLangDocsSql: String =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
