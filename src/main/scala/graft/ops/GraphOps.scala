@@ -33,6 +33,11 @@ object GraphOps {
   private val Base = 0.15
   private val Rounds = 5
   private val QScale = 1000000000.0 // 1e-9 contribution quantum
+  // cut rank lineage every k rounds: each segment's plan covers at
+  // most k join+agg rounds, so analysis/optimization cost per action
+  // stays O(k) however many rounds the caller asks for (lineage
+  // growth across rounds is otherwise quadratic in plan work)
+  private val CheckpointEvery = 5
 
   /** PageRank on the symmetrized near-dup graph: r₀ = 1, then
     * [[Rounds]] rounds of r'(v) = 0.15 + 0.85·Σ_{u→v} r(u)/deg(u).
@@ -70,8 +75,8 @@ object GraphOps {
     * states, so an unhinted plan flips broadcast↔SMJ with cache
     * warmth. deg/ranks are |V| rows — always the broadcast side at
     * any scale (|V| ≪ |E| for the near-dup graph). */
-  private[ops] def pagerankOnPairs(pairs: DataFrame): DataFrame = {
-    // symmetrize once, materialize once: five rounds must re-read
+  private[ops] def pagerankOnPairs(pairs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    // symmetrize once, materialize once: every round must re-read
     // blocks, not re-run the upstream pipeline
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -79,7 +84,7 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(broadcast(deg), Seq("src")).localCheckpoint(false)
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
-    for (_ <- 1 to Rounds) {
+    for (t <- 1 to rounds) {
       ranks = withDeg.join(broadcast(ranks), col("id") === col("src"))
         .select(col("dst"),
           // quantized contribution: exact BIGINT sum in any order
@@ -88,6 +93,12 @@ object GraphOps {
         .agg(sum(col("cq")).as("sq"))
         .select(col("dst").as("id"),
           (lit(Base) + lit(Damping) * (col("sq").cast("double") / lit(QScale))).as("r"))
+      // bound the plan, not just the data: without this cut a t-round
+      // plan nests t join+agg segments and optimizer time grows
+      // quadratically over the run (GraphSpec guards 20 rounds). The
+      // checkpoint is numerically inert — same quantized arithmetic.
+      if (t % CheckpointEvery == 0 && t < rounds)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("id").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }

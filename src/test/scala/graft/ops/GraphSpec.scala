@@ -85,6 +85,29 @@ class GraphSpec extends AnyFunSuite {
     GraphOps.evictPairCache()
   }
 
+  test("20-round pagerank keeps a bounded plan via periodic lineage cuts") {
+    // without the every-5-rounds localCheckpoint the final plan nests
+    // all 20 join+agg segments and optimizer time grows quadratically
+    // with rounds; with it the plan covers at most the last 5 rounds
+    val df = GraphOps.pagerankOnPairs(starPairs, rounds = 20)
+    val joins = df.queryExecution.executedPlan.collect {
+      case j if j.getClass.getSimpleName.contains("Join") => j
+    }
+    assert(joins.size <= 5,
+      s"20-round plan should cover at most one 5-round segment, saw ${joins.size} joins")
+    // the cuts are numerically inert: mass is still conserved after 20
+    // rounds (symmetric graph, no dangling nodes)
+    val ranks = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - ranks.size) < 1e-6,
+      s"rank mass drifted over 20 rounds: ${ranks.values.sum} over ${ranks.size}")
+    // and a 5-round run is bit-identical with and without the cut path
+    // (5 rounds never triggers a cut - the declared query's plan shape
+    // is untouched by this feature)
+    val base = GraphOps.pagerankOnPairs(starPairs).collect().toSeq
+    val explicit = GraphOps.pagerankOnPairs(starPairs, rounds = 5).collect().toSeq
+    assert(base === explicit)
+  }
+
   test("graph plan shapes are identical with the pair cache cold and materialized") {
     // the r7 red artifact: an unhinted plan flipped broadcast↔SMJ with
     // the warmth of the shared pair cache (unmaterialized IMR = plan
