@@ -116,8 +116,9 @@ object SparkEntry {
     "score_ppl"    -> (CurationOps.scorePerplexity _),
     "curate_pipeline" -> (CurationOps.curatePipeline _),
     // Multimodal binary-column plumbing: real WAV/BMP/PNG/JPEG/AVI
-    // decode plus container-level MP3 frame walks and H.264 NAL walks
-    // (only their lossy payload decode stays stubbed — graft.multimodal)
+    // decode, MP3 frame walks with bit-exact side-info parse, and
+    // H.264 NAL walks (only spectral synthesis — MP3 Huffman/MDCT,
+    // H.264 CABAC — is out of scope; see graft.multimodal)
     "mm_features" -> (MultimodalOps.mmFeatures _),
     "mm_wav"      -> (MultimodalOps.mmWav _),
     "mm_bmp"      -> (MultimodalOps.mmBmp _),

@@ -1,8 +1,8 @@
 package graft.multimodal
 
-/** H.264/AVC Annex-B container codec — NAL-unit level, completing the
-  * [[Mp3Codec]]/[[AviCodec]] container-walk family for the last
-  * stubbed video modality: encode synthesizes REAL Annex-B byte
+/** H.264/AVC Annex-B container codec — NAL-unit level, completing
+  * the [[Mp3Codec]]/[[AviCodec]] container-walk family for the
+  * compressed video modality: encode synthesizes REAL Annex-B byte
   * streams (both 4-byte and 3-byte start codes, proper NAL header
   * bytes for SPS/PPS/IDR/non-IDR units), and decode scans the raw
   * bytes for start codes, classifies every NAL by its header's

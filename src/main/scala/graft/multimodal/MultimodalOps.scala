@@ -431,7 +431,7 @@ object MultimodalOps {
           val mode = if (id % 2 == 0) 3 else 0 // mono / stereo
           val bytes = text.getBytes("UTF-8")
           val nFrames = (1 + bytes.length % 24).toInt
-          (id, Mp3Codec.encode(bIdx, srIdx, mode, nFrames, bytes))
+          (id, Mp3Codec.encode(bIdx, srIdx, mode, nFrames, bytes, seed = id))
         }
       }.toDF("asset_id", "mp3")
   }
@@ -439,12 +439,16 @@ object MultimodalOps {
   /** Declared query: walk REAL MP3 frame sequences — every header
     * field (sync, version/layer, bitrate/sample-rate indices, channel
     * mode), the standard frame-length arithmetic used to SKIP each
-    * frame, and the payload byte sum are read off the raw bytes by
+    * frame, the BIT-PARSED side info of every frame (global_gain and
+    * part2_3_length aggregated to per-file audio statistics, the
+    * structural fields verified against the no-reservoir layout), and
+    * the main-data byte sum are read off the raw bytes by
     * [[Mp3Codec.decode]]; the oracle recomputes all of it from the
-    * generation parameters (bitrate table included), so a misparsed
-    * header bit or a wrong frame stride hash-mismatches. The audio
-    * payload's Huffman/MDCT decode needs a media library and stays
-    * out of scope — this is the container level, [[mmAvi]]'s depth. */
+    * generation parameters (bitrate table and seeded side-info
+    * arithmetic included), so a misparsed header bit, a wrong frame
+    * stride, or a misaligned side-info bit-read hash-mismatches. Only
+    * the Huffman/MDCT spectral synthesis stays out (it needs a media
+    * library); container + side-info levels are decoded for real. */
   def mmMp3(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val decoded = mp3Assets(spark, d).as[(Long, Array[Byte])]
@@ -454,18 +458,24 @@ object MultimodalOps {
           val m = codec.decode(mp3)
           (id, mp3.length.toLong, m.sampleRate.toLong, m.bitrateKbps.toLong,
             m.channels.toLong, m.nFrames.toLong, m.payloadBytes,
-            codec.payloadSum(mp3), m.durationMs)
+            codec.payloadSum(mp3), m.durationMs,
+            m.nGranules, m.sideGainSum, m.sideP23Sum)
         }
       }
     decoded.toDF("asset_id", "mp3_bytes", "sample_rate", "bitrate_kbps",
-      "channels", "n_frames", "payload_bytes", "payload_sum", "duration_ms")
+      "channels", "n_frames", "payload_bytes", "payload_sum", "duration_ms",
+      "n_granules", "side_gain_sum", "side_p23_sum")
       .orderBy("asset_id")
   }
 
   // Generation-arithmetic mirror: bitrate/sample-rate tables as
-  // literal lists, the 144·bps/sr frame length, and the cycled-text
-  // closed-form payload sum (the mmBmpSql pattern). Nothing here
-  // walks MP3 bytes.
+  // literal lists, the 144·bps/sr frame length, the cycled-text
+  // closed-form MAIN DATA sum (the mmBmpSql pattern), and the seeded
+  // side-info sums — global_gain (seed + 5f + 3g + c mod 256) and
+  // part2_3_length (3·seed + 7f + 11g + 13c mod 4096) over every
+  // (frame, granule, channel), the g/c combinations unrolled as
+  // constant offsets (mono: +0,+3; stereo adds +1,+4 / +13,+24).
+  // Nothing here walks MP3 bytes.
   def mmMp3Sql: String =
     """WITH a AS (
       |  SELECT doc_id, octet_length(encode(text)) AS bl, hex(encode(text)) AS hx,
@@ -481,16 +491,25 @@ object MultimodalOps {
       |  FROM a),
       |g AS (
       |  SELECT doc_id, bl, hx, br, sr, nf, ch,
-      |    144 * (br * 1000) // sr AS flen
+      |    144 * (br * 1000) // sr AS flen,
+      |    CASE ch WHEN 1 THEN 17 ELSE 32 END AS si
       |  FROM p),
       |s AS (
-      |  SELECT doc_id, (flen - 4) * nf AS total,
+      |  SELECT doc_id, (flen - 4 - si) * nf AS total,
       |    CASE WHEN bl = 0 THEN 0 ELSE
-      |      (((flen - 4) * nf) // bl) * COALESCE(list_sum(list_transform(range(bl),
+      |      (((flen - 4 - si) * nf) // bl) * COALESCE(list_sum(list_transform(range(bl),
       |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
-      |      + COALESCE(list_sum(list_transform(range(((flen - 4) * nf) % bl),
+      |      + COALESCE(list_sum(list_transform(range(((flen - 4 - si) * nf) % bl),
       |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
-      |    END AS psum
+      |    END AS psum,
+      |    COALESCE(list_sum(list_transform(range(nf), f ->
+      |      (doc_id + 5*f) % 256 + (doc_id + 5*f + 3) % 256
+      |      + CASE ch WHEN 2 THEN (doc_id + 5*f + 1) % 256 + (doc_id + 5*f + 4) % 256
+      |                ELSE 0 END)), 0) AS gsum,
+      |    COALESCE(list_sum(list_transform(range(nf), f ->
+      |      (3*doc_id + 7*f) % 4096 + (3*doc_id + 7*f + 11) % 4096
+      |      + CASE ch WHEN 2 THEN (3*doc_id + 7*f + 13) % 4096 + (3*doc_id + 7*f + 24) % 4096
+      |                ELSE 0 END)), 0) AS p23sum
       |  FROM g)
       |SELECT g.doc_id AS asset_id,
       |  CAST(g.flen * g.nf AS BIGINT) AS mp3_bytes,
@@ -500,7 +519,10 @@ object MultimodalOps {
       |  CAST(g.nf AS BIGINT) AS n_frames,
       |  CAST(s.total AS BIGINT) AS payload_bytes,
       |  CAST(s.psum AS BIGINT) AS payload_sum,
-      |  (CAST(g.nf AS BIGINT) * 1152 * 1000) // g.sr AS duration_ms
+      |  (CAST(g.nf AS BIGINT) * 1152 * 1000) // g.sr AS duration_ms,
+      |  CAST(g.nf * 2 * g.ch AS BIGINT) AS n_granules,
+      |  CAST(s.gsum AS BIGINT) AS side_gain_sum,
+      |  CAST(s.p23sum AS BIGINT) AS side_p23_sum
       |FROM g JOIN s ON s.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
   private val FrameRates = Array((30, 1, 33333), (25, 1, 40000), (24, 1, 41667))

@@ -315,25 +315,51 @@ class MultimodalSpec extends AnyFunSuite {
     val fill = Array.tabulate[Byte](100)(i => (i * 7).toByte)
     for (bIdx <- 1 to 14; srIdx <- 0 to 2) {
       val mode = if (bIdx % 2 == 0) 3 else 0
-      val mp3 = Mp3Codec.encode(bIdx, srIdx, mode, 3, fill)
+      val nch = if (mode == 3) 1 else 2
+      val seed = bIdx.toLong * 31 + srIdx
+      val mp3 = Mp3Codec.encode(bIdx, srIdx, mode, 3, fill, seed)
       val m = Mp3Codec.decode(mp3)
       assert(m.bitrateKbps === Mp3Codec.BitrateKbps(bIdx), s"b$bIdx s$srIdx")
       assert(m.sampleRate === Mp3Codec.SampleRates(srIdx), s"b$bIdx s$srIdx")
       assert(m.nFrames === 3)
-      assert(m.channels === (if (mode == 3) 1 else 2))
+      assert(m.channels === nch)
       val flen = Mp3Codec.frameLength(bIdx, srIdx, 0)
+      val si = Mp3Codec.sideInfoLen(nch)
       assert(mp3.length === flen * 3)
-      assert(m.payloadBytes === (flen - 4) * 3L)
-      val expected = (0 until (flen - 4) * 3).map(i => (fill(i % 100) & 0xff).toLong).sum
+      assert(m.payloadBytes === (flen - 4 - si) * 3L)
+      val expected = (0 until (flen - 4 - si) * 3)
+        .map(i => (fill(i % 100) & 0xff).toLong).sum
       assert(Mp3Codec.payloadSum(mp3) === expected)
       assert(m.durationMs === 3L * 1152 * 1000 / m.sampleRate)
+      // side info round-trips bit-exactly: the decoded audio-level
+      // sums equal the seeded generation arithmetic
+      val entries = for (f <- 0 until 3; g <- 0 until 2; c <- 0 until nch)
+        yield (f, g, c)
+      assert(m.nGranules === entries.size.toLong)
+      assert(m.sideGainSum ===
+        entries.map { case (f, g, c) => Mp3Codec.globalGain(seed, f, g, c).toLong }.sum,
+        s"b$bIdx s$srIdx: global_gain sum")
+      assert(m.sideP23Sum ===
+        entries.map { case (f, g, c) => Mp3Codec.part23Length(seed, f, g, c).toLong }.sum,
+        s"b$bIdx s$srIdx: part2_3_length sum")
     }
+  }
+
+  test("Mp3Codec rejects streams violating the no-reservoir side-info contract") {
+    val ok = Mp3Codec.encode(5, 1, 3, 1, Array[Byte](1, 2, 3), seed = 9)
+    // set a bit inside main_data_begin (first side-info byte): decode
+    // must refuse the bit-reservoir stream, not misread main data
+    val bad = ok.clone()
+    bad(4) = (bad(4) | 0x80).toByte
+    val ex = intercept[IllegalArgumentException](Mp3Codec.decode(bad))
+    assert(ex.getMessage.contains("reservoir"))
   }
 
   test("Mp3Codec honors the padding bit when striding frames") {
     // hand-build: frame 0 with padding=1 (one extra byte), frame 1 plain
     val base = Mp3Codec.encode(9, 0, 3, 1, Array[Byte](5, 6, 7))
     val flen = Mp3Codec.frameLength(9, 0, 0)
+    val si = Mp3Codec.sideInfoLen(1) // mono
     val padded = new Array[Byte](flen + 1 + flen)
     System.arraycopy(base, 0, padded, 0, flen)
     padded(2) = (padded(2) | 0x02).toByte // padding bit on frame 0
@@ -341,7 +367,7 @@ class MultimodalSpec extends AnyFunSuite {
     System.arraycopy(base, 0, padded, flen + 1, flen)
     val m = Mp3Codec.decode(padded)
     assert(m.nFrames === 2, "padded stride must land exactly on frame 1's sync")
-    assert(m.payloadBytes === 2L * (flen - 4) + 1)
+    assert(m.payloadBytes === 2L * (flen - 4 - si) + 1)
   }
 
   test("Mp3Codec fails loudly on non-MP3 / truncated bytes") {
