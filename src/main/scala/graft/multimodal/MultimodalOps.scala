@@ -631,19 +631,22 @@ object MultimodalOps {
           val bytes = text.getBytes("UTF-8")
           val nSlices = (1 + bytes.length % 30).toInt
           val idrInterval = (1 + (id / 3) % 4).toInt
-          (id, H264Codec.encode(nSlices, idrInterval, bytes))
+          (id, H264Codec.encode(nSlices, idrInterval, bytes, seed = id))
         }
       }.toDF("asset_id", "h264")
   }
 
   /** Declared query: walk REAL Annex-B byte streams — start-code
     * scanning (both 3- and 4-byte forms), NAL header classification
-    * (SPS/PPS/IDR/non-IDR, forbidden-bit check), and slice payload
-    * byte accounting, all read off the raw bytes by
-    * [[H264Codec.decode]]. The oracle recomputes every count and sum
-    * from the generation arithmetic; slice CABAC/transform decode
-    * needs a media library and stays out of scope (the container
-    * level, [[mmMp3]]'s depth). */
+    * (SPS/PPS/IDR/non-IDR, forbidden-bit check), a BIT-PARSED
+    * exp-Golomb slice header per slice (frame_num / idr_pic_id
+    * aggregated into per-file statistics, the fixed fields verified
+    * loudly), and slice data byte accounting, all read off the raw
+    * bytes by [[H264Codec.decode]]. The oracle recomputes every
+    * count and sum — the variable-length header sizes included —
+    * from the generation arithmetic; only slice CABAC/transform
+    * decode needs a media library and stays out of scope (the
+    * [[mmMp3]] side-info depth). */
   def mmH264(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val decoded = h264Assets(spark, d).as[(Long, Array[Byte])]
@@ -653,19 +656,25 @@ object MultimodalOps {
           val m = codec.decode(h264)
           (id, m.streamBytes, m.nNals.toLong, m.nSps.toLong, m.nPps.toLong,
             m.nIdr.toLong, (m.nIdr + m.nNonIdr).toLong, m.sliceBytes,
-            codec.slicePayloadSum(h264))
+            codec.slicePayloadSum(h264),
+            m.hdrBytes, m.frameNumSum, m.idrPicIdSum)
         }
       }
     decoded.toDF("asset_id", "stream_bytes", "n_nals", "n_sps", "n_pps",
-      "n_idr", "n_slices", "slice_bytes", "slice_sum")
+      "n_idr", "n_slices", "slice_bytes", "slice_sum",
+      "hdr_bytes", "frame_num_sum", "idr_pic_id_sum")
       .orderBy("asset_id")
   }
 
-  // Generation mirror: slice s carries 1+(s+bl)%24 payload bytes with
-  // a 4-byte start code on every k-th slice (3-byte otherwise); the
-  // stream preamble is SPS (8 bytes) + PPS (7); the continuous cycled
-  // text gives the closed-form payload sum (bl=0 ⇒ the encoder fills
-  // with 1s, so the sum is the byte count).
+  // Generation mirror: slice s carries a parsed exp-Golomb header
+  // (2 bytes for non-IDR — 12 bits; IDR: 15 bits + ue(idr_pic_id),
+  // i.e. 2 bytes when (doc_id+s)%8 = 0 else 3) plus 1+(s+bl)%24 data
+  // bytes, with a 4-byte start code on every k-th slice (3-byte
+  // otherwise); the stream preamble is SPS (8 bytes) + PPS (7); the
+  // continuous cycled text gives the closed-form data sum (bl=0 ⇒
+  // the encoder fills with 1s, so the sum is the byte count).
+  // frame_num is 0 on IDR slices (spec) and s mod 16 otherwise;
+  // idr_pic_id is (doc_id + s) mod 8.
   def mmH264Sql: String =
     """WITH base AS (
       |  SELECT doc_id, octet_length(encode(text)) AS bl, hex(encode(text)) AS hx,
@@ -674,12 +683,18 @@ object MultimodalOps {
       |sl AS (
       |  SELECT b.doc_id, b.bl, b.hx, b.k, t.s,
       |    1 + (t.s + b.bl) % 24 AS slen,
-      |    CASE WHEN t.s % b.k = 0 THEN 4 ELSE 3 END AS sc
+      |    CASE WHEN t.s % b.k = 0 THEN 4 ELSE 3 END AS sc,
+      |    CASE WHEN t.s % b.k = 0
+      |         THEN CASE WHEN (b.doc_id + t.s) % 8 = 0 THEN 2 ELSE 3 END
+      |         ELSE 2 END AS hdr,
+      |    CASE WHEN t.s % b.k = 0 THEN 0 ELSE t.s % 16 END AS fnum,
+      |    CASE WHEN t.s % b.k = 0 THEN (b.doc_id + t.s) % 8 ELSE 0 END AS pid
       |  FROM base b JOIN (SELECT unnest(range(30)) AS s) t ON t.s < 1 + b.bl % 30),
       |agg AS (
       |  SELECT doc_id, bl, hx, k, COUNT(*) AS nsl,
       |    SUM(CASE WHEN s % k = 0 THEN 1 ELSE 0 END) AS nidr,
-      |    SUM(slen) AS total, SUM(sc + 1 + slen) AS slice_stream
+      |    SUM(slen) AS total, SUM(sc + 1 + hdr + slen) AS slice_stream,
+      |    SUM(hdr) AS hsum, SUM(fnum) AS fnsum, SUM(pid) AS pidsum
       |  FROM sl GROUP BY doc_id, bl, hx, k),
       |ps AS (
       |  SELECT doc_id, CASE WHEN bl = 0 THEN total ELSE
@@ -697,7 +712,10 @@ object MultimodalOps {
       |  CAST(a.nidr AS BIGINT) AS n_idr,
       |  CAST(a.nsl AS BIGINT) AS n_slices,
       |  CAST(a.total AS BIGINT) AS slice_bytes,
-      |  CAST(ps.psum AS BIGINT) AS slice_sum
+      |  CAST(ps.psum AS BIGINT) AS slice_sum,
+      |  CAST(a.hsum AS BIGINT) AS hdr_bytes,
+      |  CAST(a.fnsum AS BIGINT) AS frame_num_sum,
+      |  CAST(a.pidsum AS BIGINT) AS idr_pic_id_sum
       |FROM agg a JOIN ps ON ps.doc_id = a.doc_id ORDER BY asset_id""".stripMargin
 
   // The oracle knows the generation arithmetic (44-byte canonical

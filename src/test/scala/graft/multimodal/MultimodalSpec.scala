@@ -401,19 +401,44 @@ class MultimodalSpec extends AnyFunSuite {
   test("H264Codec round-trips Annex-B streams: both start-code forms, NAL classification") {
     val fill = "the fast key order sort table".getBytes("UTF-8")
     for ((nSlices, k) <- Seq((1, 1), (7, 2), (12, 4), (30, 3))) {
-      val h264 = H264Codec.encode(nSlices, k, fill)
+      val seed = nSlices.toLong * 13 + k
+      val h264 = H264Codec.encode(nSlices, k, fill, seed)
       val m = H264Codec.decode(h264)
       assert(m.nSps === 1 && m.nPps === 1, s"n=$nSlices k=$k")
       assert(m.nIdr === (nSlices + k - 1) / k, s"n=$nSlices k=$k: IDR cadence")
       assert(m.nIdr + m.nNonIdr === nSlices, s"n=$nSlices k=$k")
       assert(m.nNals === 2 + nSlices)
       val expectedSliceBytes = (0 until nSlices).map(s => 1 + (s + fill.length) % 24).sum
-      assert(m.sliceBytes === expectedSliceBytes.toLong, s"n=$nSlices k=$k: payload walk")
+      assert(m.sliceBytes === expectedSliceBytes.toLong, s"n=$nSlices k=$k: data walk")
       val expectedSum = (0 until expectedSliceBytes)
         .map(i => (fill(i % fill.length) & 0xff).toLong).sum
       assert(H264Codec.slicePayloadSum(h264) === expectedSum, s"n=$nSlices k=$k")
       assert(m.streamBytes === h264.length.toLong)
+      // slice headers round-trip bit-exactly through the exp-Golomb
+      // write/parse: field sums equal the seeded generation arithmetic
+      val slices = (0 until nSlices).map(s => (s, s % k == 0))
+      assert(m.frameNumSum ===
+        slices.map { case (s, idr) => H264Codec.frameNum(s, idr).toLong }.sum,
+        s"n=$nSlices k=$k: frame_num sum")
+      assert(m.idrPicIdSum ===
+        slices.collect { case (s, true) => H264Codec.idrPicId(seed, s).toLong }.sum,
+        s"n=$nSlices k=$k: idr_pic_id sum")
+      assert(m.hdrBytes ===
+        slices.map { case (s, idr) =>
+          H264Codec.sliceHeaderLen(idr, H264Codec.idrPicId(seed, s)).toLong }.sum,
+        s"n=$nSlices k=$k: header byte accounting")
     }
+  }
+
+  test("H264Codec rejects a corrupted slice header (exp-Golomb contract)") {
+    val ok = H264Codec.encode(2, 1, "abcdef".getBytes("UTF-8"), seed = 3)
+    // layout: sc4+SPS(1+3)=0..7, sc4+PPS(1+2)=8..14, slice 0's 4-byte
+    // start code 15..18, NAL header 19 -> slice header first byte 20.
+    // Zero its leading bits: the parse must fail loudly on the shifted
+    // fields, not silently misread data bytes
+    val bad = ok.clone()
+    bad(20) = (bad(20) & 0x07).toByte // clobber first_mb/slice_type bits
+    intercept[IllegalArgumentException](H264Codec.decode(bad))
   }
 
   test("H264Codec fails loudly on non-Annex-B bytes and forbidden-bit NALs") {
