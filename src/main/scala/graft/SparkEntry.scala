@@ -48,6 +48,7 @@ object SparkEntry {
     "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
     "agg_salted"        -> (ScaleOps.saltedTypeRevenue _),
     "agg_salted_collect" -> (ScaleOps.saltedLangDocs _),
+    "join_salted"       -> (ScaleOps.saltedJoinAboveMean _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,
     "agg_salted"        -> ScaleOps.saltedTypeRevenueSql,
     "agg_salted_collect" -> ScaleOps.saltedLangDocsSql,
+    "join_salted"       -> ScaleOps.saltedJoinAboveMeanSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

@@ -165,6 +165,66 @@ object ScaleOps {
       .groupBy(groupCols.map(col): _*)
       .agg(array_sort(flatten(collect_list(col("__sub")))).as(s"all_$valueCol"))
 
+  /** Manual SALTED JOIN — the join-side twin of [[saltedSum]], for
+    * the regime neither broadcast nor AQE covers: the probe side is
+    * hot on a few keys, and the build side is too large to broadcast
+    * (AQE's skew split only rewrites shuffle-join partitions it can
+    * re-plan; a co-partitioning consumed downstream, or a
+    * non-last-stage join, keeps the skewed partition intact). The
+    * big side gets a ROW-LOCAL salt (round-robin — the
+    * [[saltedPartial]] argument: never derived from data, so a
+    * constant-valued hot key still spreads); the small side is
+    * REPLICATED once per salt value with a generated column. The
+    * join key becomes (key, salt): a hot key's rows now land on
+    * `saltFactor` reduce tasks, each holding a full copy of that
+    * key's small-side rows — shuffle volume for the small side grows
+    * ×saltFactor (it's the small side; that's the trade), the big
+    * side's max task shrinks ÷saltFactor. Dropping the salt after
+    * the join restores exactly the plain join's multiset. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Declared-query face of [[saltedJoin]]: enrich every event with
+    * its type's exact (count, decimal sum) aggregate — event_type is
+    * the canonical planted-hot-key shape (a handful of distinct
+    * values over the whole fact table) — then count the events whose
+    * value exceeds their type mean. The comparison is value·cnt >
+    * sum in DECIMAL (exact cross-multiplication, no division), so
+    * Spark and DuckDB decide every borderline row identically. The
+    * merge hint pins the real co-partitioned shuffle-join shape the
+    * salt exists for (at harness SF the 5×8-row dim would broadcast
+    * and the salt would be moot — the join_bucketed precedent). */
+  def saltedJoinAboveMean(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.OpsUtil.dsum
+    val ev = graft.Tables.events(spark, d)
+    val dim = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("vsum"))
+    saltedJoin(
+      ev.select(col("event_type"), col("value")),
+      dim.hint("merge"), "event_type", 8)
+      .where(col("value").cast("decimal(18,6)") * col("cnt") > col("vsum"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("event_type")
+  }
+
+  def saltedJoinAboveMeanSql: String =
+    """SELECT e.event_type, COUNT(*) AS n_above
+      |FROM events e
+      |JOIN (SELECT event_type, COUNT(*) AS cnt,
+      |        SUM(CAST(value AS DECIMAL(18,6))) AS vsum
+      |      FROM events GROUP BY event_type) d
+      |  ON d.event_type = e.event_type
+      |WHERE CAST(e.value AS DECIMAL(18,6)) * d.cnt > d.vsum
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Declared-query face of [[saltedCollect]]: gather every doc_id of
     * each language through the two-stage salted shape, joined to one
     * string per group so the DuckDB oracle hash-checks the full

@@ -72,6 +72,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("salted join equals the plain join on planted-hot-key data") {
+    import spark.implicits._
+    // 90% of rows share one key; the dim has per-key payloads. The
+    // salt must be join-neutral: same multiset as the plain join.
+    val big = spark.range(20000).select(
+      when(col("id") % 10 =!= 0, lit("HOT"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(50L)).cast("string")))
+        .as("k"),
+      col("id").as("v"))
+    val dim = (Seq("HOT") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 7) }.toDF("k", "w")
+    val plain = big.join(dim, "k")
+    val salted = ScaleOps.saltedJoin(big, dim, "k", 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // and the salted plan really joins on (key, salt): the small side
+    // was replicated 8x, so each (key, salt) pair appears once
+    val rep = ScaleOps.saltedJoin(big, dim, "k", 8)
+    assert(rep.columns.toSeq === Seq("k", "v", "w"), "salt column must not leak")
+  }
+
   test("constant-valued hot key spreads across all salt buckets") {
     import spark.implicits._
     // the adversarial case for value-derived salts: ONE key, ONE value,
