@@ -101,6 +101,7 @@ object SparkEntry {
     "text_gopher_rules" -> (TextAnalysisOps.gopherRules _),
     "text_tfidf"        -> (TextAnalysisOps.tfidf _),
     "agg_topk_sketch"   -> (TextAnalysisOps.topkSketch _),
+    "agg_cms"           -> (TextAnalysisOps.cmsEstimates _),
     // Training-data preparation (chunking / decontamination /
     // sampling / packing / incremental ingest / centroids)
     "text_chunk"        -> (TrainingPrepOps.textChunk _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "text_gopher_rules" -> TextAnalysisOps.gopherRulesSql,
     "text_tfidf"        -> TextAnalysisOps.tfidfSql,
     "agg_topk_sketch"   -> TextAnalysisOps.topkSketchSql,
+    "agg_cms"           -> TextAnalysisOps.cmsEstimatesSql,
     "text_chunk"        -> TrainingPrepOps.textChunkSql,
     "decontaminate"     -> TrainingPrepOps.decontaminateSql,
     "sample_stratified" -> TrainingPrepOps.sampleStratifiedSql,

@@ -62,6 +62,7 @@ object GraftFunctions {
     "xhash60"     -> (exprs => Xhash60Expr(exprs(0), saltOf(exprs(1)))),
     "minhash_sig" -> (exprs => MinHashSigAgg(exprs.head).toAggregateExpression()),
     "mg_topk"     -> (exprs => MgTopKAgg(exprs.head).toAggregateExpression()),
+    "cms_sketch"  -> (exprs => CmsAgg(exprs.head).toAggregateExpression()),
     "range_overlap" -> (exprs =>
       RangeOverlap(exprs(0), exprs(1), exprs(2), exprs(3), longLitOf(exprs(4)))))
 

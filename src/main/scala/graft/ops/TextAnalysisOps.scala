@@ -580,4 +580,73 @@ object TextAnalysisOps {
        |  FROM exact)
        |SELECT lang, rank, token, n, TRUE AS bounds_hold, TRUE AS hh_tracked
        |FROM ranked WHERE rank <= $TopkRanks ORDER BY lang, rank""".stripMargin
+
+  /** Count-Min frequency estimates per language via the
+    * [[graft.functions.CmsAgg]] sketch, probed at the exact top-5
+    * tokens. Unlike the MG sketch above, the CMS grid is
+    * partition-independent (increments + elementwise-add merges are
+    * exact sums), so the RAW estimates are declarable: the DuckDB
+    * oracle rebuilds the identical D×W grid from the same
+    * md5-slice bucket arithmetic and must land on the same numbers —
+    * a far stronger gate than a guarantee flag. overcount_ok
+    * (est ≥ exact) is CMS's defining one-sided bound, kept as a
+    * self-describing column.
+    *
+    * Scale shape: the sketch groupBy ships D·W longs per language
+    * partial regardless of vocabulary size (map-side combined
+    * TypedImperativeAggregate); the exact companion join is the
+    * scoring harness, not the production path. */
+  def cmsEstimates(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsAgg
+    val tok = Tables.documents(spark, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val sk = tok.groupBy(col("lang"))
+      .agg(CmsAgg.cms_sketch(col("token")).as("sk"))
+    val exact = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val top = exact
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+      .where(col("rank") <= TopkRanks)
+    // row r's bucket: the r-th 8-hex-digit slice of md5(token) mod W —
+    // the same built-in md5 the oracle replays (functions, not UDFs)
+    val est = least((0 until CmsAgg.D).map { r =>
+      element_at(col("sk"),
+        (lit(r * CmsAgg.W) +
+          pmod(conv(substring(md5(col("token")), 8 * r + 1, 8), 16, 10)
+            .cast("long"), lit(CmsAgg.W.toLong)) + 1).cast("int"))
+    }: _*)
+    top.join(sk, Seq("lang"))
+      .select(col("lang"), col("rank"), col("token"), col("n"),
+        est.as("est"), (est >= col("n")).as("overcount_ok"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Full CMS replay in SQL: same tokenizer, same md5-slice buckets,
+    * same grid counts, same min-over-rows estimate. */
+  def cmsEstimatesSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${tokensSql("text")}) AS token FROM documents),
+       |exact AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+       |ranked AS (
+       |  SELECT lang, token, n, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n DESC, token) AS rank
+       |  FROM exact),
+       |rws AS (SELECT unnest(range(4)) AS r),
+       |cnt AS (
+       |  SELECT t.lang, w.r,
+       |    ('0x' || substr(md5(t.token), CAST(8*w.r + 1 AS INT), 8))::BIGINT % 64 AS b,
+       |    COUNT(*) AS c
+       |  FROM tok t CROSS JOIN rws w GROUP BY 1, 2, 3),
+       |probe AS (
+       |  SELECT k.lang, k.rank, k.token, k.n, w.r,
+       |    ('0x' || substr(md5(k.token), CAST(8*w.r + 1 AS INT), 8))::BIGINT % 64 AS b
+       |  FROM ranked k CROSS JOIN rws w
+       |  WHERE k.rank <= $TopkRanks)
+       |SELECT p.lang, p.rank, p.token, p.n,
+       |  CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est,
+       |  MIN(COALESCE(c.c, 0)) >= p.n AS overcount_ok
+       |FROM probe p LEFT JOIN cnt c
+       |  ON c.lang = p.lang AND c.r = p.r AND c.b = p.b
+       |GROUP BY p.lang, p.rank, p.token, p.n
+       |ORDER BY p.lang, p.rank""".stripMargin
 }

@@ -66,6 +66,14 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L).map(x =>
         (MinHashSigAgg.As(j) * x + MinHashSigAgg.Bs(j)) % MinHashSigAgg.P).min)
     assert(sig.toSeq === expected)
+    // cms_sketch is usable as a SQL aggregate: grid sums D per item
+    val cms = spark.sql(
+      "SELECT cms_sketch(w) AS sk FROM VALUES ('a'), ('b'), ('a') AS t(w)")
+      .collect().head.getSeq[Long](0)
+    assert(cms.length === CmsAgg.D * CmsAgg.W)
+    assert(cms.sum === 3L * CmsAgg.D)
+    val aB = CmsAgg.buckets("a")
+    assert((0 until CmsAgg.D).forall(r => cms(r * CmsAgg.W + aB(r)) >= 2L))
   }
 
   test("mg_topk upholds MG guarantees for EVERY token under any partitioning") {

@@ -62,6 +62,34 @@ class SketchSpec extends AnyFunSuite {
     SimilarityOps.evictIvfCache()
   }
 
+  test("CMS grid is partition-independent and estimates are one-sided overcounts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CmsAgg
+    // skewed vocabulary: "hot" 500x, decreasing tail
+    val words = (Seq.fill(500)("hot") ++
+      (0 until 50).flatMap(i => Seq.fill(50 - i)(s"w$i"))).map(Tuple1(_))
+    val base = words.toDF("w")
+    def grid(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(CmsAgg.cms_sketch(col("w")).as("sk"))
+        .collect().head.getAs[scala.collection.Seq[Long]]("sk").toArray
+    // exact sums: any partitioning must produce the identical grid
+    val g1 = grid(base.repartition(1))
+    val g13 = grid(base.repartition(13))
+    assert(g1.sameElements(g13), "CMS grid must not depend on the merge tree")
+    assert(g1.sum === words.size.toLong * CmsAgg.D, "every item increments D counters")
+    // defining guarantee: est(x) >= true(x), exact on the isolated hot key
+    def est(g: Array[Long], item: String): Long = {
+      val bs = CmsAgg.buckets(item)
+      (0 until CmsAgg.D).map(r => g(r * CmsAgg.W + bs(r))).min
+    }
+    assert(est(g1, "hot") >= 500L)
+    (0 until 50).foreach { i =>
+      assert(est(g1, s"w$i") >= (50 - i).toLong, s"w$i undercounted")
+    }
+    assert(est(g1, "never-seen") >= 0L)
+  }
+
   test("topkSketch survives a flat distribution where top-5 tokens are evicted (ANSI)") {
     import spark.implicits._
     // 100 distinct tokens, one occurrence each: the K=32 MG sketch
