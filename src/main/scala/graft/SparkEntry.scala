@@ -62,6 +62,7 @@ object SparkEntry {
     "evt_rolling"      -> (EventOps.rolling7d _),
     "evt_dow_profile"  -> (EventOps.dowProfile _),
     "evt_prune"        -> (EventOps.prunedWindow _),
+    "evt_dpp"          -> (EventOps.dppTopDays _),
     // Structured Streaming under the hash gate: the watermark-window
     // pipeline driven to completion; oracle = the batch twin SQL
     "stream_hourly"    -> (graft.streaming.EventStreams.streamHourly _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "evt_rolling"       -> EventOps.rolling7dSql,
     "evt_dow_profile"   -> EventOps.dowProfileSql,
     "evt_prune"         -> EventOps.prunedWindowSql,
+    "evt_dpp"           -> EventOps.dppTopDaysSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "graph_pagerank"      -> GraphOps.pagerankSql,

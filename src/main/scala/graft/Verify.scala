@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // allow DPP to run its own subquery when AQE hasn't materialized
+      // a reusable broadcast yet (default reuse-only silently degrades
+      // the filter to `true` and scans every partition - evt_dpp)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

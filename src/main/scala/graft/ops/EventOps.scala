@@ -236,6 +236,48 @@ object EventOps {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** DYNAMIC partition pruning over the date-partitioned layout — the
+    * runtime twin of [[prunedWindow]]: there the pruning dates are
+    * literals the optimizer sees, here they are the top-3 revenue
+    * days, known only after aggregating the fact — the "join the
+    * fact to a filtered dim" shape every star-schema workload runs.
+    * Spark broadcasts the filtered dim, evaluates it as a DPP
+    * subquery INSIDE the fact scan's partition filters, and lists
+    * only the 3 matching `event_date=` directories of 30 — at 100 TB
+    * the difference between scanning 3 days and a month. ScaleSpec
+    * pins the dynamicpruning filter in the plan and the 3-partition
+    * scan metric. Ties on daily revenue break by day (exact DECIMAL
+    * totals), so both engines pick the same 3 days and the result is
+    * hash-stable. */
+  def dppTopDays(spark: SparkSession, d: String): DataFrame = {
+    val fact = graft.sources.PartitionedTables.eventsByDay(spark, d)
+    val topDays = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("tot"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("tot").desc, col("day"))))
+      .where(col("rk") <= 3)
+      .select(col("day"))
+    fact.join(broadcast(topDays), fact("event_date") === topDays("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), OpsUtil.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  def dppTopDaysSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS tot
+      |  FROM events GROUP BY 1),
+      |top3 AS (
+      |  SELECT day FROM (
+      |    SELECT day, row_number() OVER (ORDER BY tot DESC, day) AS rk
+      |    FROM daily) WHERE rk <= 3)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN top3 t ON CAST(e.ts AS DATE) = t.day
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Day-of-week × hour-of-day activity profile — the calendar-grid
     * aggregation behind "when is traffic" dashboards, exercising the
     * calendar extraction functions (dayofweek/hour) the rest of the

@@ -21,6 +21,11 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // allow DPP to run its own subquery when AQE hasn't materialized
+    // a reusable broadcast yet (default reuse-only silently degrades
+    // the filter to `true` and scans every partition — evt_dpp);
+    // mirrors Verify/Bench so plan tests see the production plan
+    .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -85,6 +85,40 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.sources.PartitionedTables.evictStaged() // even on a red run
   }
 
+  test("evt_dpp prunes partitions at RUNTIME: dynamicpruning filter, 3 of 30 dirs read") {
+    try {
+      val df = EventOps.dppTopDays(spark, sf)
+      // the fact scan's partition filter must be a DPP subquery (the
+      // top-3 days exist only after the dim aggregates)
+      val scan = scans(df).head
+      val pf = scan.metadata("PartitionFilters")
+      assert(pf.contains("dynamicpruning"),
+        s"expected a runtime DPP filter on the fact scan, got: $pf")
+      // execute THIS plan (toRdd.count; df.count would plan separately),
+      // then dig the EXECUTED scan out of the AQE query stages (the
+      // final plan hides materialized stages behind leaf wrappers and
+      // clones the initial plan's nodes, so neither the pre-execution
+      // instance nor a flat collect sees the filled-in metrics)
+      df.queryExecution.toRdd.count()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def deepScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collectWithSubqueries {
+          // both wrappers hide their materialized subtree from collect():
+          // QueryStageExec behind `plan`, the AQE root behind executedPlan
+          case s: FileSourceScanExec => Seq(s)
+          case q: QueryStageExec => deepScans(q.plan)
+          case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+        }.flatten
+      val execScan = deepScans(df.queryExecution.executedPlan)
+        .filter(_.metadata("PartitionFilters").contains("dynamicpruning"))
+      assert(execScan.nonEmpty, "executed plan lost the DPP scan")
+      val partsRead = execScan.head.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(3L),
+        s"DPP should read exactly 3 day-partitions, metrics said $partsRead")
+    } finally graft.sources.PartitionedTables.evictStaged()
+  }
+
   test("grep's case-insensitive contains stays post-scan (lower() is not pushable)") {
     // documents the tradeoff: reference semantics are case-insensitive
     // (grep_map.py lowercases), and lower(text) blocks parquet
