@@ -26,41 +26,50 @@ object MrQueries {
     * whitespace tokens, (word, cnt), ordered by word. */
   def mrWordCount(spark: SparkSession, d: String): DataFrame = {
     val inDir = Files.createTempDirectory("graft-mrwc-in").toString
-    graft.Tables.documents(spark, d).select(col("text"))
-      .write.mode("overwrite").text(inDir)
     val outDir = Files.createTempDirectory("graft-mrwc-out")
-    Files.delete(outDir) // the runner owns creation (F9 reset)
+    // scratch dirs must not leak even when the run or read-back
+    // throws — cleanup lives in finally, and it tolerates the runner
+    // having already replaced/removed the dirs
+    try {
+      graft.Tables.documents(spark, d).select(col("text"))
+        .write.mode("overwrite").text(inDir)
+      Files.delete(outDir) // the runner owns creation (F9 reset)
 
-    // mapper = the library's canonical tokenizer (OpsUtil.tokens:
-    // lowercase, \s+ split, drop empties); reducer = the reference's
-    // wc_reduce.sh adjacent-key count. Newlines inside a document
-    // only split its text-file lines, which is token-neutral for a
-    // whitespace tokenizer.
-    MapReduceRunner.run(spark, MapReduceJob(
-      inputDirectory = inDir,
-      outputDirectory = outDir.toString,
-      mapper = FnSpec(_.flatMap(_.toLowerCase.split("\\s+"))
-        .filter(_.nonEmpty).map(w => s"$w\t1")),
-      reducer = FnSpec(Workloads.wcReduceSh),
-      numMappers = 8, numReducers = 8))
+      // mapper = the library's canonical tokenizer (OpsUtil.tokens:
+      // locale-independent lowercase, \s+ split, drop empties — the
+      // oracle contract is SQL lower(), so the mapper must not pick up
+      // the JVM default locale's casing rules); reducer = the
+      // reference's wc_reduce.sh adjacent-key count. Newlines inside a
+      // document only split its text-file lines, which is
+      // token-neutral for a whitespace tokenizer.
+      MapReduceRunner.run(spark, MapReduceJob(
+        inputDirectory = inDir,
+        outputDirectory = outDir.toString,
+        mapper = FnSpec(_.flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+          .filter(_.nonEmpty).map(w => s"$w\t1")),
+        reducer = FnSpec(Workloads.wcReduceSh),
+        numMappers = 8, numReducers = 8))
 
-    val counts = spark.read.text(outDir.toString)
-      .select(split(col("value"), "\t").as("kv"))
-      .select(col("kv").getItem(0).as("word"),
-        col("kv").getItem(1).cast("long").as("cnt"))
-      .orderBy("word")
-      .localCheckpoint(true) // |vocab| rows — pin, then drop scratch
-    deleteRecursively(inDir)
-    deleteRecursively(outDir.toString)
-    counts
+      spark.read.text(outDir.toString)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv").getItem(0).as("word"),
+          col("kv").getItem(1).cast("long").as("cnt"))
+        .orderBy("word")
+        .localCheckpoint(true) // |vocab| rows — pin, then drop scratch
+    } finally {
+      deleteRecursively(inDir)
+      deleteRecursively(outDir.toString)
+    }
   }
 
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+      scala.util.Using.resource(Files.walk(root)) { stream =>
+        stream.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+      }
     }
   }
 }

@@ -238,12 +238,16 @@ object H264Codec {
 
   // At most ONE zero immediately before the NEXT start code can belong
   // to that start code (its 4-byte `00 00 00 01` form contributes
-  // exactly one byte beyond the `00 00 01` the splitter keyed on). A
-  // spec-valid NAL can never contribute more: rbsp_trailing_bits end
-  // in a stop bit, so the last payload byte of a well-formed NAL is
-  // nonzero. More than one trailing zero therefore means a malformed
-  // (or padding-bearing) stream — fail loudly rather than silently
-  // misattribute payload bytes to the start code.
+  // exactly one byte beyond the `00 00 01` the splitter keyed on).
+  // NOTE this z<=1 gate enforces THIS REPO'S generation contract
+  // (writeStream emits no padding between NAL units), not Annex-B
+  // validity in general: ISO 14496-10 Annex B permits arbitrary
+  // trailing_zero_8bits between byte-stream NAL units, and
+  // cabac_zero_words also yield trailing 0x00 — a general parser
+  // would attribute at most one zero to the start code and treat the
+  // rest as padding. Here the writer never emits padding, so >1 zeros
+  // means the fixture bytes were corrupted — fail loudly rather than
+  // silently misattribute payload bytes.
   private def trailingStartCodeZeros(bytes: Array[Byte], from: Int, end: Int): Int = {
     if (end >= bytes.length) 0
     else {
@@ -251,9 +255,10 @@ object H264Codec {
       var i = end - 1
       while (i >= from && bytes(i) == 0) { z += 1; i -= 1 }
       require(z <= 1,
-        s"malformed Annex-B: $z trailing zeros before a start code — a " +
-          "valid NAL ends with rbsp_trailing_bits (nonzero last byte), " +
-          "so at most the 4-byte start code's single extra 00 may trail")
+        s"$z trailing zeros before a start code — this repo's generator " +
+          "emits no inter-NAL padding (spec-valid streams MAY carry " +
+          "trailing_zero_8bits; this parser is scoped to the in-repo " +
+          "contract), so >1 means corrupted fixture bytes")
       z
     }
   }

@@ -40,9 +40,14 @@ object ScaleOps {
   // One bucketed (orders, lineitem) table pair per (session, sf-dir) —
   // the layout is a property of the table (the PartitionedTables /
   // IVF-cache keying); the declared query pays the exchange-free join,
-  // which is the point.
+  // which is the point. ConcurrentHashMap.computeIfAbsent (not
+  // TrieMap.getOrElseUpdate): the staging block writes catalog tables,
+  // so two racing first readers must not both run it — the loser's
+  // table pair would be orphaned in the warehouse with nothing
+  // pointing at it. computeIfAbsent runs the mapping function at most
+  // once per key.
   private val bucketedStage =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]
 
   // table-name uniquifier: a fresh suffix per staged entry, so two sf
   // dirs with colliding String.hashCode (or a second session staging
@@ -51,7 +56,7 @@ object ScaleOps {
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def stagedOrderTables(spark: SparkSession, d: String): (String, String) =
-    bucketedStage.getOrElseUpdate((System.identityHashCode(spark), d), {
+    bucketedStage.computeIfAbsent((System.identityHashCode(spark), d), _ => {
       val tag = stageSeq.incrementAndGet()
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
