@@ -41,6 +41,26 @@ object Bench {
       name -> Timing((System.nanoTime() - t0) / 1e9, err)
     }.toMap
 
+  /** Drop EVERYTHING the block manager holds: the shared op caches,
+    * every cached Dataset, and every lingering persisted RDD —
+    * including the localCheckpoint RDDs that every build-once operator
+    * (dedup, IVF, graph, MR read-back) creates per invocation. Those
+    * are normally reclaimed by the ContextCleaner as their DataFrames
+    * are GC'd, but 95 queries × multiple passes in one 8 GiB JVM
+    * out-run the cleaner: by the r8 warm probe the accumulated blocks
+    * had pushed the "warm" pair cache out of storage memory and the
+    * probe silently recomputed the full minhash build (24.99 s
+    * recorded for a probe whose honest warm cost is ~2.6 s). Blocking
+    * unpersist, so no removal I/O leaks into the next timed section. */
+  def freeBlocks(spark: SparkSession): Unit = {
+    graft.ops.GraphOps.evictPairCache()
+    graft.ops.SimilarityOps.evictIvfCache()
+    try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => () }
+    spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+      try r.unpersist(true) catch { case _: Throwable => () }
+    }
+  }
+
   def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -91,20 +111,23 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
     // warmup: same plans, smallest data, results discarded; errors
-    // surface in the timed passes, not here
+    // surface in the timed passes, not here. stream_* queries are
+    // SKIPPED: their cost is state-store + drop-staging machinery that
+    // re-runs in full on every invocation anyway (no codegen/footer
+    // cache to warm that the two timed passes don't warm themselves),
+    // and warming them re-staged every drop a third time — pure bench
+    // wall with no effect on the recorded minima (r8 verdict item 5)
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-      ordered.foreach { case (_, fn) =>
+      ordered.filterNot(_._1.startsWith("stream_")).foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     }
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    // drop the warmup pass's cached artifacts (keyed per dir, so the
-    // sfDir entries don't exist yet — this just frees sf0.001 state)
-    graft.ops.GraphOps.evictPairCache()
-    graft.ops.SimilarityOps.evictIvfCache()
+    // drop the warmup pass's artifacts AND every block it left behind
+    freeBlocks(spark)
 
     val cpu0 = osBean.getProcessCpuTime
     val wall0 = System.nanoTime()
@@ -112,31 +135,52 @@ object Bench {
     // jobs run periodically), and min-of-2 reports steady-state cost
     // instead of whatever transient contention one pass hits
     val p1 = timedPass(spark, ordered, sfDir)
+    val wallP1 = (System.nanoTime() - wall0) / 1e9
     // cold-build honesty: the build-once caches (minhash pair graph,
     // IVF centroids) are evicted BETWEEN passes, so min-of-2 reports a
     // cold build + probe for the first query in name order that builds
     // each cache (graph_pagerank, dedup_semantic) rather than pass-2's
     // warm probe; later queries sharing the cache within a pass
     // (graph_triangles, sim_ann_ivf) still measure the intended
-    // build-once/probe-many pipeline shape
-    graft.ops.GraphOps.evictPairCache()
-    graft.ops.SimilarityOps.evictIvfCache()
+    // build-once/probe-many pipeline shape. freeBlocks (not just the
+    // cache evictions) so pass 2 starts with the block manager p1
+    // started with — otherwise p1's localCheckpoint litter skews p2.
+    freeBlocks(spark)
+    val wallMid = System.nanoTime()
     val p2 = timedPass(spark, ordered, sfDir)
+    val wallP2 = (System.nanoTime() - wallMid) / 1e9
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
 
     // Self-describing cache accounting (r7 verdict item 5): the four
     // queries sharing the build-once caches are re-probed with BOTH
-    // caches warm (p2 just built them), so the JSON carries an
-    // explicit warm number next to the headline one and the
-    // cold-pricing policy can't be misread as a regression.
-    // Within a timed pass (name order) the builders run cold after
-    // the inter-pass eviction, the later sharers warm:
-    //   dedup_semantic (cold IVF build) -> sim_ann_ivf (warm probe)
-    //   graph_pagerank (cold pair build) -> graph_triangles (warm)
+    // caches warm, so the JSON carries an explicit warm number next to
+    // the headline one and the cold-pricing policy can't be misread as
+    // a regression. The caches are rebuilt UNTIMED on a freshly swept
+    // block manager rather than inherited from p2: r8 inherited them
+    // and the probe ran against a block manager holding two full
+    // passes of litter — the "warm" pair table had been evicted and
+    // the probe recomputed the whole minhash build (24.99 s).
     val cacheCoupled = Seq(
       "dedup_semantic", "graph_pagerank", "graph_triangles", "sim_ann_ivf")
       .filter(n => ordered.exists(_._1 == n))
+    freeBlocks(spark)
+    Seq("dedup_semantic", "graph_pagerank").foreach { builder =>
+      SparkEntry.queries.get(builder).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+    // warmth proof, recorded into the JSON: before the probe is called
+    // warm, the shared op caches must exist (snapshot count) and the
+    // block manager must actually hold fully-cached in-memory RDDs
+    // (fullyCached counts RDDs with every partition resident — the
+    // thing the r8 probe silently lost).
+    val warmEntries = (graft.ops.GraphOps.pairCacheSnapshot ++
+      graft.ops.SimilarityOps.ivfCacheSnapshot).size
+    val storageInfo = spark.sparkContext.getRDDStorageInfo
+    val fullyCached = storageInfo.count(i =>
+      i.numCachedPartitions == i.numPartitions && i.memSize > 0)
+    val storageMb = storageInfo.map(_.memSize).sum / 1e6
     val pWarm = timedPass(spark,
       ordered.filter { case (n, _) => cacheCoupled.contains(n) }, sfDir)
 
@@ -165,8 +209,10 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cache":$cacheJson,""" +
+      f""""warm_probe":{"cache_entries":$warmEntries,"fully_cached_rdds":$fullyCached,"storage_mb":$storageMb%.1f},""" +
       s""""errors":$errJson,"failed":${errors.size},""" +
-      f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_wall_ratio":$ratio%.2f,""" +
+      f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,""" +
+      f""""pass_sec":[$wallP1%.1f,$wallP2%.1f],"cpu_wall_ratio":$ratio%.2f,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
     graft.ops.OpsUtil.deleteRecursively(warehouseDir)

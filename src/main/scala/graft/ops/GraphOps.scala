@@ -56,11 +56,20 @@ object GraphOps {
     pairCache.getOrElseUpdate((System.identityHashCode(spark), d),
       DedupOps.dedupMinhash(spark, d).select(col("d1"), col("d2")).persist())
 
-  /** Unpersist every cached pair graph (all sessions). */
+  /** Unpersist every cached pair graph (all sessions). BLOCKING: the
+    * bench evicts between timed passes, and a lazy unpersist leaves
+    * the blocks in the block manager to be dropped "eventually" —
+    * i.e. during the next timed pass, charging the removal I/O to
+    * whatever query happens to be running (the r8 warm-probe
+    * pathology's first ingredient). */
   def evictPairCache(): Unit = {
-    pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    pairCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
     pairCache.clear()
   }
+
+  /** Test/bench hook: live cache entries (the [[SimilarityOps.ivfCacheSnapshot]]
+    * pattern) — warmth assertions must target these DataFrames. */
+  private[graft] def pairCacheSnapshot: Seq[DataFrame] = pairCache.values.toSeq
 
   def pagerank(spark: SparkSession, d: String): DataFrame =
     pagerankOnPairs(cachedPairs(spark, d))

@@ -368,9 +368,11 @@ object SimilarityOps {
   def annIvf(spark: SparkSession, d: String): DataFrame =
     annIvfProbe(spark, d, cachedCentroids(spark, d))
 
-  /** Unpersist every cached IVF centroid table (all sessions). */
+  /** Unpersist every cached IVF centroid table (all sessions).
+    * BLOCKING, for the same reason as [[GraphOps.evictPairCache]]:
+    * lazy unpersist defers block removal into the next timed pass. */
   def evictIvfCache(): Unit = {
-    ivfCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    ivfCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
     ivfCache.clear()
   }
 

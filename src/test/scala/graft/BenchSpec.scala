@@ -33,4 +33,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!s.contains("\n") && !s.contains("\t"))
     assert(s.contains("\\\"quoted\\\""))
   }
+
+  // The cold-build pricing policy (r7 verdict item 5) depends on pass
+  // order: within a timed pass (sorted name order) the cache BUILDER
+  // must run before the queries that share its cache, otherwise the
+  // cold build silently moves to a different query's headline. This
+  // ordering is an accident of the query NAMES — guard it so a rename
+  // can't flip which entry pays the cold build without failing a test.
+  test("cache builders precede their sharers in sorted query-name order") {
+    val names = SparkEntry.queries.keySet
+    val couples = Seq( // builder -> sharer (same underlying cache)
+      "dedup_semantic" -> "sim_ann_ivf", // IVF centroid cache
+      "graph_pagerank" -> "graph_triangles") // minhash pair cache
+    couples.foreach { case (builder, sharer) =>
+      assert(names.contains(builder) && names.contains(sharer),
+        s"cache-coupled queries renamed: $builder/$sharer no longer registered — " +
+          "update Bench.cacheCoupled AND this guard together")
+      assert(builder < sharer,
+        s"'$builder' must sort before '$sharer': the bench prices the cold " +
+          "cache build on the first coupled query per pass")
+    }
+  }
+
 }
