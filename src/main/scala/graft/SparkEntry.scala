@@ -118,6 +118,12 @@ object SparkEntry {
     "score_dsir"   -> (CurationOps.scoreDsir _),
     "score_ppl"    -> (CurationOps.scorePerplexity _),
     "curate_pipeline" -> (CurationOps.curatePipeline _),
+    // Non-parquet sources under the gate: documents staged as
+    // JSONL/CSV, read back via Formats' explicit-schema readers,
+    // column-covering fingerprint aggregate (the oracle replays it off
+    // raw parquet — equality proves the round trip lost nothing)
+    "src_jsonl" -> (graft.sources.SourceQueries.jsonlDocStats _),
+    "src_csv"   -> (graft.sources.SourceQueries.csvDocStats _),
     // Multimodal binary-column plumbing: real WAV/BMP/PNG/JPEG/AVI
     // decode, MP3 frame walks with bit-exact side-info parse, and
     // H.264 NAL walks (only spectral synthesis — MP3 Huffman/MDCT,
@@ -182,6 +188,8 @@ object SparkEntry {
     "evt_dow_profile"   -> EventOps.dowProfileSql,
     "evt_prune"         -> EventOps.prunedWindowSql,
     "evt_dpp"           -> EventOps.dppTopDaysSql,
+    "src_jsonl"         -> graft.sources.SourceQueries.docStatsSql,
+    "src_csv"           -> graft.sources.SourceQueries.docStatsSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash"       -> DedupOps.dedupMinhashSql,
     "graph_pagerank"      -> GraphOps.pagerankSql,

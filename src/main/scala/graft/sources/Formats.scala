@@ -11,15 +11,24 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  // escape = `"` on both sides: RFC 4180 doubled-quote escaping, so
+  // the files interchange with every standard CSV reader (Spark's
+  // default backslash escape is a Spark-ism); multiLine on read so
+  // quoted embedded newlines parse as field content, not row breaks —
+  // note multiLine makes the FILE the split unit, so writer
+  // parallelism (one file per partition) is the reader's parallelism
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
+      .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("escape", "\"")
+      .option("multiLine", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .csv(path)
 

@@ -23,14 +23,17 @@ import graft.Tables
   */
 object PartitionedTables {
 
+  // computeIfAbsent (not TrieMap.getOrElseUpdate): staging writes a
+  // full table copy, and two racing first readers must not both run it
+  // — the loser's directory would sit orphaned until JVM exit
   private val staged =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
 
   /** The events table re-laid-out as date partitions; returns a
     * DataFrame over the partitioned directory (partition column
     * `event_date` is inferred as DATE and prunes on literal ranges). */
   def eventsByDay(spark: SparkSession, d: String): DataFrame = {
-    val dir = staged.getOrElseUpdate((System.identityHashCode(spark), d), {
+    val dir = staged.computeIfAbsent((System.identityHashCode(spark), d), _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-events-byday").toString
       Tables.events(spark, d)
@@ -44,7 +47,7 @@ object PartitionedTables {
 
   /** Drop every staged layout (all sessions) and delete the files. */
   def evictStaged(): Unit = {
-    staged.values.foreach(graft.ops.OpsUtil.deleteRecursively)
+    staged.values().forEach(d => graft.ops.OpsUtil.deleteRecursively(d))
     staged.clear()
   }
 

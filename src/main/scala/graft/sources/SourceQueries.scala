@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared-query faces of the non-parquet sources (r8 verdict item 4):
+  * a real user's FIRST act is ingesting CSV/JSONL, and until now
+  * `Formats` was exercised only by FormatsSpec round-trips — never
+  * under the driver's DuckDB hash gate.
+  *
+  * Shape: stage the documents table once per (session, sf-dir) in the
+  * target format (the [[PartitionedTables]] pattern — the staged copy
+  * is a property of the table, not per-query work), read it back
+  * through [[Formats]]' explicit-schema readers, and aggregate a
+  * fingerprint that covers EVERY column, including the messy free-text
+  * one (doc counts, key sums, and character totals over `text`). The
+  * oracle replays the identical aggregate off the raw parquet table,
+  * so any loss in the write→read round trip — quoting, escaping,
+  * embedded newlines, empty-vs-null, unicode — breaks the hash.
+  *
+  * Scale notes, encoded in the formats themselves: JSONL is the
+  * preferred text interchange at 100 TB (newline-framed records stay
+  * splittable); CSV with embedded newlines must be read multiLine,
+  * which makes each FILE the split unit — the staging writes one file
+  * per input partition, so reader parallelism survives at file
+  * granularity, but the real advice is "ship JSONL".
+  */
+object SourceQueries {
+
+  /** Explicit schema — never inferred: at 100 TB schema inference is a
+    * full extra scan of the corpus (and CSV inference cannot even
+    * distinguish empty string from null). Matches the driver's
+    * documents.parquet exactly. */
+  private[sources] val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // one staged copy per (session, sf-dir, format); computeIfAbsent so
+  // two racing first readers can't both stage (the loser's full table
+  // copy would sit orphaned in /tmp until JVM exit)
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), String]
+
+  private def stage(spark: SparkSession, d: String, fmt: String)(
+      write: (DataFrame, String) => Unit): String =
+    staged.computeIfAbsent((System.identityHashCode(spark), d, fmt), _ => {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-src-$fmt").toString
+      write(graft.Tables.documents(spark, d), out)
+      out
+    })
+
+  /** The column-covering fingerprint aggregate: per (lang, source)
+    * group — doc count, distinct/sum of the key, and two independent
+    * character totals over the free-text column. A round trip that
+    * drops a row, nulls a field, loses an embedded newline, or
+    * re-encodes a character shifts at least one of these. */
+  private def docStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_chars"))
+      .orderBy("lang", "source")
+
+  /** Declared query `src_jsonl`: documents staged as JSON-lines, read
+    * back with the explicit schema, fingerprint-aggregated. */
+  def jsonlDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "jsonl")(Formats.writeJsonl)
+    docStats(Formats.readJsonl(spark, dir, docSchema))
+  }
+
+  /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
+    * round trip (quoted embedded newlines/quotes/commas in `text`). */
+  def csvDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "csv")(Formats.writeCsv)
+    docStats(Formats.readCsv(spark, dir, docSchema))
+  }
+
+  /** DuckDB oracle for BOTH declared queries: the identical aggregate
+    * off the raw parquet table — equality proves the staged format
+    * round-tripped every column byte-for-byte. SUM-derived integers
+    * cast to BIGINT (DuckDB promotes integer SUM to HUGEINT). */
+  def docStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Drop every staged copy (all sessions) and delete the files. */
+  def evictStaged(): Unit = {
+    staged.values().forEach(d => graft.ops.OpsUtil.deleteRecursively(d))
+    staged.clear()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => evictStaged()))
+  }
+}
