@@ -36,18 +36,27 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true,
-    * set in Verify/Bench/test sessions). Convert to a microsecond
-    * TimestampType here with integer division — ns epoch values
-    * (~1.7e18) exceed double's exact-integer range, so `div`, not `/`.
-    * DuckDB truncates ns→µs the same way on read. */
+  /** `events.ts` arrives in whatever physical type the generator of
+    * the day produced; normalize to session-local TimestampType so
+    * downstream `unix_millis`/window math always sees one type:
+    *  - TIMESTAMP(NANOS) parquet → Spark reads a nanosecond long
+    *    (spark.sql.legacy.parquet.nanosAsLong=true in Verify/Bench/
+    *    test sessions); integer-divide to µs — ns epoch values
+    *    (~1.7e18) exceed double's exact-integer range, so `div`.
+    *  - timestamp[us] without tz (current generator) → TIMESTAMP_NTZ
+    *    under inferTimestampNTZ; cast to LTZ is instant-preserving
+    *    because every driver session pins spark.sql.session.timeZone
+    *    to UTC, matching DuckDB's naive-UTC read of the same file. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -20,22 +20,34 @@ import graft.ops.OpsUtil.dsum
   */
 object EventStreams {
 
-  /** The events schema as Spark reads it with nanosAsLong (ts arrives
-    * as ns BIGINT; normalized to TimestampType here like
-    * Tables.events). */
-  private val rawSchema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-    "event_type STRING, value DOUBLE, props STRING"
-
   /** File-based event stream from a directory of parquet drops.
     * `maxFilesPerTrigger` caps files per micro-batch (tests use 1 to
     * force multi-batch replays; production ingest tunes it to bound
-    * batch size). */
+    * batch size).
+    *
+    * A file-stream source requires an explicit schema; take it from a
+    * one-footer batch read of the same drop dir rather than
+    * hard-coding — the driver's generator has shipped `ts` as both
+    * TIMESTAMP(NANOS) (read as ns BIGINT under nanosAsLong) and
+    * timestamp[us]-no-tz (read as TIMESTAMP_NTZ), and a stale
+    * hard-coded BIGINT schema over µs data silently reads µs as ns —
+    * every event lands in 1970 and the watermark/window results are
+    * garbage. Normalized to session-local TimestampType exactly like
+    * Tables.events (session timezone is pinned UTC everywhere). */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(rawSchema)
+    val batchSchema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(batchSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(dir)
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming mirror of EventOps.hourly: tumbling 1-hour windows
