@@ -71,6 +71,55 @@ object Bench {
     case c => c.toString
   }
 
+  /** Locale-independent 2-decimal format with trailing zeros trimmed
+    * ("0.39", "1.2", "12"): per-query precision beyond 10 ms is noise
+    * on a shared box, and every byte counts against the tail budget
+    * (see compactLine). */
+  def fmt2(d: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+  }
+
+  /** The driver records only the LAST ~2000 characters of stdout and
+    * parses the contract JSON ({"metric":...}) out of that window —
+    * observed: rounds 2-4 (50 queries, line ~1.5 KB) parsed; rounds
+    * 5-9 (62-97 queries, line >2 KB) recorded parsed:null. So the
+    * contract line must stay comfortably inside the window after sbt's
+    * trailing "[success] ..." footer. This builds a line hard-capped
+    * at `budget` chars: the per-query map lists queries in descending
+    * cost until the cap, and the remainder is aggregated into
+    * `other_sec` (with n_queries/n_shown declaring the truncation).
+    * `value` is always the FULL total. The complete per-query map
+    * lives in the detail line (printed first) and BENCH_DETAIL.json.
+    */
+  def compactLine(results: Seq[(String, Double)], failedCount: Int,
+                  wallSec: Double, ratio: Double, sfDir: String,
+                  budget: Int = 1500): String = {
+    val total = results.map(_._2).sum
+    val desc = results.sortBy { case (n, s) => (-s, n) }
+    val prefix =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":{"""
+    def suffix(shown: Int, otherSec: Double): String =
+      s"""},"other_sec":${fmt2(otherSec)},"n_queries":${results.size},""" +
+        s""""n_shown":$shown,"failed":$failedCount,"wall_sec":${fmt2(wallSec)},""" +
+        s""""cpu_wall_ratio":${fmt2(ratio)},"sf":"${jsonEscape(sfDir)}"}"""
+    // suffix length varies by ≤ a few chars with shown/otherSec; size
+    // against the pessimistic all-shown suffix so the cap is hard
+    val maxSuffix = suffix(desc.size, total).length
+    var used = prefix.length + maxSuffix
+    val shown = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    desc.foreach { case (n, s) =>
+      val entry = "\"" + jsonEscape(n) + "\":" + fmt2(s)
+      val cost = entry.length + (if (shown.nonEmpty) 1 else 0)
+      if (used + cost <= budget) { shown += ((n, s)); used += cost }
+    }
+    val shownSet = shown.map(_._1).toSet
+    val otherSec = results.collect { case (n, s) if !shownSet(n) => s }.sum
+    prefix + shown.map { case (n, s) => "\"" + jsonEscape(n) + "\":" + fmt2(s) }
+      .mkString(",") + suffix(shown.size, otherSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -207,13 +256,31 @@ object Bench {
         pWarm.get(n).filter(_.err.isEmpty)
           .map(t => ",\"warm_sec\":" + t.sec).getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Full-fidelity record: every per-query timing (headline min plus
+    // both raw passes, so pass-asymmetry like r9's 111 s/56 s split is
+    // diagnosable from the artifact), cache pricing, warm-probe proof.
+    // Deliberately does NOT contain the key "metric": the driver greps
+    // its 2000-char stdout tail for the contract line, and this line
+    // is far larger than that window.
+    val passJson = (m: Map[String, Timing]) => ordered.collect {
+      case (n, _) if m(n).err.isEmpty => "\"" + n + "\":" + m(n).sec
+    }.mkString("{", ",", "}")
+    val detail = s"""{"bench_detail":1,"total_sec":$total,"queries":$qs,""" +
+      s""""p1":${passJson(p1)},"p2":${passJson(p2)},""" +
       s""""cache":$cacheJson,""" +
       f""""warm_probe":{"cache_entries":$warmEntries,"fully_cached_rdds":$fullyCached,"storage_mb":$storageMb%.1f},""" +
       s""""errors":$errJson,"failed":${errors.size},""" +
       f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,""" +
       f""""pass_sec":[$wallP1%.1f,$wallP2%.1f],"cpu_wall_ratio":$ratio%.2f,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // read-only checkout: stdout copy suffices
+    // Contract line LAST and size-capped so the driver's stdout-tail
+    // parse always sees it whole (see compactLine scaladoc).
+    println(compactLine(results, errors.size, wallSec, ratio, sfDir))
     spark.stop()
     graft.ops.OpsUtil.deleteRecursively(warehouseDir)
     // a crashing query must fail the bench loudly, not vanish into a

@@ -28,6 +28,50 @@ class BenchSpec extends AnyFunSuite {
     assert(r("lazy_boom").err.isDefined)
   }
 
+  // The driver stores only the last ~2000 chars of bench stdout and
+  // parses the {"metric":...} line from that window: rounds 2-4
+  // (50 queries) parsed, rounds 5-9 (62-97 queries, full-precision
+  // line >2 KB) recorded parsed:null. The contract line is therefore
+  // hard-capped; these tests pin the cap against the REAL registry so
+  // query growth can never silently push it back over the window.
+  test("compact contract line fits the driver's stdout-tail window") {
+    // pessimistic: every registered query at a 3-digit-seconds cost
+    val results = SparkEntry.queries.keySet.toSeq.sorted.map(_ -> 999.99)
+    val line = Bench.compactLine(results, failedCount = 0,
+      wallSec = 9999.9, ratio = 12.34, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1500, s"line is ${line.length} chars")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val node = om.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(math.abs(node.get("value").asDouble - 999.99 * results.size) < 1.0)
+    assert(node.get("n_queries").asInt == results.size)
+    assert(node.get("n_shown").asInt <= results.size)
+    // shown + other must account for the full total
+    import scala.jdk.CollectionConverters._
+    val shownSum = node.get("queries").properties.asScala
+      .iterator.map(_.getValue.asDouble).sum
+    assert(math.abs(shownSum + node.get("other_sec").asDouble
+      - node.get("value").asDouble) < 1.0)
+  }
+
+  test("compact line caps even under adversarial registry growth") {
+    val results = (1 to 500).map(i => s"pathologically_long_query_name_$i" -> i / 7.0)
+    val line = Bench.compactLine(results, 3, 123.4, 1.5, "/root/testdata/sf0.1")
+    assert(line.length <= 1500, s"line is ${line.length} chars")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("n_queries").asInt == 500)
+    assert(node.get("n_shown").asInt < 500) // truncation declared, not hidden
+    // the most expensive query is always shown
+    assert(node.get("queries").has("pathologically_long_query_name_500"))
+  }
+
+  test("fmt2 trims without locale surprises") {
+    assert(Bench.fmt2(0.39499) == "0.39")
+    assert(Bench.fmt2(1.204) == "1.2")
+    assert(Bench.fmt2(12.0) == "12")
+    assert(Bench.fmt2(0.0) == "0")
+  }
+
   test("error messages survive JSON escaping") {
     val s = Bench.jsonEscape("a \"quoted\"\nmulti\tline \\ message")
     assert(!s.contains("\n") && !s.contains("\t"))
