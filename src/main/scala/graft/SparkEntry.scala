@@ -43,6 +43,9 @@ object SparkEntry {
     "validate_lineitem" -> (RelationalOps.validateLineitem _),
     "set_ops"           -> (RelationalOps.setOpsSegments _),
     "rollup_revenue"    -> (RelationalOps.rollupRevenue _),
+    "cube_revenue"      -> (RelationalOps.cubeRevenue _),
+    "unpivot_revenue"   -> (RelationalOps.unpivotRevenue _),
+    "agg_mode"          -> (RelationalOps.modeOrderStatus _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
     "join_full_outer"   -> (RelationalOps.fullOuterNation _),
     "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
@@ -165,6 +168,9 @@ object SparkEntry {
     "agg_approx"        -> RelationalOps.approxSketchesSql,
     "set_ops"           -> RelationalOps.setOpsSegmentsSql,
     "rollup_revenue"    -> RelationalOps.rollupRevenueSql,
+    "cube_revenue"      -> RelationalOps.cubeRevenueSql,
+    "unpivot_revenue"   -> RelationalOps.unpivotRevenueSql,
+    "agg_mode"          -> RelationalOps.modeOrderStatusSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
     "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,

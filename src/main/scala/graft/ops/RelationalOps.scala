@@ -533,4 +533,106 @@ object RelationalOps {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** CUBE over (region, return flag) with an explicit grouping_id
+    * face — completes the grouping-set family next to
+    * [[rollupRevenue]]. Same scale shape: all three dims broadcast,
+    * the fact shuffles once for the expanded grouping (Spark expands
+    * CUBE into a single Expand + hash aggregate, not 4 scans).
+    * grouping_id bit order (first grouping column = MSB) matches the
+    * SQL-standard GROUPING(a, b) the oracle uses. */
+  def cubeRevenue(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("l_returnflag"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count("*").as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("gid"),
+        col("r_name").asc_nulls_first, col("l_returnflag").asc_nulls_first)
+  }
+
+  def cubeRevenueSql: String =
+    """SELECT r_name, l_returnflag,
+      |  CAST(GROUPING(r_name, l_returnflag) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, l_returnflag)
+      |ORDER BY gid, r_name ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin
+
+  /** Wide → long via Dataset.unpivot (the melt face, inverse of
+    * [[pivotStatus]]): per-returnflag totals unpivoted to
+    * (flag, metric, value) rows. The unpivot itself is a zero-shuffle
+    * per-row Expand over the already-aggregated frame, so at scale its
+    * cost is the upstream aggregate, never the reshape. */
+  def unpivotRevenue(spark: SparkSession, d: String): DataFrame = {
+    val agg = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count("*").cast("double").as("n_items"))
+    agg.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_items")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  // Oracle deliberately spells the reshape as UNION ALL (the portable
+  // relational expansion), not DuckDB's UNPIVOT sugar — independent
+  // expression of the same semantics.
+  def unpivotRevenueSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+      |UNION ALL
+      |SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM agg
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Per-group mode (most frequent order status per priority) with a
+    * DETERMINISTIC tie-break (higher count, then lexicographically
+    * smallest value) — built-in `mode()` is tie-arbitrary, which can
+    * never sit under a hash gate. Two shuffles: count per (group,
+    * value), then a tiny window over the distinct pairs — the window
+    * input is |groups|×|values|, already reduced, so the rank never
+    * sees fact-table cardinality. */
+  def modeOrderStatus(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count("*").as("cnt"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cnt").desc, col("o_orderstatus"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderpriority"),
+        col("o_orderstatus").as("mode_status"), col("cnt").as("mode_n"))
+      .orderBy("o_orderpriority")
+  }
+
+  def modeOrderStatusSql: String =
+    """WITH counts AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY cnt DESC, o_orderstatus) AS rk
+      |  FROM counts)
+      |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_n
+      |FROM ranked WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin
 }
