@@ -25,6 +25,12 @@ object Bench {
 
   final case class Timing(sec: Double, err: Option[String])
 
+  /** Pass-2 re-measure cutoff: queries at or above this pass-1 cost
+    * (and any that errored) get a second timing and report the min;
+    * the sub-threshold tail keeps its pass-1 (post-warmup, i.e.
+    * already steady-state) time. See the pass-2 comment in main. */
+  val Pass2ThresholdSec = 1.0
+
   /** One timed pass in sorted-name order. A throwing query records
     * its error instead of a timing (timing-to-exception is
     * meaningless). */
@@ -180,9 +186,16 @@ object Bench {
 
     val cpu0 = osBean.getProcessCpuTime
     val wall0 = System.nanoTime()
-    // two timed passes, per-query minimum: the box is shared (driver
-    // jobs run periodically), and min-of-2 reports steady-state cost
-    // instead of whatever transient contention one pass hits
+    // min-of-2 where it matters (r8 verdict item 5): pass 1 times
+    // every query; pass 2 re-measures only the queries whose pass-1
+    // cost reached Pass2ThresholdSec (plus any that errored), because
+    // those are the ones where a transient on this shared box can
+    // materially move the headline. Sub-threshold queries take their
+    // pass-1 time — which is already their second overall execution
+    // after the sf0.001 warmup, i.e. steady-state — and the forgone
+    // min-of-2 correction on that tail measured ~2.8 s spread over
+    // ~80 queries (noise-level per query) against ~25 s of saved
+    // bench wall. cpu_wall_ratio still flags whole-run contention.
     val p1 = timedPass(spark, ordered, sfDir)
     val wallP1 = (System.nanoTime() - wall0) / 1e9
     // cold-build honesty: the build-once caches (minhash pair graph,
@@ -195,8 +208,11 @@ object Bench {
     // cache evictions) so pass 2 starts with the block manager p1
     // started with — otherwise p1's localCheckpoint litter skews p2.
     freeBlocks(spark)
+    val rerun = ordered.filter { case (n, _) =>
+      p1(n).sec >= Pass2ThresholdSec || p1(n).err.isDefined
+    }
     val wallMid = System.nanoTime()
-    val p2 = timedPass(spark, ordered, sfDir)
+    val p2 = timedPass(spark, rerun, sfDir)
     val wallP2 = (System.nanoTime() - wallMid) / 1e9
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
@@ -234,11 +250,11 @@ object Bench {
       ordered.filter { case (n, _) => cacheCoupled.contains(n) }, sfDir)
 
     val errors = ordered.flatMap { case (name, _) =>
-      (p1(name).err orElse p2(name).err).map(name -> _)
+      (p1(name).err orElse p2.get(name).flatMap(_.err)).map(name -> _)
     }
     val failed = errors.map(_._1).toSet
     val results = ordered.collect { case (name, _) if !failed(name) =>
-      name -> math.min(p1(name).sec, p2(name).sec)
+      name -> p2.get(name).fold(p1(name).sec)(t => math.min(p1(name).sec, t.sec))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -263,10 +279,11 @@ object Bench {
     // its 2000-char stdout tail for the contract line, and this line
     // is far larger than that window.
     val passJson = (m: Map[String, Timing]) => ordered.collect {
-      case (n, _) if m(n).err.isEmpty => "\"" + n + "\":" + m(n).sec
+      case (n, _) if m.get(n).exists(_.err.isEmpty) => "\"" + n + "\":" + m(n).sec
     }.mkString("{", ",", "}")
     val detail = s"""{"bench_detail":1,"total_sec":$total,"queries":$qs,""" +
       s""""p1":${passJson(p1)},"p2":${passJson(p2)},""" +
+      s""""pass2":{"threshold_sec":$Pass2ThresholdSec,"n":${rerun.size}},""" +
       s""""cache":$cacheJson,""" +
       f""""warm_probe":{"cache_entries":$warmEntries,"fully_cached_rdds":$fullyCached,"storage_mb":$storageMb%.1f},""" +
       s""""errors":$errJson,"failed":${errors.size},""" +
