@@ -239,6 +239,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L) === Seq((2L, 1L, 5.0)))
   }
 
+  test("exactly-once across a mid-replay crash: checkpointed dedup restart") {
+    import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, Trigger}
+    // The declared stream_* queries each run uninterrupted start-to-
+    // drain; this is the kill-and-restart contract behind them: a
+    // checkpointed stream whose sink is idempotent BY BATCH ID
+    // (overwrite per-batch directory — the production foreachBatch
+    // pattern) re-executes the crashed batch with the same batch id
+    // and the same planned offsets, so a crash AFTER the sink write
+    // but BEFORE the commit must not duplicate a single row.
+    val in = Files.createTempDirectory("graft-chaos-in")
+    val ck = Files.createTempDirectory("graft-chaos-ck").toString
+    val sink = Files.createTempDirectory("graft-chaos-sink").toString
+    val evs = graft.Tables.events(spark, sf)
+    // Four single-file drops in event-time order: the table split at
+    // its midpoint timestamp, each half then RE-DELIVERED (cross-
+    // batch duplicates for the dedup state; the re-deliveries are
+    // either state-deduped or watermark-late, never re-emitted).
+    // Time-ordered first deliveries keep every FIRST occurrence ahead
+    // of the watermark — an id-interleaved split would let the
+    // watermark from batch 1 drop half of batch 2 as late.
+    val Array(lo, hi) = evs.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val cutMs = lo + (hi - lo) / 2
+    val h1 = evs.filter(unix_millis(col("ts")) < cutMs)
+    val h2 = evs.filter(unix_millis(col("ts")) >= cutMs)
+    Seq(h1, h2, h1, h2).foreach { h =>
+      h.coalesce(1).write.mode("append").parquet(in.toString)
+      Thread.sleep(5) // distinct mod-times: deterministic pickup order
+    }
+    @volatile var injected = false
+    def start(failOnce: Boolean) =
+      EventStreams.dedupedEvents(
+        EventStreams.readEvents(spark, in.toString, maxFilesPerTrigger = Some(1)))
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$sink/batch_$id")
+            if (failOnce && id >= 1 && !injected) {
+              injected = true
+              throw new RuntimeException("injected crash after sink write")
+            }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    val q1 = start(failOnce = true)
+    intercept[StreamingQueryException] { q1.awaitTermination() }
+    assert(injected, "the fault must actually fire mid-replay")
+    val q2 = start(failOnce = false) // same checkpoint: resumes, replays the crashed batch
+    q2.awaitTermination()
+    val got = spark.read.parquet(s"$sink/batch_*")
+    val want = evs.select("event_id", "user_id", "event_type", "value")
+    // count equality is the exactly-once claim: the crashed batch ran
+    // twice, and its second write must have REPLACED the first
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    graft.ops.OpsUtil.deleteRecursively(in.toString)
+    graft.ops.OpsUtil.deleteRecursively(ck)
+    graft.ops.OpsUtil.deleteRecursively(sink)
+  }
+
   test("mapGroupsWithState running totals match batch per-user counts") {
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
     val got = EventStreams.userRunningTotals(spark, stream)
