@@ -46,6 +46,7 @@ object SparkEntry {
     "cube_revenue"      -> (RelationalOps.cubeRevenue _),
     "unpivot_revenue"   -> (RelationalOps.unpivotRevenue _),
     "agg_mode"          -> (RelationalOps.modeOrderStatus _),
+    "q18_large_volume"  -> (RelationalOps.q18LargeVolume _),
     "window_order_rank" -> (RelationalOps.windowOrderRank _),
     "join_full_outer"   -> (RelationalOps.fullOuterNation _),
     "join_bucketed"     -> (ScaleOps.bucketedOrderStats _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "cube_revenue"      -> RelationalOps.cubeRevenueSql,
     "unpivot_revenue"   -> RelationalOps.unpivotRevenueSql,
     "agg_mode"          -> RelationalOps.modeOrderStatusSql,
+    "q18_large_volume"  -> RelationalOps.q18LargeVolumeSql,
     "window_order_rank" -> RelationalOps.windowOrderRankSql,
     "join_full_outer"   -> RelationalOps.fullOuterNationSql,
     "join_bucketed"     -> ScaleOps.bucketedOrderStatsSql,

@@ -635,4 +635,37 @@ object RelationalOps {
       |  FROM counts)
       |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_n
       |FROM ranked WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): aggregate the fact
+    * table, filter on the aggregate (HAVING), then join the surviving
+    * ~0.1% of keys BACK to orders+customer. Scale posture: the heavy
+    * aggregate rides one shuffle of lineitem; the having-filtered key
+    * set is tiny, so the join back to orders is a broadcast of the
+    * AGGREGATE side (hinted — the filtered agg's stats under-estimate
+    * without it at real scale), and customer attaches broadcast as
+    * usual. The fact table is never shuffled for either join. */
+  def q18LargeVolume(spark: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    o.join(broadcast(bigOrders), o("o_orderkey") === bigOrders("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  def q18LargeVolumeSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+      |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 }
