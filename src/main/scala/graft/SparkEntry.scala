@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_salted"        -> (ScaleOps.saltedTypeRevenue _),
     "agg_salted_collect" -> (ScaleOps.saltedLangDocs _),
     "join_salted"       -> (ScaleOps.saltedJoinAboveMean _),
+    "layout_zorder"     -> (ScaleOps.zorderKeys _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "agg_salted"        -> ScaleOps.saltedTypeRevenueSql,
     "agg_salted_collect" -> ScaleOps.saltedLangDocsSql,
     "join_salted"       -> ScaleOps.saltedJoinAboveMeanSql,
+    "layout_zorder"     -> ScaleOps.zorderKeysSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

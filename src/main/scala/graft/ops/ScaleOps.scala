@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-path utilities: the techniques that keep the engine's plans
@@ -246,4 +246,55 @@ object ScaleOps {
     """SELECT lang,
       |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** 16-bit × 16-bit Morton (Z-order) interleave, built entirely from
+    * codegen'd bitwise `functions` (an unrolled 16-step fold — no UDF,
+    * no custom expression needed): bit i of x lands at position 2i,
+    * bit i of y at 2i+1. Sorting a write by this key is the standard
+    * multi-dimensional clustering layout at 100 TB — files become
+    * tight hyper-rectangles in (x, y) space, so min/max file stats
+    * prune scans on EITHER key, where a plain sort only prunes its
+    * leading column. */
+  def zorder16(x: Column, y: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** The Z-order layout key under the hash gate: z-values over
+    * (partkey, suppkey) for a key-bounded slice of lineitem, in the
+    * exact order a z-clustered write would lay rows out. The oracle
+    * recomputes the interleave independently with per-bit SQL
+    * arithmetic (a 16-row bit table cross-joined and summed), so the
+    * bit placement itself is what's checked, not a replay of this
+    * fold. */
+  def zorderKeys(spark: SparkSession, d: String): DataFrame = {
+    val l = graft.Tables.lineitem(spark, d)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536).cast("long").as("x"),
+        (col("l_suppkey") % 65536).cast("long").as("y"))
+    l.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+      zorder16(col("x"), col("y")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"))
+  }
+
+  // (orderkey, linenumber, x, y) is the row identity in the synthetic
+  // data — (orderkey, linenumber) alone is not unique, so the oracle's
+  // per-bit GROUP BY must carry x and y to stay per-row.
+  def zorderKeysSql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_partkey % 65536 AS BIGINT) AS x,
+      |    CAST(l_suppkey % 65536 AS BIGINT) AS y
+      |  FROM lineitem WHERE l_orderkey < 2000),
+      |bits AS (SELECT UNNEST(generate_series(0, 15)) AS i)
+      |SELECT l_orderkey, l_linenumber, x, y,
+      |  CAST(SUM((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
+      |    AS BIGINT) AS z
+      |FROM src CROSS JOIN bits
+      |GROUP BY l_orderkey, l_linenumber, x, y
+      |ORDER BY z, l_orderkey, l_linenumber, x, y""".stripMargin
 }

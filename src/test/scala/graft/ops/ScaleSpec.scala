@@ -106,4 +106,46 @@ class ScaleSpec extends AnyFunSuite {
       .select(s"sum_v").as[Double].head()
     assert(total === 10000.0)
   }
+
+  test("z-order layout prunes on EITHER dimension; a plain sort only its own") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // The claim behind layout_zorder: split a sorted write into 16
+    // chunks (stand-ins for files, each carrying min/max stats). A
+    // point predicate prunes every chunk whose [min,max] misses the
+    // point. On a 256×256 grid, x-sorted chunks prune x perfectly
+    // (1/16 survives) but NEVER prune y (every chunk spans the full y
+    // range); 16 z-sorted chunks are the level-2 quadtree — a 4×4
+    // grid of 64×64 cells — so ANY point predicate on x OR y keeps
+    // only the 4 chunks in that band. That either-dimension bound is
+    // what the 100 TB layout buys.
+    val grid = spark.range(256L * 256)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val n = 16L
+    def chunkBounds(sorted: org.apache.spark.sql.DataFrame) = {
+      val w = Window.orderBy(col("ord"))
+      sorted.withColumn("rn", row_number().over(w) - 1)
+        .withColumn("chunk", expr(s"rn * $n div ${256 * 256}"))
+        .groupBy("chunk")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    def surviving(bounds: Array[(Long, Long, Long, Long)],
+        xPt: Option[Long], yPt: Option[Long]): Int =
+      bounds.count { case (x0, x1, y0, y1) =>
+        xPt.forall(p => x0 <= p && p <= x1) && yPt.forall(p => y0 <= p && p <= y1)
+      }
+    val zB = chunkBounds(grid.withColumn("ord",
+      ScaleOps.zorder16(col("x"), col("y"))))
+    val xB = chunkBounds(grid.withColumn("ord", col("x")))
+    for (p <- Seq(7L, 100L, 200L, 255L)) {
+      // z-sorted: both dimensions prune to the 4-chunk band
+      assert(surviving(zB, Some(p), None) === 4, s"z x=$p")
+      assert(surviving(zB, None, Some(p)) === 4, s"z y=$p")
+      // x-sorted: its own column prunes perfectly, y not at all
+      assert(surviving(xB, Some(p), None) === 1, s"x x=$p")
+      assert(surviving(xB, None, Some(p)) === 16, s"x y=$p")
+    }
+  }
 }
