@@ -54,6 +54,7 @@ object SparkEntry {
     "agg_salted_collect" -> (ScaleOps.saltedLangDocs _),
     "join_salted"       -> (ScaleOps.saltedJoinAboveMean _),
     "layout_zorder"     -> (ScaleOps.zorderKeys _),
+    "join_bloom"        -> (ScaleOps.bloomJoinRevenue _),
     "pivot_status"      -> (RelationalOps.pivotStatus _),
     // Events (windows / sessionization / JSON / distinct)
     "evt_hourly"       -> (EventOps.hourly _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "agg_salted_collect" -> ScaleOps.saltedLangDocsSql,
     "join_salted"       -> ScaleOps.saltedJoinAboveMeanSql,
     "layout_zorder"     -> ScaleOps.zorderKeysSql,
+    "join_bloom"        -> ScaleOps.bloomJoinRevenueSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
     "stream_hourly"     -> EventOps.hourlySql,

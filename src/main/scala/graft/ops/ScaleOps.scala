@@ -247,6 +247,53 @@ object ScaleOps {
       |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Runtime bloom-filter join: a fact⋈fact shuffle join where the
+    * selectively-filtered side's join keys are aggregated into a bloom
+    * filter and pushed into the OTHER side's scan as a
+    * might-contain pre-filter (Catalyst's InjectRuntimeFilter rule).
+    * At 100 TB this is the shuffle-volume lever for fact⋈filtered-fact
+    * when the filtered side is too big to broadcast but selective
+    * enough that most probe rows will not survive: rows are dropped
+    * BEFORE the exchange instead of after the join.
+    *
+    * Conf is applied to a per-call `newSession` clone (shared context
+    * and catalog, isolated conf — the same pattern as the streaming
+    * sessions): the application-side threshold must drop to 0 for the
+    * rule to fire at test scale, and that knob must not leak into
+    * other queries' plans. The join is strategy-pinned to merge so
+    * the plan (and the injected filter) is stable across SFs — AQE
+    * would broadcast the filtered side at sf0.01 and the bloom
+    * injection, the thing under test, would vanish. The bloom is
+    * false-positive-only, so the result is EXACTLY the plain join;
+    * the oracle is the plain SQL. */
+  def bloomJoinRevenue(spark: SparkSession, d: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // InjectRuntimeFilter declines when the creation side could just
+    // be broadcast (broadcast reuse would subsume the bloom); disable
+    // auto-broadcast in the CLONE so the test-scale plan is the same
+    // shuffle-join-plus-bloom the query would get at real scale,
+    // where the filtered fact side is far past any broadcast limit.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val l = graft.Tables.lineitem(s, d)
+    val o = graft.Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count("*").as("n_items"),
+        OpsUtil.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  def bloomJoinRevenueSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** 16-bit × 16-bit Morton (Z-order) interleave, built entirely from
     * codegen'd bitwise `functions` (an unrolled 16-step fold — no UDF,
     * no custom expression needed): bit i of x lands at position 2i,

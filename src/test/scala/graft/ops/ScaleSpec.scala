@@ -107,6 +107,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(total === 10000.0)
   }
 
+  test("join_bloom injects a runtime bloom filter on the probe side") {
+    val df = ScaleOps.bloomJoinRevenue(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("bloomfilter"),
+      s"expected an injected BloomFilterMightContain/Aggregate in:\n$optimized")
+    // the bloom is a pre-filter only: results equal the plain join
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count("*").as("n_items"))
+    val got = df.select("o_orderstatus", "n_items")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
   test("z-order layout prunes on EITHER dimension; a plain sort only its own") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
