@@ -62,6 +62,8 @@ object SparkEntry {
     "evt_overlap"      -> (EventOps.sessionOverlap _),
     "evt_json"         -> (EventOps.jsonExtract _),
     "evt_daily_active" -> (EventOps.dailyActive _),
+    "evt_gap_fill"     -> (EventOps.gapFillDaily _),
+    "agg_hll_merge"    -> (EventOps.hllWeekly _),
     "evt_asof"         -> (AsOfOps.eventAsOfPurchase _),
     "evt_funnel"       -> (EventOps.funnel _),
     "evt_retention"    -> (EventOps.retention _),
@@ -185,6 +187,8 @@ object SparkEntry {
     "join_bloom"        -> ScaleOps.bloomJoinRevenueSql,
     "pivot_status"      -> RelationalOps.pivotStatusSql,
     "evt_hourly"        -> EventOps.hourlySql,
+    "evt_gap_fill"      -> EventOps.gapFillDailySql,
+    "agg_hll_merge"     -> EventOps.hllWeeklySql,
     "stream_hourly"     -> EventOps.hourlySql,
     "stream_sessions"   -> graft.streaming.EventStreams.streamSessionsSql,
     "stream_dedup"      -> graft.streaming.EventStreams.streamDedupSql,

@@ -386,4 +386,64 @@ object EventOps {
       |  round(CAST(d1_retained AS DOUBLE) / n_users, 9) AS d1_rate,
       |  round(CAST(d7_retained AS DOUBLE) / n_users, 9) AS d7_rate
       |FROM cohorts ORDER BY cohort_day""".stripMargin
+
+  /** Calendar densification (gap fill): daily counts joined onto the
+    * full generated day range, zero-filled — the time-series shape
+    * where silent days must EXIST as rows (forecasting/monitoring
+    * input). Everything after the first aggregate is
+    * days-of-history-sized — the generated calendar and the left join
+    * never touch event cardinality, so the plan scales with the
+    * calendar, not the corpus. */
+  def gapFillDaily(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count("*").as("n"))
+    val cal = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    cal.join(ev, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day")
+  }
+
+  def gapFillDailySql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |cal AS (
+      |  SELECT CAST(UNNEST(generate_series(
+      |    (SELECT MIN(day) FROM ev), (SELECT MAX(day) FROM ev),
+      |    INTERVAL 1 DAY)) AS DATE) AS day)
+      |SELECT cal.day, COALESCE(ev.n, 0) AS n
+      |FROM cal LEFT JOIN ev USING (day) ORDER BY day""".stripMargin
+
+  /** HLL sketch re-aggregation: per-(week, day) user sketches unioned
+    * into weekly distinct-user estimates — the precompute-partials
+    * pattern that makes 100 TB distinct counting incremental (daily
+    * sketches are KB-sized and mergeable; the raw corpus is read once
+    * per day, never re-read per rollup window). Like agg_approx, the
+    * declared face carries the exact companion and a within-bound
+    * flag: sketch internals are engine-specific, the error contract
+    * is not (HLL at default lgConfigK=12 is ~1.6% standard error;
+    * 5% is a ≳3σ bound). */
+  def hllWeekly(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+      .orderBy("week")
+  }
+
+  def hllWeeklySql: String =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 }

@@ -11,6 +11,26 @@ import graft.SparkTestSession
 class EventWindowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("evt_gap_fill: silent days EXIST as zero rows") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // Jan 1 (2 events), Jan 2..4 silent, Jan 5 (1 event): the driver
+    // data has no empty days, so the fill path needs planted gaps
+    val rows = Seq(
+      (1L, ts(1, 9), 10L, "click", 1.0, "{}"),
+      (2L, ts(1, 10), 10L, "click", 1.0, "{}"),
+      (3L, ts(5, 9), 11L, "click", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-evgap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.gapFillDaily(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(out.toSeq === Seq(
+      "2024-01-01" -> 2L, "2024-01-02" -> 0L, "2024-01-03" -> 0L,
+      "2024-01-04" -> 0L, "2024-01-05" -> 1L))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_rolling: a calendar gap shrinks the trailing window") {
     import spark.implicits._
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
