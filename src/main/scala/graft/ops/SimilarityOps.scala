@@ -623,4 +623,173 @@ object SimilarityOps {
        |  COALESCE(b.nn_cos >= $SemThresh, FALSE) AS is_dup
        |FROM af m LEFT JOIN best b USING (vec_id)
        |ORDER BY m.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // sim_pq: product-quantization ANN with ADC (asymmetric distance)
+  // ---------------------------------------------------------------
+
+  private val PqM = 8            // subspaces
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16           // codes per subspace
+  private val PqRounds = 2       // Lloyd refinements per subspace
+
+  /** The corpus split into [[PqM]] subvectors: (vec_id, m, sv, n2s).
+    * One narrow pass over the embedding column; no shuffle (the
+    * explode is per-row). */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      .withColumn("n2s", norm2(col("sv")))
+
+  /** Deterministic seeds: the [[PqK]] lowest vec_ids contribute their
+    * m-th subvector as code k of subspace m (a distributed ordered
+    * limit, never a corpus window). */
+  private def pqSeeds(sub: DataFrame, e: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+      .select(col("vec_id"), (row_number().over(w) - 1).as("k"))
+    sub.join(broadcast(ids), Seq("vec_id"))
+      .select(col("m"), col("k"), col("sv").as("c"))
+      .withColumn("n2c", norm2(col("c")))
+  }
+
+  /** Nearest-code assignment per (vector, subspace): broadcast the
+    * (≤ PqM·PqK-row) codebook, one codegen'd dot per candidate,
+    * deterministic argmin (rounded distance, ties to lower k). Keeps
+    * sv so [[pqRecompute]] can consume the result directly. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        struct(round(sqdist2(col("n2s"), col("sv"), col("c"), col("n2c")), 9)
+          .as("dd"), col("k")).as("p"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("p")).as("p"), first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("p.k").as("k"), col("sv"))
+      .withColumn("n2s", norm2(col("sv")))
+
+  /** Per-(subspace, code) centroid update with order-independent
+    * quantized integer sums — same determinism contract as the IVF
+    * [[recomputeCentroids]], so the oracle replays it exactly. */
+  private def pqRecompute(assigned: DataFrame): DataFrame = {
+    val dims = assigned
+      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("m"), col("k"), col("i"))
+      .agg(sum(round(col("x") * QScale).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("k"), col("i"),
+        (col("sq").cast("double") / col("n") / QScale).as("cx"))
+    dims.groupBy(col("m"), col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .withColumn("n2c", norm2(col("c")))
+  }
+
+  private def pqCodebook(e: DataFrame): DataFrame = {
+    val sub = pqSub(e)
+    var cents = pqSeeds(sub, e)
+    for (_ <- 1 to PqRounds) cents = pqRecompute(pqAssign(sub, cents))
+    cents
+  }
+
+  /** PQ ANN with true ADC scoring (Jégou et al. 2011): the corpus is
+    * compressed to [[PqM]] small integer codes per vector; each query
+    * precomputes a (qid, m, k) LOOKUP TABLE of partial squared
+    * distances to every code (10·8·16 entries here), and scoring a
+    * candidate is then PqM integer-keyed lookups summed — no
+    * per-candidate float dot at probe time. That is the 100 TB
+    * economics of PQ: the scan side touches only the code columns
+    * (PqM bytes/vector instead of 4·Dim), the float work is
+    * queries×codebook-sized, and the integer-quantized partials make
+    * the sum order-independent, so the DuckDB oracle replays the
+    * whole index + probe bit-exactly. Top-3 by ADC distance per
+    * query (qid < 10), self-matches excluded. */
+  def annPq(spark: SparkSession, d: String): DataFrame = {
+    val e = corpus(spark, d)
+    val cents = pqCodebook(e)
+    val codes = pqAssign(pqSub(e), cents).select(col("vec_id"), col("m"), col("k"))
+    val q = pqSub(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("m"),
+        col("sv").as("qsv"), col("n2s").as("qn2"))
+    val lut = q.join(broadcast(cents), Seq("m"))
+      .select(col("qid"), col("m"), col("k"),
+        round(sqdist2(col("qn2"), col("qsv"), col("c"), col("n2c")) * QScale)
+          .cast("long").as("pq"))
+    val adc = codes.join(broadcast(lut), Seq("m", "k"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(round(sum(col("pq")).cast("double") / QScale, 6).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("adc"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB replay of [[annPq]]: identical seeds, quantized Lloyd's
+    * rounds per subspace, codes, LUT and integer-summed ADC. */
+  def annPqSql: String = {
+    def subDistSql(n2v: String, v: String, c: String, n2c: String) =
+      s"($n2v - 2.0 * list_sum(list_transform(range(1, $PqSubDim + 1), i -> $v[i] * $c[i]))) + $n2c"
+    def pqAssignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, m, k, sv, n2s FROM (
+         |    SELECT s.vec_id, s.m, c.k, s.sv, s.n2s,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(${subDistSql("s.n2s", "s.sv", "c.c", "c.n2c")}, 9), c.k) AS rn
+         |    FROM sub s JOIN $cents c USING (m)) WHERE rn = 1)""".stripMargin
+    def pqRecomputeCte(mName: String, cName: String, assigned: String) =
+      s"""$mName AS (
+         |  SELECT m, k, i.i AS i,
+         |    CAST(SUM(CAST(round(sv[i.i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 1000000.0 AS cx
+         |  FROM $assigned CROSS JOIN (SELECT unnest(range(1, $PqSubDim + 1)) AS i) i
+         |  GROUP BY m, k, i.i),
+         |$cName AS (
+         |  SELECT m, k, c, list_sum(list_transform(c, x -> x*x)) AS n2c
+         |  FROM (SELECT m, k, list(cx ORDER BY i) AS c FROM $mName GROUP BY m, k))""".stripMargin
+    val rounds = (1 to PqRounds).map { r =>
+      pqAssignCte(s"a$r", s"c${r - 1}") + ",\n" +
+        pqRecomputeCte(s"m$r", s"c$r", s"a$r")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, ms.m AS m,
+       |    v[ms.m * $PqSubDim + 1 : ms.m * $PqSubDim + $PqSubDim] AS sv,
+       |    list_sum(list_transform(
+       |      v[ms.m * $PqSubDim + 1 : ms.m * $PqSubDim + $PqSubDim],
+       |      x -> x*x)) AS n2s
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+       |c0 AS (
+       |  SELECT s.m, ids.k, s.sv AS c, s.n2s AS n2c
+       |  FROM sub s JOIN ids USING (vec_id)),
+       |$rounds,
+       |${pqAssignCte("af", s"c$PqRounds")},
+       |codes AS (SELECT vec_id, m, k FROM af),
+       |q AS (
+       |  SELECT vec_id AS qid, m, sv AS qsv, n2s AS qn2
+       |  FROM sub WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.qid, q.m, c.k,
+       |    CAST(round((${subDistSql("q.qn2", "q.qsv", "c.c", "c.n2c")}) * 1000000.0)
+       |      AS BIGINT) AS pq
+       |  FROM q JOIN c$PqRounds c USING (m)),
+       |adc AS (
+       |  SELECT l.qid, cd.vec_id AS nid,
+       |    round(CAST(SUM(l.pq) AS DOUBLE) / 1000000.0, 6) AS adc
+       |  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.k = l.k
+       |  WHERE cd.vec_id <> l.qid
+       |  GROUP BY l.qid, cd.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+       |  FROM adc)
+       |SELECT qid, nid, adc, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
 }
