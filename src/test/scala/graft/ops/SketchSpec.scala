@@ -203,4 +203,38 @@ class SketchSpec extends AnyFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall $recall")
   }
+
+  test("PQ ADC ranks are informative: picks sit deep inside the exact L2 order") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 8×16-code PQ on structureless uniform 64-dim vectors is the
+    // distortion worst case, so exact recall@3 is not the contract —
+    // what must hold is that ADC is far from random: the MEAN exact
+    // rank of the picks sits in the top 20% and the MEDIAN in the top
+    // 10% (a random scorer sits at ~50% mean; the max is left
+    // unasserted — the tail is inherently unstable on a 500-vector
+    // corpus with a 16-seed codebook). Measured: mean 43 / median 21
+    // of 500 at sf0.001; mean 28 / max 181 of 6000 at sf0.01.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val l2 = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+    val ranked = l2.withColumn("rk", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))))
+    val picks = SimilarityOps.annPq(spark, sf).select("qid", "nid")
+    val ranks = picks.join(ranked, Seq("qid", "nid"))
+      .select("rk").collect().map(_.getInt(0))
+    val n = e.count()
+    assert(ranks.length === picks.count(),
+      "every PQ pick must appear in the exact ranking")
+    val sorted = ranks.sorted
+    assert(ranks.sum.toDouble / ranks.length <= n / 5.0,
+      s"mean exact rank ${ranks.sum.toDouble / ranks.length} of $n — ADC degenerated")
+    assert(sorted(sorted.length / 2) <= n / 10,
+      s"median exact rank ${sorted(sorted.length / 2)} of $n")
+  }
 }
