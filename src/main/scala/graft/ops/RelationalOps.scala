@@ -636,6 +636,41 @@ object RelationalOps {
       |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_n
       |FROM ranked WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Distribution window functions over per-customer spend: quartile
+    * (ntile), percent_rank, cume_dist, and first/last order price per
+    * customer — the remaining window family next to
+    * [[windowOrderRank]]'s ranking/offset functions. One shuffle on
+    * the partition key; the frame for last_value is pinned to the
+    * FULL partition (the default running frame silently returns the
+    * current row). */
+  def windowNtile(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cum_dist"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def windowNtileSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  NTILE(4) OVER w AS quartile,
+      |  round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+      |  round(CUME_DIST() OVER w, 9) AS cum_dist,
+      |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER wf AS last_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** TPC-H Q18 shape (large-volume customers): aggregate the fact
     * table, filter on the aggregate (HAVING), then join the surviving
     * ~0.1% of keys BACK to orders+customer. Scale posture: the heavy
