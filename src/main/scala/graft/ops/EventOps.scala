@@ -446,4 +446,62 @@ object EventOps {
     """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
       |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
+  /** Volume-anomaly detection: each day's event count z-scored
+    * against its OWN trailing 14-day baseline (current day excluded —
+    * a self-including window dilutes the very spike it should flag),
+    * anomalous when |z| > 2 with ≥ 7 baseline days and nonzero
+    * variance. Cross-engine determinism: the baseline moments are
+    * EXACT integer window sums (count, Σn, Σn² — order-independent);
+    * the float math happens once, in a fixed expression order, on
+    * those exact inputs, then rounds to 9 decimals. The window is
+    * days-of-history-sized (runs after the daily aggregate), so the
+    * unpartitioned frame never sees event cardinality. */
+  def anomalyDays(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("epoch_day",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-14, -1)
+    daily
+      .select(col("day"), col("n"),
+        count(lit(1)).over(w).as("m"),
+        sum(col("n")).over(w).as("s1"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).over(w).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("m"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("m") - col("mean") * col("mean"))
+      .withColumn("z", when(col("m") >= 7 && col("variance") > 0,
+        round((col("n").cast("double") - col("mean")) / sqrt(col("variance")), 9)))
+      .select(col("day"), col("n").as("n_events"),
+        col("m").cast("long").as("n_baseline_days"), col("z"),
+        coalesce(abs(col("z")) > 2, lit(false)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  def anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+      |  FROM events GROUP BY 1, 3),
+      |base AS (
+      |  SELECT day, n,
+      |    COUNT(*) OVER w AS m,
+      |    SUM(n) OVER w AS s1,
+      |    SUM(n * n) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT day, n, m,
+      |    CAST(s1 AS DOUBLE) / m AS mean,
+      |    CAST(s2 AS DOUBLE) / m - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m) AS variance
+      |  FROM base)
+      |SELECT day, n AS n_events, CAST(m AS BIGINT) AS n_baseline_days,
+      |  CASE WHEN m >= 7 AND variance > 0
+      |    THEN round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 9) END AS z,
+      |  COALESCE(abs(CASE WHEN m >= 7 AND variance > 0
+      |    THEN round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 9) END) > 2,
+      |    FALSE) AS is_anomaly
+      |FROM scored ORDER BY day""".stripMargin
 }

@@ -31,6 +31,31 @@ class EventWindowSpec extends AnyFunSuite {
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
+  test("evt_anomaly: a planted spike flags, its neighbors and warmup days don't") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // 20 quiet days of 2-3 events (variance > 0 so the gate opens),
+    // then day 21 spikes to 40 — far past 2σ of the trailing window.
+    var id = 0L
+    val rows = (1 to 20).flatMap { day =>
+      val k = 2 + (day % 2) // alternate 2 and 3 events
+      (0 until k).map { h => id += 1; (id, ts(day, 9 + h), day.toLong, "click", 1.0, "{}") }
+    } ++ (0 until 40).map { h => id += 1; (id, ts(21, h % 24), 99L, "click", 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft-evanom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.anomalyDays(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(out("2024-01-21") === ((40L, 14L, true)), s"spike must flag: $out")
+    // warmup days (< 7 baseline days) must be gated out, not flagged
+    assert(!out("2024-01-01")._3 && !out("2024-01-05")._3)
+    assert(out("2024-01-05")._2 < 7) // still warming up
+    // quiet steady days never flag
+    (8 to 20).foreach(d => assert(!out(f"2024-01-$d%02d")._3, s"day $d"))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_rolling: a calendar gap shrinks the trailing window") {
     import spark.implicits._
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
