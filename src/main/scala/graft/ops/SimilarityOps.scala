@@ -686,9 +686,19 @@ object SimilarityOps {
       .withColumn("n2c", norm2(col("c")))
   }
 
+  /** 1-in-[[PqTrainMod]] deterministic hash-sample for codebook
+    * training — the standard PQ recipe: codebooks are fit on a
+    * bounded sample (fixed ~1M vectors at 100 TB), then the FULL
+    * corpus is encoded against them. Training cost stops scaling
+    * with the corpus; only the single encode pass does. */
+  private val PqTrainMod = 4
+  private def pqTrain(e: DataFrame): DataFrame =
+    e.filter(pmod(xhash60(col("vec_id").cast("string"), 13), lit(PqTrainMod)) === 0)
+
   private def pqCodebook(e: DataFrame): DataFrame = {
-    val sub = pqSub(e)
-    var cents = pqSeeds(sub, e)
+    val train = pqTrain(e)
+    val sub = pqSub(train)
+    var cents = pqSeeds(sub, train)
     for (_ <- 1 to PqRounds) cents = pqRecompute(pqAssign(sub, cents))
     cents
   }
@@ -703,8 +713,11 @@ object SimilarityOps {
     * (PqM bytes/vector instead of 4·Dim), the float work is
     * queries×codebook-sized, and the integer-quantized partials make
     * the sum order-independent, so the DuckDB oracle replays the
-    * whole index + probe bit-exactly. Top-3 by ADC distance per
-    * query (qid < 10), self-matches excluded. */
+    * whole index + probe bit-exactly. The codebook trains on the
+    * deterministic [[pqTrain]] hash-sample (training cost stops
+    * scaling with the corpus; only the one encode pass touches every
+    * vector). Top-3 by ADC distance per query (qid < 10),
+    * self-matches excluded. */
   def annPq(spark: SparkSession, d: String): DataFrame = {
     val e = corpus(spark, d)
     val cents = pqCodebook(e)
@@ -732,13 +745,13 @@ object SimilarityOps {
   def annPqSql: String = {
     def subDistSql(n2v: String, v: String, c: String, n2c: String) =
       s"($n2v - 2.0 * list_sum(list_transform(range(1, $PqSubDim + 1), i -> $v[i] * $c[i]))) + $n2c"
-    def pqAssignCte(name: String, cents: String) =
+    def pqAssignCte(name: String, cents: String, src: String) =
       s"""$name AS (
          |  SELECT vec_id, m, k, sv, n2s FROM (
          |    SELECT s.vec_id, s.m, c.k, s.sv, s.n2s,
          |      row_number() OVER (PARTITION BY s.vec_id, s.m
          |        ORDER BY round(${subDistSql("s.n2s", "s.sv", "c.c", "c.n2c")}, 9), c.k) AS rn
-         |    FROM sub s JOIN $cents c USING (m)) WHERE rn = 1)""".stripMargin
+         |    FROM $src s JOIN $cents c USING (m)) WHERE rn = 1)""".stripMargin
     def pqRecomputeCte(mName: String, cName: String, assigned: String) =
       s"""$mName AS (
          |  SELECT m, k, i.i AS i,
@@ -750,7 +763,7 @@ object SimilarityOps {
          |  SELECT m, k, c, list_sum(list_transform(c, x -> x*x)) AS n2c
          |  FROM (SELECT m, k, list(cx ORDER BY i) AS c FROM $mName GROUP BY m, k))""".stripMargin
     val rounds = (1 to PqRounds).map { r =>
-      pqAssignCte(s"a$r", s"c${r - 1}") + ",\n" +
+      pqAssignCte(s"a$r", s"c${r - 1}", "subt") + ",\n" +
         pqRecomputeCte(s"m$r", s"c$r", s"a$r")
     }.mkString(",\n")
     s"""WITH e AS (
@@ -762,14 +775,17 @@ object SimilarityOps {
        |      v[ms.m * $PqSubDim + 1 : ms.m * $PqSubDim + $PqSubDim],
        |      x -> x*x)) AS n2s
        |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |subt AS (
+       |  SELECT * FROM sub
+       |  WHERE ${xhash60Sql("CAST(vec_id AS VARCHAR)", 13)} % $PqTrainMod = 0),
        |ids AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
-       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+       |  FROM (SELECT DISTINCT vec_id FROM subt ORDER BY vec_id LIMIT $PqK)),
        |c0 AS (
        |  SELECT s.m, ids.k, s.sv AS c, s.n2s AS n2c
        |  FROM sub s JOIN ids USING (vec_id)),
        |$rounds,
-       |${pqAssignCte("af", s"c$PqRounds")},
+       |${pqAssignCte("af", s"c$PqRounds", "sub")},
        |codes AS (SELECT vec_id, m, k FROM af),
        |q AS (
        |  SELECT vec_id AS qid, m, sv AS qsv, n2s AS qn2
