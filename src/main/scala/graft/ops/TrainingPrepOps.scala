@@ -315,6 +315,64 @@ object TrainingPrepOps {
        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)), 9) AS centroid_norm
        |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  /** Hard-example mining: the 3 vectors FARTHEST from their own
+    * label's centroid, per label — the embedding-quality audit that
+    * surfaces mislabeled/outlier training examples for re-annotation.
+    * Scale shape: centroids come from the same (label, dim) partial
+    * aggregation as [[embCentroid]] (decimal-exact, one fact
+    * shuffle), the |labels|-row centroid table broadcasts, the
+    * per-vector distance is one codegen'd dot, and the top-3 window
+    * runs per label — never a global sort. Squared distance is kept
+    * (no sqrt): monotone for ranking and one fewer float op to
+    * mirror. */
+  def embHardExamples(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val per = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(davg(col("x")).as("m"))
+    val cents = per.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round((norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c")))
+          + norm2(col("c")), 9).as("dist2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist2"))
+      .orderBy("label", "rank")
+  }
+
+  def embHardExamplesSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (
+      |  SELECT label, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e),
+      |per AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
+      |  FROM ex GROUP BY label, dim),
+      |cents AS (SELECT label, list(m ORDER BY dim) AS c FROM per GROUP BY label),
+      |scored AS (
+      |  SELECT e.label, e.vec_id,
+      |    round((list_sum(list_transform(e.v, x -> x*x))
+      |      - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> e.v[i] * c.c[i])))
+      |      + list_sum(list_transform(c.c, x -> x*x)), 9) AS dist2
+      |  FROM e JOIN cents c USING (label)),
+      |ranked AS (
+      |  SELECT label, vec_id, dist2,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY dist2 DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT label, rank, vec_id, dist2 FROM ranked WHERE rank <= 3
+      |ORDER BY label, rank""".stripMargin
+
   // ---------------------------------------------------------------
   // shard_manifest: training-shard layout planning
   // ---------------------------------------------------------------
