@@ -62,6 +62,50 @@ object MrQueries {
     }
   }
 
+  /** Declared query `mr_grep`: the reference's grep workload
+    * (grep_map emits `1 TAB line` for lines whose lowercase contains
+    * the query; grep_reduce projects the line back) through the full
+    * MR dataflow over the documents corpus staged as text lines.
+    * Output is the matching lines themselves, duplicates preserved —
+    * exactly what the reference pipeline emits. The mapper lowercases
+    * with Locale.ROOT (the oracle contract is SQL lower(); the
+    * pipe-parity Workloads.grepMap keeps the reference's
+    * default-locale .lower() instead, which PipeFidelitySpec pins). */
+  def mrGrep(spark: SparkSession, d: String): DataFrame = {
+    val inDir = Files.createTempDirectory("graft-mrgrep-in").toString
+    val outDir = Files.createTempDirectory("graft-mrgrep-out")
+    try {
+      graft.Tables.documents(spark, d).select(col("text"))
+        .write.mode("overwrite").text(inDir)
+      Files.delete(outDir)
+      MapReduceRunner.run(spark, MapReduceJob(
+        inputDirectory = inDir,
+        outputDirectory = outDir.toString,
+        mapper = FnSpec(_.map(_.strip()).filter(_.nonEmpty)
+          .filter(_.toLowerCase(java.util.Locale.ROOT).contains("spark"))
+          .map(l => s"1\t$l")),
+        reducer = FnSpec(Workloads.grepReduce),
+        numMappers = 8, numReducers = 8))
+      spark.read.text(outDir.toString)
+        .select(col("value").as("line"))
+        .orderBy("line")
+        .localCheckpoint(true) // |matches| rows — pin, then drop scratch
+    } finally {
+      deleteRecursively(inDir)
+      deleteRecursively(outDir.toString)
+    }
+  }
+
+  // Lines are the staged text-file lines (documents split at embedded
+  // newlines), stripped, blanks dropped, kept on lowercase-contains.
+  def mrGrepSql: String =
+    """WITH lines AS (
+      |  SELECT trim(UNNEST(string_split(text, chr(10)))) AS line
+      |  FROM documents)
+      |SELECT line FROM lines
+      |WHERE line <> '' AND contains(lower(line), 'spark')
+      |ORDER BY line""".stripMargin
+
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (Files.exists(root)) {

@@ -285,6 +285,51 @@ object EventStreams {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The [[userRunningTotals]] mapGroupsWithState machine under the
+    * hash gate: events staged as TWO time-ordered halves (split at
+    * the midpoint timestamp — production ingest order, NO duplication)
+    * and replayed as separate micro-batches, so per-user state must
+    * carry across batches for the final totals to be right. Update
+    * mode appends every emission (live updates AND timeout finals) to
+    * the parquet sink; the declared result reduces to each user's
+    * FINAL state row via max(n_events) — the counter is monotone, so
+    * the max IS the final. Only the order-independent state fields
+    * (count, last-seen ms) are declared; the running double sum is
+    * fold-order-dependent and stays out of the hash gate (the spec
+    * checks it separately). The bounds lookup is a 1-row staging-side
+    * aggregate (the drop writes are driver actions anyway); the
+    * streamed operator itself never touches the driver. */
+  def streamUserTotals(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val ss = streamingSession(spark)
+    val ev = graft.Tables.events(ss, d)
+    val bounds = ev.agg(
+      min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-totals-$n")
+    ev.filter(unix_millis(col("ts")) < cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    Thread.sleep(5) // distinct mod-times: deterministic batch order
+    ev.filter(unix_millis(col("ts")) >= cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    try {
+      val totals = userRunningTotals(ss,
+        readEvents(ss, drop.toString, maxFilesPerTrigger = Some(1)))
+      val raw = runToParquetSink(ss, totals.toDF(),
+        "stream_user_totals", OutputMode.Update())
+      raw.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("last_ms"))).as("p"))
+        .select(col("user_id"), col("p.n_events").as("n_events"),
+          col("p.last_ms").as("last_ms"))
+        .orderBy("user_id")
+    } finally dropStaged(drop.toString)
+  }
+
+  def streamUserTotalsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_ms(ts)) AS last_ms
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** The stream-stream [[attribution]] join under the hash gate:
     * click→purchase matching with event-time range bounds and
     * watermarks on both sides (the state-expiry contract that keeps a
