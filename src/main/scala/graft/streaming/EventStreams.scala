@@ -234,6 +234,44 @@ object EventStreams {
     finally dropStaged(staged)
   }
 
+  /** Stream–static enrichment join under the hash gate: the event
+    * stream joined against a STATIC per-user dimension (signup
+    * cohort = each user's first event day, derived batch-side from
+    * the same table — a snapshot dimension, exactly how a profile
+    * table joins an ingest stream), then aggregated per (cohort,
+    * event type). The static side is a normal batch DataFrame inside
+    * a streaming query — Spark broadcasts/rescans it per micro-batch;
+    * no state is kept for it, which is what makes stream-static the
+    * cheap join (vs the stateful stream-stream attribution join).
+    * Result cardinality is days × types (bounded) → Complete-mode
+    * memory sink. */
+  def streamEnrich(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val staged = stageEventsDrop(d, "stream-enrich", n)
+    val ss = streamingSession(spark)
+    val cohort = graft.Tables.events(ss, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    try runToMemory(ss,
+      readEvents(ss, staged)
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")),
+      s"graft_stream_enrich_$n")
+      .orderBy("cohort_day", "event_type")
+    finally dropStaged(staged)
+  }
+
+  def streamEnrichSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY user_id)
+      |SELECT cohort_day, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN cohort USING (user_id)
+      |GROUP BY cohort_day, event_type
+      |ORDER BY cohort_day, event_type""".stripMargin
+
   /** [[sessionAgg]] driven to completion — `session_window` itself
     * under the hash gate. The oracle replays session_window's
     * µs-precision semantics directly (new session when the gap to the
