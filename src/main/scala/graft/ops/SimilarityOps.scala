@@ -718,11 +718,25 @@ object SimilarityOps {
     * scaling with the corpus; only the one encode pass touches every
     * vector). Top-3 by ADC distance per query (qid < 10),
     * self-matches excluded. */
-  def annPq(spark: SparkSession, d: String): DataFrame = {
-    val e = corpus(spark, d)
+  /** The PQ index as two tables — the artifacts a production build
+    * job PERSISTS once (codebook: ≤ PqM·PqK rows; codes: one row per
+    * (vector, subspace)) and every probe job reloads. Exposed so the
+    * parquet round-trip is testable; [[annPq]] composes these with
+    * [[pqProbe]] in one declared query. */
+  private[ops] def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
     val cents = pqCodebook(e)
-    val codes = pqAssign(pqSub(e), cents).select(col("vec_id"), col("m"), col("k"))
-    val q = pqSub(e.filter(col("vec_id") < 10))
+    val codes = pqAssign(pqSub(e), cents)
+      .select(col("vec_id"), col("m"), col("k"))
+    (cents, codes)
+  }
+
+  /** ADC probe against a (possibly reloaded) PQ index: build the
+    * per-query lookup table against the codebook, then score codes
+    * by integer-keyed lookup sums. A pure function of the two index
+    * tables + the query vectors — the probe job's entire plan. */
+  private[ops] def pqProbe(cents: DataFrame, codes: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val q = pqSub(queries)
       .select(col("vec_id").as("qid"), col("m"),
         col("sv").as("qsv"), col("n2s").as("qn2"))
     val lut = q.join(broadcast(cents), Seq("m"))
@@ -738,6 +752,12 @@ object SimilarityOps {
       .where(col("rank") <= 3)
       .select(col("qid"), col("nid"), col("adc"), col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  def annPq(spark: SparkSession, d: String): DataFrame = {
+    val e = corpus(spark, d)
+    val (cents, codes) = pqIndex(e)
+    pqProbe(cents, codes, e.filter(col("vec_id") < 10))
   }
 
   /** DuckDB replay of [[annPq]]: identical seeds, quantized Lloyd's

@@ -204,6 +204,30 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("PQ index round-trips through parquet and probes identically") {
+    import org.apache.spark.sql.functions._
+    // The build-once/probe-many production path: the two index tables
+    // (codebook + codes) persisted to parquet, RELOADED, and probed —
+    // results must be row-identical to the self-contained query. This
+    // is what makes PQ economical at 100 TB: the encode pass runs
+    // once, probe jobs read PqM small integer columns per vector,
+    // never the embeddings.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", graft.ops.OpsUtil.norm2(col("v")))
+    val (cents, codes) = SimilarityOps.pqIndex(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    cents.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val rCents = spark.read.parquet(s"$dir/codebook")
+    val rCodes = spark.read.parquet(s"$dir/codes")
+    val want = SimilarityOps.annPq(spark, sf).collect().toSeq
+    val got = SimilarityOps.pqProbe(rCents, rCodes,
+      e.filter(col("vec_id") < 10)).collect().toSeq
+    assert(got === want)
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("PQ ADC ranks are informative: picks sit deep inside the exact L2 order") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
