@@ -468,7 +468,11 @@ object EventOps {
       .select(col("day"), col("n"),
         count(lit(1)).over(w).as("m"),
         sum(col("n")).over(w).as("s1"),
-        sum((col("n") * col("n")).cast("decimal(38,0)")).over(w).as("s2"))
+        // decimal BEFORE the multiply: long*long would wrap silently
+        // past ~3e9 events/day (and DuckDB errors where Spark wraps —
+        // an engine divergence, not just a wrong number)
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .over(w).as("s2"))
       .withColumn("mean", col("s1").cast("double") / col("m"))
       .withColumn("variance",
         col("s2").cast("double") / col("m") - col("mean") * col("mean"))
@@ -489,7 +493,7 @@ object EventOps {
       |  SELECT day, n,
       |    COUNT(*) OVER w AS m,
       |    SUM(n) OVER w AS s1,
-      |    SUM(n * n) OVER w AS s2
+      |    SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) OVER w AS s2
       |  FROM daily
       |  WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)),
       |scored AS (

@@ -665,6 +665,9 @@ object SimilarityOps {
         struct(round(sqdist2(col("n2s"), col("sv"), col("c"), col("n2c")), 9)
           .as("dd"), col("k")).as("p"))
       .groupBy(col("vec_id"), col("m"))
+      // first() is deterministic here: every row in a (vec_id, m)
+      // group carries the IDENTICAL sv (the group fans out only over
+      // candidate codes) — it grabs the one value, it never chooses
       .agg(min(col("p")).as("p"), first(col("sv")).as("sv"))
       .select(col("vec_id"), col("m"), col("p.k").as("k"), col("sv"))
       .withColumn("n2s", norm2(col("sv")))
