@@ -82,6 +82,17 @@ object SourceQueries {
     docStats(Formats.readCsv(spark, dir, docSchema))
   }
 
+  /** Declared query `src_orc`: the same fingerprint over an ORC round
+    * trip. ORC is self-describing (schema in the file footer like
+    * parquet), so no explicit read schema is needed; the oracle still
+    * replays the aggregate off the raw parquet table — DuckDB cannot
+    * read ORC, but result equality proves the ORC write→read path
+    * preserved every column anyway. */
+  def orcDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "orc")(Formats.writeOrc)
+    docStats(Formats.readOrc(spark, dir))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers
