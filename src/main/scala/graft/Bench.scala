@@ -111,14 +111,21 @@ object Bench {
         s""""n_shown":$shown,"failed":$failedCount,"wall_sec":${fmt2(wallSec)},""" +
         s""""cpu_wall_ratio":${fmt2(ratio)},"sf":"${jsonEscape(sfDir)}"}"""
     // suffix length varies by ≤ a few chars with shown/otherSec; size
-    // against the pessimistic all-shown suffix so the cap is hard
+    // against the pessimistic all-shown suffix so the cap is hard.
+    // STOP at the first entry that doesn't fit (never skip-and-
+    // continue): the shown set is then a true most-expensive-first
+    // prefix, so "n_shown of n_queries" reads as "the top K".
     val maxSuffix = suffix(desc.size, total).length
     var used = prefix.length + maxSuffix
     val shown = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var full = false
     desc.foreach { case (n, s) =>
-      val entry = "\"" + jsonEscape(n) + "\":" + fmt2(s)
-      val cost = entry.length + (if (shown.nonEmpty) 1 else 0)
-      if (used + cost <= budget) { shown += ((n, s)); used += cost }
+      if (!full) {
+        val entry = "\"" + jsonEscape(n) + "\":" + fmt2(s)
+        val cost = entry.length + (if (shown.nonEmpty) 1 else 0)
+        if (used + cost <= budget) { shown += ((n, s)); used += cost }
+        else full = true
+      }
     }
     val shownSet = shown.map(_._1).toSet
     val otherSec = results.collect { case (n, s) if !shownSet(n) => s }.sum

@@ -65,6 +65,15 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").has("pathologically_long_query_name_500"))
   }
 
+  test("compact line stays valid JSON when every query failed") {
+    val line = Bench.compactLine(Seq.empty, failedCount = 5,
+      wallSec = 1.0, ratio = 0.5, sfDir = "/root/testdata/sf0.1")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("value").asDouble === 0.0)
+    assert(node.get("n_queries").asInt === 0)
+    assert(node.get("failed").asInt === 5)
+  }
+
   test("fmt2 trims without locale surprises") {
     assert(Bench.fmt2(0.39499) == "0.39")
     assert(Bench.fmt2(1.204) == "1.2")
