@@ -323,6 +323,60 @@ object RelationalOps {
       |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey
       |FROM lineitem""".stripMargin
 
+  /** Referential-integrity audit across every FK edge of the star
+    * schema: orphan counts per relationship (child keys with no
+    * parent), one row per edge — the data-quality companion to
+    * [[validateLineitem]]'s value constraints. Each edge is a
+    * LEFT ANTI join counted: the fact side streams once per edge,
+    * dimension key sets broadcast (customer/part/supplier are
+    * broadcast-sized at any SF; orders⋈lineitem is the one
+    * fact⋈fact anti-join and shuffles on the key). At 100 TB this
+    * report is the ingest gate that catches a partial dimension
+    * load before a day of joins silently drops rows. */
+  def validateFk(spark: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(parentKey).as(childKey)).distinct()
+      child.select(col(childKey))
+        .join(if (bcast) broadcast(p) else p, Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    }
+    val l = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    orphans("lineitem.orderkey->orders", l, "l_orderkey",
+        o, "o_orderkey", bcast = false)
+      .unionAll(orphans("lineitem.partkey->part", l, "l_partkey",
+        Tables.part(spark, d), "p_partkey", bcast = true))
+      .unionAll(orphans("lineitem.suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(spark, d), "s_suppkey", bcast = true))
+      .unionAll(orphans("orders.custkey->customer", o, "o_custkey",
+        Tables.customer(spark, d), "c_custkey", bcast = true))
+      .unionAll(orphans("customer.nationkey->nation",
+        Tables.customer(spark, d), "c_nationkey",
+        Tables.nation(spark, d), "n_nationkey", bcast = true))
+      .orderBy("fk_edge")
+  }
+
+  def validateFkSql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+      |  UNION ALL SELECT 'lineitem.partkey->part',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+      |      ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+      |  UNION ALL SELECT 'lineitem.suppkey->supplier',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+      |      ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+      |  UNION ALL SELECT 'orders.custkey->customer',
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |      ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      |  UNION ALL SELECT 'customer.nationkey->nation',
+      |    (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+      |      ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL))
+      |ORDER BY fk_edge""".stripMargin
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation
     * — the same definition as DuckDB's quantile_cont) + an
     * approx_percentile cross-check exercised in ScalaTest only
