@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: edges are materialized once (lazy localCheckpoint,
   * the [[DedupOps.dedupMinhash]] pattern) and each round is one
   * equi-join (rank × edge, keyed on src) plus one aggregation (keyed
-  * on dst) — the standard distributed PR round. At 100 TB the edge
-  * table would be hash-partitioned by src once and every round
-  * reuses that partitioning; ranks are |V| rows, always the small
-  * side. Contributions are 1e-9-quantized to BIGINT before the sum
+  * on dst) — the standard distributed PR round. Past the
+  * [[BroadcastVertexLimit]] vertex gate the edge table IS
+  * hash-partitioned by src once and every round's shuffled hash join
+  * reuses that partitioning; under it, ranks broadcast (|V| ≪ |E|
+  * for the near-dup graph). Contributions are 1e-9-quantized to
+  * BIGINT before the sum
   * (the [[SimilarityOps]] centroid trick), so the reduce is
   * order-independent and Spark (any partitioning) and DuckDB
   * (single-node) produce bit-identical doubles every round.
@@ -74,6 +76,14 @@ object GraphOps {
   def pagerank(spark: SparkSession, d: String): DataFrame =
     pagerankOnPairs(cachedPairs(spark, d))
 
+  /** Vertex-count ceiling for the broadcast plan: ranks rows are
+    * (id BIGINT, r DOUBLE) ≈ 24 B serialized, so 2²⁰ vertices is a
+    * ~25 MB broadcast — the largest per-round driver collect worth
+    * paying. Past the gate an unconditional `broadcast(ranks)` IS a
+    * per-round driver collect of |V| rows (|V| grows with the corpus
+    * at 100 TB), so the plan flips to the shuffle-reuse mode below. */
+  private val BroadcastVertexLimit = 1L << 20
+
   /** PR over an arbitrary undirected pair list (d1, d2) — the testable
     * core; [[pagerank]] feeds it the minhash near-dup pairs.
     *
@@ -82,19 +92,39 @@ object GraphOps {
     * whose size estimate differs by orders of magnitude between the
     * unmaterialized (plan-estimate) and materialized (actual-bytes)
     * states, so an unhinted plan flips broadcast↔SMJ with cache
-    * warmth. deg/ranks are |V| rows — always the broadcast side at
-    * any scale (|V| ≪ |E| for the near-dup graph). */
-  private[ops] def pagerankOnPairs(pairs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    * warmth. Which PINNED plan runs is gated on |V| (one build-time
+    * `deg.count()` on an already-checkpointed aggregate, not a
+    * per-round action):
+    *
+    *  - |V| ≤ [[BroadcastVertexLimit]]: broadcast deg/ranks — one
+    *    shuffle per round (the dst re-aggregation), no exchange on
+    *    the edge side.
+    *  - |V| above the gate: `withDeg` is hash-partitioned by `src`
+    *    ONCE (the partitioning survives the localCheckpoint into the
+    *    LogicalRDD), and every round's rank join is a shuffled hash
+    *    join that reuses it — only the |V|-row ranks side exchanges
+    *    per round, never the |E|-row edge side, and nothing |V|-sized
+    *    ever visits the driver. */
+  private[ops] def pagerankOnPairs(pairs: DataFrame, rounds: Int = Rounds,
+      broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame = {
     // symmetrize once, materialize once: every round must re-read
     // blocks, not re-run the upstream pipeline
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(broadcast(deg), Seq("src")).localCheckpoint(false)
+      .localCheckpoint(false)
+    val smallV = deg.count() <= broadcastVertexLimit
+    val withDeg =
+      if (smallV) edges.join(broadcast(deg), Seq("src")).localCheckpoint(false)
+      else edges.repartition(col("src"))
+        .join(deg.hint("shuffle_hash"), Seq("src")).localCheckpoint(false)
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
     for (t <- 1 to rounds) {
-      ranks = withDeg.join(broadcast(ranks), col("id") === col("src"))
+      val contrib =
+        if (smallV) withDeg.join(broadcast(ranks), col("id") === col("src"))
+        else withDeg.join(ranks.hint("shuffle_hash"), col("id") === col("src"))
+      ranks = contrib
         .select(col("dst"),
           // quantized contribution: exact BIGINT sum in any order
           round(col("r") / col("deg") * lit(QScale)).cast("long").as("cq"))
