@@ -65,6 +65,48 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").has("pathologically_long_query_name_500"))
   }
 
+  test("compact contract line is one single line at any budget (hard cap, not soft)") {
+    // the advice-flagged pathology: trailing-zero trimming can render
+    // other_sec LONGER than the total the reserve was sized with
+    // (total 1000 → "1000" vs other 999.99 → "999.99"), so the cap
+    // must be enforced on the ASSEMBLED line. Sweep budgets across a
+    // 200-query map and demand length ≤ budget every time (down to the
+    // degenerate zero-shown floor) and exactly one line.
+    val results = (1 to 200).map(i => s"q_$i" -> (if (i == 1) 999.99 else 0.004))
+    val floor = Bench.compactLine(results, 0, 1.0, 1.0, "/sf").length
+    for (budget <- Seq(200, 300, 500, 800, 1100, 1500)) {
+      val line = Bench.compactLine(results, 0, 1.0, 1.0, "/sf", budget = budget)
+      assert(!line.contains("\n"), "contract line must be a single line")
+      assert(line.length <= math.max(budget, floor),
+        s"budget $budget overflowed: ${line.length} chars")
+      // still parseable JSON with the full total, however hard the cut
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      assert(math.abs(node.get("value").asDouble - results.map(_._2).sum) < 1.0)
+    }
+  }
+
+  test("a clean pass-2 run redeems a transient pass-1 error; a pass-2 error is fatal") {
+    import Bench.Timing
+    val ordered = Seq("flaky", "broken", "steady", "fast")
+    val p1 = Map(
+      "flaky"  -> Timing(0.01, Some("transient executor loss")),
+      "broken" -> Timing(0.01, Some("real failure")),
+      "steady" -> Timing(2.0, None),
+      "fast"   -> Timing(0.2, None)) // under threshold: no rerun
+    val p2 = Map(
+      "flaky"  -> Timing(1.4, None), // clean rerun → redeemed
+      "broken" -> Timing(0.01, Some("real failure")),
+      "steady" -> Timing(1.8, None))
+    val (results, errors) = Bench.mergePasses(ordered, p1, p2)
+    assert(errors === Seq("broken" -> "real failure"),
+      "only the query that failed its freshest run is an error")
+    val r = results.toMap
+    // redeemed: the one clean measurement, never min(garbage, clean)
+    assert(r("flaky") === 1.4)
+    assert(r("steady") === 1.8) // min-of-2
+    assert(r("fast") === 0.2)   // pass-1 only
+  }
+
   test("compact line stays valid JSON when every query failed") {
     val line = Bench.compactLine(Seq.empty, failedCount = 5,
       wallSec = 1.0, ratio = 0.5, sfDir = "/root/testdata/sf0.1")

@@ -7,6 +7,9 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=$(mktemp -d /tmp/graft-ci.XXXX)
 
 echo "== compile + test"
+# stale reports from scratch/mid-round runs otherwise linger and make
+# the report directory disagree with the recorded run (r10 verdict #3)
+rm -rf target/test-reports
 sbt -batch test 2>&1 | grep -E "Tests:|Passed:" | tail -2
 
 echo "== verify vs DuckDB oracle @ $SF"
