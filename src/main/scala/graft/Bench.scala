@@ -346,6 +346,11 @@ object Bench {
     // Contract line LAST and size-capped so the driver's stdout-tail
     // parse always sees it whole (see compactLine scaladoc).
     println(compactLine(results, errors.size, wallSec, ratio, sfDir))
+    // bucketed-layout staging is deliberately NOT in freeBlocks (the
+    // layout is a table property; evicting between passes would bill a
+    // full re-stage to join_bucketed's pass-2 time) — but the session
+    // is done now: drop the graft_bkt_* catalog tables + their files
+    graft.ops.ScaleOps.evictBucketedStage()
     spark.stop()
     graft.ops.OpsUtil.deleteRecursively(warehouseDir)
     // a crashing query must fail the bench loudly, not vanish into a

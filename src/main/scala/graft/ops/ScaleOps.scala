@@ -46,8 +46,10 @@ object ScaleOps {
   // table pair would be orphaned in the warehouse with nothing
   // pointing at it. computeIfAbsent runs the mapping function at most
   // once per key.
+  // value retains the staging session: eviction must DROP the managed
+  // tables through it, and the key holds only the session's hash
   private val bucketedStage =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (SparkSession, String, String)]
 
   // table-name uniquifier: a fresh suffix per staged entry, so two sf
   // dirs with colliding String.hashCode (or a second session staging
@@ -55,15 +57,41 @@ object ScaleOps {
   // entry still points at
   private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def stagedOrderTables(spark: SparkSession, d: String): (String, String) =
-    bucketedStage.computeIfAbsent((System.identityHashCode(spark), d), _ => {
-      val tag = stageSeq.incrementAndGet()
-      val ot = s"graft_bkt_orders_$tag"
-      val lt = s"graft_bkt_lineitem_$tag"
-      writeBucketed(graft.Tables.orders(spark, d), ot, "o_orderkey", 8)
-      writeBucketed(graft.Tables.lineitem(spark, d), lt, "l_orderkey", 8)
-      (ot, lt)
-    })
+  private def stagedOrderTables(spark: SparkSession, d: String): (String, String) = {
+    val (_, ot, lt) =
+      bucketedStage.computeIfAbsent((System.identityHashCode(spark), d), _ => {
+        val tag = stageSeq.incrementAndGet()
+        val ot = s"graft_bkt_orders_$tag"
+        val lt = s"graft_bkt_lineitem_$tag"
+        writeBucketed(graft.Tables.orders(spark, d), ot, "o_orderkey", 8)
+        writeBucketed(graft.Tables.lineitem(spark, d), lt, "l_orderkey", 8)
+        (spark, ot, lt)
+      })
+    (ot, lt)
+  }
+
+  /** Drop every staged bucketed table pair and forget the cache — the
+    * [[GraphOps.evictPairCache]]-shaped eviction hook. Without it a
+    * long-lived session accumulates two catalog tables (plus their
+    * managed-table files) per (session, sf dir) ever staged, with
+    * nothing pointing at the old ones after a dir switch. DROP on a
+    * managed table also deletes its warehouse files, so eviction
+    * leaves neither catalog litter nor orphaned directories. */
+  def evictBucketedStage(): Unit = {
+    import scala.jdk.CollectionConverters._
+    bucketedStage.values.asScala.foreach { case (s, ot, lt) =>
+      Seq(ot, lt).foreach { t =>
+        try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () }
+      }
+    }
+    bucketedStage.clear()
+  }
+
+  /** Test/bench hook: the staged table names still live in the cache. */
+  private[graft] def bucketedStageSnapshot: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    bucketedStage.values.asScala.toSeq.flatMap { case (_, ot, lt) => Seq(ot, lt) }
+  }
 
   /** Declared-query face of the bucketed layout: orders ⋈ lineitem on
     * the order key over tables bucketed (and sorted) by their join
