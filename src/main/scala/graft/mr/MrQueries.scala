@@ -62,6 +62,38 @@ object MrQueries {
     }
   }
 
+  /** Space-only edge trim — the EXACT semantics of DuckDB's
+    * `trim(line)`: Java `.strip()` (all Unicode whitespace) silently
+    * diverged from the oracle on lines with edge tabs/CR/NBSP (r10
+    * advice). Mirroring the oracle function removes the divergence
+    * class instead of hoping the corpus never exercises it. */
+  private[mr] def spaceTrim(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  /** The mr_grep staging mapper, exposed for direct unit tests.
+    * Two latent oracle divergences are made LOUD instead of
+    * data-dependent: a staged line containing a TAB would be silently
+    * dropped by grepReduce's 2-field contract but kept by the oracle,
+    * and a bare CR is eaten by the Hadoop line reader but kept by
+    * DuckDB's chr(10) split — either kills the job with a message
+    * naming the contract rather than passing or failing on corpus
+    * luck. */
+  private[mr] val grepStageMapper: Iterator[String] => Iterator[String] =
+    _.map { raw =>
+      require(raw.indexOf('\t') < 0 && raw.indexOf('\r') < 0,
+        "mr_grep staging contract: staged lines must contain no tab/CR " +
+          "(tab lines are dropped by the reducer's 2-field split; bare CR " +
+          s"is eaten by the line reader) — got: ${raw.take(80)}")
+      spaceTrim(raw)
+    }.filter(_.nonEmpty)
+      .filter(_.toLowerCase(java.util.Locale.ROOT).contains("spark"))
+      .map(l => s"1\t$l")
+
   /** Declared query `mr_grep`: the reference's grep workload
     * (grep_map emits `1 TAB line` for lines whose lowercase contains
     * the query; grep_reduce projects the line back) through the full
@@ -70,7 +102,8 @@ object MrQueries {
     * exactly what the reference pipeline emits. The mapper lowercases
     * with Locale.ROOT (the oracle contract is SQL lower(); the
     * pipe-parity Workloads.grepMap keeps the reference's
-    * default-locale .lower() instead, which PipeFidelitySpec pins). */
+    * default-locale .lower() instead, which PipeFidelitySpec pins)
+    * and trims spaces only ([[spaceTrim]] = the oracle's trim()). */
   def mrGrep(spark: SparkSession, d: String): DataFrame = {
     val inDir = Files.createTempDirectory("graft-mrgrep-in").toString
     val outDir = Files.createTempDirectory("graft-mrgrep-out")
@@ -81,9 +114,7 @@ object MrQueries {
       MapReduceRunner.run(spark, MapReduceJob(
         inputDirectory = inDir,
         outputDirectory = outDir.toString,
-        mapper = FnSpec(_.map(_.strip()).filter(_.nonEmpty)
-          .filter(_.toLowerCase(java.util.Locale.ROOT).contains("spark"))
-          .map(l => s"1\t$l")),
+        mapper = FnSpec(grepStageMapper),
         reducer = FnSpec(Workloads.grepReduce),
         numMappers = 8, numReducers = 8))
       spark.read.text(outDir.toString)
@@ -97,7 +128,8 @@ object MrQueries {
   }
 
   // Lines are the staged text-file lines (documents split at embedded
-  // newlines), stripped, blanks dropped, kept on lowercase-contains.
+  // newlines), space-trimmed (= the mapper's spaceTrim), blanks
+  // dropped, kept on lowercase-contains.
   def mrGrepSql: String =
     """WITH lines AS (
       |  SELECT trim(UNNEST(string_split(text, chr(10)))) AS line
