@@ -253,8 +253,11 @@ object SimilarityOps {
   // (a 1-row count aggregate cross-joined into the seed selection — no
   // driver action) and clamped to [IvfMinCells, IvfMaxCells]: the
   // ceiling keeps the broadcast centroid table bounded (65536 cells ×
-  // 64 dims × 8 B ≈ 34 MB); past ~2M vectors a two-level
-  // coarse-quantizer IVF shards the index instead. Centroid coordinates
+  // 64 dims × 8 B ≈ 34 MB); past ~2M vectors the two-level
+  // coarse-quantizer path ([[annIvf2]], `sim_ann_ivf2`) takes over —
+  // its broadcasts are ⌈√k⌉-bounded, so k can keep growing ∝ corpus
+  // (ScaleStressSpec drives it at 2.1M vectors × 70,000 cells).
+  // Centroid coordinates
   // are means of 1e-6-quantized components summed as BIGINT — exact and
   // order-independent, so Spark (distributed partial aggregation) and
   // DuckDB (single-node) build bit-identical centroids and the index is
@@ -412,6 +415,134 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // sim_ann_ivf2: two-level (coarse-quantized) IVF — the >65,536-cell
+  // continuation promised at the IvfMaxCells ceiling above
+  // ---------------------------------------------------------------
+
+  /** Coarse beam width for QUERY routing (queries are few; a wider
+    * beam buys recall for pennies). Corpus ASSIGNMENT routes beam-1 —
+    * each vector lands in exactly one coarse group, the standard
+    * hierarchical-quantizer assignment. */
+  private val Ivf2CoarseProbe = 4
+  private val Ivf2HashSeed = 13
+
+  /** 1-row (kc): ceil(√k) coarse cells over the k fine centroids —
+    * the level split that bounds every broadcast at O(√k) rows
+    * however large k grows. */
+  private def coarseK(cents: DataFrame): DataFrame =
+    cents.agg(greatest(lit(1L), ceil(sqrt(count(lit(1))))).as("kc"))
+
+  /** The coarse quantizer: the kc fine centroids with lowest
+    * xhash60(cell) become the coarse centroids (ccell, cc, ccn2) —
+    * hash-sampled, no refinement (a fine centroid IS already a
+    * cluster representative; re-running Lloyd's over representatives
+    * buys little and doubles the SQL replay). Deterministic on any
+    * cluster, so the DuckDB oracle rebuilds the identical level. */
+  private[ops] def coarseCentroids(cents: DataFrame): DataFrame = {
+    val hashed = cents.withColumn("hk",
+      xhash60(col("cell").cast("string"), Ivf2HashSeed))
+    val w = Window.orderBy(col("hk"), col("cell")) // ≤ IvfMaxCells rows
+    hashed.orderBy(col("hk"), col("cell")).limit(IvfMaxCells)
+      .select((row_number().over(w) - 1).as("ccell"),
+        col("c").as("cc"), col("cn2").as("ccn2"))
+      .crossJoin(broadcast(coarseK(cents)))
+      .where(col("ccell") < col("kc"))
+      .select(col("ccell"), col("cc"), col("ccn2"))
+  }
+
+  /** Fine→coarse map (k rows): each fine centroid assigned to its
+    * nearest coarse cell (ties to the lower ccell) via an exact
+    * struct-min aggregation. min(struct) plans as a SortAggregate
+    * (struct buffers aren't hash-aggregable) — but the sorts are
+    * PARTITION-LOCAL over the join's already-key-contiguous runs, and
+    * the partial/final split means the shuffle carries one partial
+    * row per key, never the ×kc candidate fan-out a window would
+    * shuffle whole. */
+  private def fineToCoarse(cents: DataFrame, coarse: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(coarse))
+      .withColumn("cdist", sqdist2(col("cn2"), col("c"), col("cc"), col("ccn2")))
+      .groupBy(col("cell"))
+      .agg(min(struct(col("cdist"), col("ccell"))).as("p"),
+        first(col("c")).as("c"), first(col("cn2")).as("cn2"))
+      .select(col("p.ccell").as("ccell"), col("cell"), col("c"), col("cn2"))
+
+  /** Two-level fine-cell assignment: route each row to its nearest
+    * coarse cell (broadcast is kc ≈ √k rows — NEVER the k-row fine
+    * table, which reaches the row via an equi-join on the coarse id),
+    * then pick the nearest fine centroid within that coarse group.
+    * Both argmins are struct-min aggregations (lexicographic
+    * (dist, cell): nearest, ties to the lower id) with map-side
+    * partials — the ×kc/×group candidate fan-out dies in the partial
+    * stage and only one partial row per vector shuffles; a window
+    * would shuffle and globally sort the full fan-out. `first(v)` is
+    * deterministic here: every row in a vec_id group carries the same
+    * vector. */
+  private[ops] def assignCellsCoarse(e: DataFrame, cents: DataFrame): DataFrame = {
+    val coarse = coarseCentroids(cents)
+    val f2c = fineToCoarse(cents, coarse)
+    val routed = e.crossJoin(broadcast(coarse))
+      .withColumn("cdist", sqdist2(col("n2"), col("v"), col("cc"), col("ccn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("ccell"))).as("p"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("v"), col("n2"), col("p.ccell").as("ccell"))
+    routed.join(f2c, Seq("ccell"))
+      .withColumn("dist", sqdist2(col("n2"), col("v"), col("c"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("p"),
+        first(col("v")).as("nv"))
+      .select(col("vec_id"), col("nv").as("v"), col("p.cell").as("cell"))
+  }
+
+  def annIvf2(spark: SparkSession, d: String): DataFrame =
+    annIvf2OnCorpus(corpus(spark, d), cachedCentroids(spark, d))
+
+  /** Two-level IVF probe over an arbitrary (vec_id, v, n2) corpus and
+    * fine-centroid table — the testable core ([[annIvf2]] feeds it the
+    * session-cached [[annIvfCentroids]] index, the same cache
+    * `dedup_semantic`/`sim_ann_ivf` share).
+    *
+    * Scale shape vs [[annIvfProbe]]: the flat probe broadcasts ALL k
+    * fine centroids — fine under the [[IvfMaxCells]] ceiling, a
+    * >34 MB-and-growing broadcast past it. Here nothing broadcast
+    * exceeds kc ≈ √k rows: corpus assignment and query routing hit
+    * the coarse level first, and fine centroids arrive per coarse
+    * group via equi-join. k can grow ∝ corpus indefinitely (4B cells
+    * ⇒ kc = 65,536 ⇒ a ≈34 MB coarse broadcast — the old ceiling,
+    * now the square of the reachable scale). */
+  private[ops] def annIvf2OnCorpus(e: DataFrame, cents: DataFrame): DataFrame = {
+    val coarse = coarseCentroids(cents)
+    val f2c = fineToCoarse(cents, coarse)
+    val members = assignCellsCoarse(e, cents)
+      .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    // query routing: beam Ivf2CoarseProbe coarse cells, then the
+    // IvfProbe nearest fine cells among those groups (windows — the
+    // query side is a handful of rows)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+    val qroute = q.crossJoin(broadcast(coarse))
+      .withColumn("cdist", sqdist2(col("qn2"), col("qv"), col("cc"), col("ccn2")))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= Ivf2CoarseProbe)
+      .select(col("qid"), col("ccell"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell"))
+    val qprobe = q.join(qroute, Seq("qid")).join(f2c, Seq("ccell"))
+      .withColumn("dist", sqdist2(col("qn2"), col("qv"), col("c"), col("cn2")))
+      .withColumn("rn", row_number().over(wf))
+      .where(col("rn") <= IvfProbe)
+      .select(col("qid"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    qprobe.join(members, Seq("cell"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
   private def distSql(n2v: String, v: String, c: String, n2c: String) =
     s"($n2v - 2.0 * list_sum(list_transform(range(1, $Dim + 1), i -> $v[i] * $c[i]))) + $n2c"
 
@@ -428,7 +559,15 @@ object SimilarityOps {
     * (vec_id, v, cell) — the SQL replay of [[annIvfCentroids]] +
     * [[assignCells]], used by both [[annIvfSql]] and
     * [[dedupSemanticSql]]. */
-  private def ivfIndexCtesSql: String = {
+  private def ivfIndexCtesSql: String =
+    s"""$ivfCentroidCtesSql,
+       |${assignCteSql("af", s"c$IvfRounds")}""".stripMargin
+
+  /** The centroid-build prefix alone (ends at CTE `c<IvfRounds>`, the
+    * final fine-centroid table) — shared by the flat index replay
+    * above and the two-level [[annIvf2Sql]], which assigns through
+    * its own coarse level instead of `af`. */
+  private def ivfCentroidCtesSql: String = {
     def recomputeCte(mName: String, cName: String, assigned: String) =
       s"""$mName AS (
          |  SELECT cell, i.i AS i,
@@ -456,8 +595,7 @@ object SimilarityOps {
        |    SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS c, n2 AS cn2
        |    FROM (SELECT * FROM hashed ORDER BY hk, vec_id LIMIT $IvfMaxCells)) s, kk
        |  WHERE s.cell < kk.k),
-       |$rounds,
-       |${assignCteSql("af", s"c$IvfRounds")}""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** DuckDB mirror of [[annIvf]]: replays the identical seed order,
@@ -478,6 +616,70 @@ object SimilarityOps {
        |scored AS (
        |  SELECT p.qid, m.nid, ${cosine9Sql("q.qv", "m.nv")} AS cos_sim
        |  FROM probes p
+       |  JOIN members m USING (cell)
+       |  JOIN qs q ON q.qid = p.qid
+       |  WHERE p.qid <> m.nid),
+       |ranked AS (SELECT qid, nid, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[annIvf2]]: the shared centroid-build CTEs,
+    * then the coarse level (hash-sampled seeds over the fine
+    * centroids), fine→coarse map, beam-1 corpus assignment, beamed
+    * query routing and ranking — step-for-step the Spark plan, with
+    * every argmin expressed as a row_number window (≡ the Spark
+    * side's struct-min aggregation: nearest, ties to the lower id). */
+  def annIvf2Sql: String = {
+    def dist(n2v: String, v: String, c: String, n2c: String) =
+      distSql(n2v, v, c, n2c)
+    val cF = s"c$IvfRounds"
+    s"""WITH $ivfCentroidCtesSql,
+       |kcq AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS kc FROM $cF),
+       |chash AS (SELECT cell, c, cn2,
+       |    ${xhash60Sql("CAST(cell AS VARCHAR)", Ivf2HashSeed)} AS hk FROM $cF),
+       |coarse AS (
+       |  SELECT ccell, cc, ccn2 FROM (
+       |    SELECT row_number() OVER (ORDER BY hk, cell) - 1 AS ccell,
+       |      c AS cc, cn2 AS ccn2
+       |    FROM (SELECT * FROM chash ORDER BY hk, cell LIMIT $IvfMaxCells)) s, kcq
+       |  WHERE s.ccell < kcq.kc),
+       |f2c AS (
+       |  SELECT ccell, cell, c, cn2 FROM (
+       |    SELECT x.ccell, f.cell, f.c, f.cn2,
+       |      row_number() OVER (PARTITION BY f.cell
+       |        ORDER BY ${dist("f.cn2", "f.c", "x.cc", "x.ccn2")}, x.ccell) AS rn
+       |    FROM $cF f CROSS JOIN coarse x) WHERE rn = 1),
+       |vroute AS (
+       |  SELECT vec_id, v, n2, ccell FROM (
+       |    SELECT e.vec_id, e.v, e.n2, x.ccell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.n2", "e.v", "x.cc", "x.ccn2")}, x.ccell) AS rn
+       |    FROM e CROSS JOIN coarse x) WHERE rn = 1),
+       |members AS (
+       |  SELECT cell, nid, nv FROM (
+       |    SELECT f.cell, r.vec_id AS nid, r.v AS nv,
+       |      row_number() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${dist("r.n2", "r.v", "f.c", "f.cn2")}, f.cell) AS rn
+       |    FROM vroute r JOIN f2c f USING (ccell)) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < 10),
+       |qroute AS (
+       |  SELECT qid, ccell FROM (
+       |    SELECT q.qid, x.ccell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist("q.qn2", "q.qv", "x.cc", "x.ccn2")}, x.ccell) AS rn
+       |    FROM qs q CROSS JOIN coarse x) WHERE rn <= $Ivf2CoarseProbe),
+       |qprobe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, f.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist("q.qn2", "q.qv", "f.c", "f.cn2")}, f.cell) AS rn
+       |    FROM qs q JOIN qroute r USING (qid) JOIN f2c f USING (ccell)
+       |  ) WHERE rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.qid, m.nid, ${cosine9Sql("q.qv", "m.nv")} AS cos_sim
+       |  FROM qprobe p
        |  JOIN members m USING (cell)
        |  JOIN qs q ON q.qid = p.qid
        |  WHERE p.qid <> m.nid),

@@ -204,6 +204,19 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("two-level IVF recall@3 vs brute force is useful") {
+    // the coarse level is an extra approximation (a query's true cell
+    // may hide in an unprobed coarse group) — same usefulness floor as
+    // the flat index, measured the same way
+    val brute = SimilarityOps.bruteTopK(spark, sf)
+      .where(org.apache.spark.sql.functions.col("rank") <= 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = SimilarityOps.annIvf2(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf2).size.toDouble / brute.size
+    assert(recall >= 0.2, s"two-level recall $recall")
+  }
+
   test("PQ index round-trips through parquet and probes identically") {
     import org.apache.spark.sql.functions._
     // The build-once/probe-many production path: the two index tables
