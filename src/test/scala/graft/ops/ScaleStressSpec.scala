@@ -262,6 +262,60 @@ class ScaleStressSpec extends AnyFunSuite {
       s"within-cell pairs superlinear: x1 $pairs1 vs x8 $pairs8")
   }
 
+  test("dedup_minhash + dedup_clusters complete, spill, and stay correct in a squeezed heap") {
+    // The 100 TB claim nothing had observed: under real memory
+    // pressure Tungsten goes EXTERNAL (sort/agg/join spill to disk)
+    // instead of OOMing, and spilling is execution-only — answers are
+    // unchanged. Reference checksums come from this suite's roomy
+    // session; the stress run is a separate small-heap JVM (one
+    // SparkContext per JVM, the MrClusterSpec launch pattern) with
+    // spark.memory.fraction squeezed to 0.15 of 640 MB.
+    import graft.tools.SpillStress
+    val want = Seq(
+      "dedup_minhash" -> SpillStress.checksum(DedupOps.dedupMinhash(spark, dirX8)),
+      "dedup_clusters" -> SpillStress.checksum(DedupOps.dedupClusters(spark, dirX8)))
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val opens = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split(" ").toSeq
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx640m", "-cp", sys.props("java.class.path"),
+      "graft.tools.SpillStress", dirX8)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val log = new StringBuilder
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) { log.synchronized(log.append(l).append('\n')); l = r.readLine() }
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    drainer.join(5000)
+    val logStr = log.synchronized(log.toString)
+    assert(finished, s"spill run timed out:\n${logStr.takeRight(4000)}")
+    assert(p.exitValue() === 0,
+      s"pipelines must complete under pressure, not OOM:\n${logStr.takeRight(4000)}")
+    val results = raw"SPILL_RESULT name=(\S+) rows=(-?\d+) sum=(-?\d+)".r
+      .findAllMatchIn(logStr)
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3)))).toMap
+    want.foreach { case (name, (n, s)) =>
+      assert(results.get(name).contains((n, s)),
+        s"$name answers changed under memory pressure: " +
+          s"roomy=($n,$s) squeezed=${results.get(name)}")
+    }
+    val metrics = raw"SPILL_METRICS mem=(\d+) disk=(\d+)".r.findFirstMatchIn(logStr)
+    assert(metrics.isDefined, s"no metrics line:\n${logStr.takeRight(2000)}")
+    val (memB, diskB) = (metrics.get.group(1).toLong, metrics.get.group(2).toLong)
+    info(f"spilled: mem=${memB / 1e6}%.1f MB disk=${diskB / 1e6}%.1f MB")
+    assert(memB > 0 && diskB > 0,
+      s"no spill observed (mem=$memB disk=$diskB) — the squeeze wasn't real; " +
+        "tighten -Xmx/spark.memory.fraction so this test actually exercises spilling")
+  }
+
   test("two-level IVF assigns a >2M-vector corpus across >65,536 fine cells " +
     "with only √k-bounded broadcasts") {
     // The IvfMaxCells ceiling exists because the flat index BROADCASTS
