@@ -93,6 +93,17 @@ object SourceQueries {
     docStats(Formats.readOrc(spark, dir))
   }
 
+  /** Declared query `src_avro`: the fingerprint over an Avro
+    * container-file round trip through [[AvroFormat]] (avro-mapred
+    * splittable files — this distribution has no spark-avro module).
+    * The Hadoop committer requires a nonexistent target, so the
+    * staged copy lands in a `data/` child of the fresh temp dir. */
+  def avroDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "avro")((df, out) =>
+      AvroFormat.writeAvro(df, s"$out/data"))
+    docStats(AvroFormat.readAvro(spark, s"$dir/data", docSchema))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers
