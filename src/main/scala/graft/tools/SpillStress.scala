@@ -40,7 +40,10 @@ object SpillStress {
     val memSpilled = new AtomicLong(0)
     val diskSpilled = new AtomicLong(0)
     val spark = SparkSession.builder()
-      .master("local[2]")
+      // [2, 3]: allow task retries — under a starved pool two tasks
+      // can race for the same last pages, and local mode's default
+      // maxFailures=1 turns that transient loss into a job abort
+      .master("local[2, 3]")
       .appName("graft-spill-stress")
       // TWO fat partitions, not 8 thin ones: pressure is per-task
       // (working set vs task memory), and a thin partition that fits
@@ -49,18 +52,18 @@ object SpillStress {
       // corpus with 0 bytes spilled
       .config("spark.sql.shuffle.partitions", "2")
       // the squeeze: cap what the UnifiedMemoryManager THINKS the heap
-      // is (spark.testing.memory / spark.testing.reservedMemory feed
-      // UnifiedMemoryManager.getMaxMemory directly — Spark source) and
-      // take a sliver: usable = (96m − 50m reserved) × 0.15 ≈ 7 MB
-      // across 2 fat tasks ≈ 3.5 MB each — far under their working
-      // sets (the ×8 corpus explodes to tens of MB of shingles per
-      // partition). Execution memory is starved, so sorts/aggs/joins
-      // MUST go external to finish — while the real heap (the parent
-      // launches with -Xmx640m) stays big enough that task bookkeeping
-      // itself never OOMs the JVM.
-      .config("spark.testing.memory", (96L * 1024 * 1024).toString)
-      .config("spark.testing.reservedMemory", (50L * 1024 * 1024).toString)
-      .config("spark.memory.fraction", "0.15")
+      // is (spark.testing.memory feeds UnifiedMemoryManager.getMaxMemory
+      // directly — Spark source; 480m is just over the enforced 1.5×
+      // floor of the 300m reserve) and take a sliver: usable =
+      // (480m − 300m) × 0.1 ≈ 18 MB across 2 fat tasks ≈ 9 MB each —
+      // well under their working sets (the ×8 corpus explodes to tens
+      // of MB of shingles per partition) so sorts/aggs/joins MUST go
+      // external, yet comfortably above the page-granularity minimums
+      // whose starvation aborted a 7 MB-pool variant of this run with
+      // UNABLE_TO_ACQUIRE_MEMORY. The real heap (the parent launches
+      // with -Xmx640m) keeps task bookkeeping itself from OOMing.
+      .config("spark.testing.memory", (480L * 1024 * 1024).toString)
+      .config("spark.memory.fraction", "0.1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

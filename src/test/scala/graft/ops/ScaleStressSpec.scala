@@ -96,6 +96,20 @@ class ScaleStressSpec extends AnyFunSuite {
   private lazy val dirX1 = buildStress(1)
   private lazy val dirX8 = buildStress(8)
 
+  /** Documents-only ×mult dir for the spill run: the dedup pipelines
+    * touch no other table, and the corpus must be big enough that a
+    * fat partition's exploded-shingle working set dwarfs the squeezed
+    * pool by a comfortable factor — ×8 sat in a narrow 4–9 MB/task
+    * band where the pool was either too roomy to spill or too starved
+    * to grant page minimums. */
+  private lazy val dirDocsX32: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-docs-x32").toString
+    (0 until 32).map(saltedDocs).reduce(_ union _)
+      .union(chainDocs).union(hotDocs)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   private def secs(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -268,18 +282,19 @@ class ScaleStressSpec extends AnyFunSuite {
     // instead of OOMing, and spilling is execution-only — answers are
     // unchanged. Reference checksums come from this suite's roomy
     // session; the stress run is a separate small-heap JVM (one
-    // SparkContext per JVM, the MrClusterSpec launch pattern) with
-    // spark.memory.fraction squeezed to 0.15 of 640 MB.
+    // SparkContext per JVM, the MrClusterSpec launch pattern) with the
+    // unified pool capped at ~18 MB over 2 fat partitions of a ×32
+    // corpus.
     import graft.tools.SpillStress
     val want = Seq(
-      "dedup_minhash" -> SpillStress.checksum(DedupOps.dedupMinhash(spark, dirX8)),
-      "dedup_clusters" -> SpillStress.checksum(DedupOps.dedupClusters(spark, dirX8)))
+      "dedup_minhash" -> SpillStress.checksum(DedupOps.dedupMinhash(spark, dirDocsX32)),
+      "dedup_clusters" -> SpillStress.checksum(DedupOps.dedupClusters(spark, dirDocsX32)))
     val javaBin = sys.props("java.home") + "/bin/java"
     val opens = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().split(" ").toSeq
     val cmd = Seq(javaBin) ++ opens ++ Seq(
       "-Xmx640m", "-cp", sys.props("java.class.path"),
-      "graft.tools.SpillStress", dirX8)
+      "graft.tools.SpillStress", dirDocsX32)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
