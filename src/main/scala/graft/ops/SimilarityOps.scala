@@ -480,7 +480,14 @@ object SimilarityOps {
     * vector. */
   private[ops] def assignCellsCoarse(e: DataFrame, cents: DataFrame): DataFrame = {
     val coarse = coarseCentroids(cents)
-    val f2c = fineToCoarse(cents, coarse)
+    assignCellsCoarseOn(e, coarse, fineToCoarse(cents, coarse))
+  }
+
+  /** [[assignCellsCoarse]] against PREBUILT coarse/f2c tables, so a
+    * caller that also routes queries ([[annIvf2OnCorpus]]) shares one
+    * coarse-level sub-plan instead of re-deriving it per consumer. */
+  private def assignCellsCoarseOn(e: DataFrame, coarse: DataFrame,
+      f2c: DataFrame): DataFrame = {
     val routed = e.crossJoin(broadcast(coarse))
       .withColumn("cdist", sqdist2(col("n2"), col("v"), col("cc"), col("ccn2")))
       .groupBy(col("vec_id"))
@@ -512,9 +519,12 @@ object SimilarityOps {
     * ⇒ kc = 65,536 ⇒ a ≈34 MB coarse broadcast — the old ceiling,
     * now the square of the reachable scale). */
   private[ops] def annIvf2OnCorpus(e: DataFrame, cents: DataFrame): DataFrame = {
-    val coarse = coarseCentroids(cents)
-    val f2c = fineToCoarse(cents, coarse)
-    val members = assignCellsCoarse(e, cents)
+    // ONE coarse level + fine→coarse map (tiny: kc and k rows), lazily
+    // checkpointed so member assignment and query routing read blocks
+    // instead of each re-running the seed-select + argmin sub-plans
+    val coarse = coarseCentroids(cents).localCheckpoint(false)
+    val f2c = fineToCoarse(cents, coarse).localCheckpoint(false)
+    val members = assignCellsCoarseOn(e, coarse, f2c)
       .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
