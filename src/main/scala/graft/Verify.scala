@@ -71,6 +71,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drop the graft_bkt_* catalog tables join_bucketed staged (the
+    // Bench-end cleanup; the warehouse dir removal below would leave
+    // dangling catalog entries on any shared-session reuse)
+    graft.ops.ScaleOps.evictBucketedStage()
     spark.stop()
     graft.ops.OpsUtil.deleteRecursively(warehouseDir)
   }
