@@ -273,8 +273,8 @@ object Bench {
     // passes of litter — the "warm" pair table had been evicted and
     // the probe recomputed the whole minhash build (24.99 s).
     val cacheCoupled = Seq(
-      "dedup_semantic", "graph_pagerank", "graph_triangles",
-      "sim_ann_ivf", "sim_ann_ivf2")
+      "dedup_semantic", "dedup_semantic2", "graph_pagerank",
+      "graph_triangles", "sim_ann_ivf", "sim_ann_ivf2")
       .filter(n => ordered.exists(_._1 == n))
     freeBlocks(spark)
     Seq("dedup_semantic", "graph_pagerank").foreach { builder =>

@@ -641,12 +641,15 @@ object SimilarityOps {
     * query routing and ranking — step-for-step the Spark plan, with
     * every argmin expressed as a row_number window (≡ the Spark
     * side's struct-min aggregation: nearest, ties to the lower id). */
-  def annIvf2Sql: String = {
+  /** The coarse-level CTE chain shared by [[annIvf2Sql]] and
+    * [[dedupSemantic2Sql]]: coarse seeds over the fine centroids,
+    * fine→coarse map, beam-1 corpus routing, and `af2` — the
+    * two-level (vec_id, v, cell) assignment. */
+  private def ivf2CoarseCtesSql: String = {
     def dist(n2v: String, v: String, c: String, n2c: String) =
       distSql(n2v, v, c, n2c)
     val cF = s"c$IvfRounds"
-    s"""WITH $ivfCentroidCtesSql,
-       |kcq AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS kc FROM $cF),
+    s"""kcq AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS kc FROM $cF),
        |chash AS (SELECT cell, c, cn2,
        |    ${xhash60Sql("CAST(cell AS VARCHAR)", Ivf2HashSeed)} AS hk FROM $cF),
        |coarse AS (
@@ -667,12 +670,20 @@ object SimilarityOps {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${dist("e.n2", "e.v", "x.cc", "x.ccn2")}, x.ccell) AS rn
        |    FROM e CROSS JOIN coarse x) WHERE rn = 1),
-       |members AS (
-       |  SELECT cell, nid, nv FROM (
-       |    SELECT f.cell, r.vec_id AS nid, r.v AS nv,
+       |af2 AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT r.vec_id, r.v, f.cell,
        |      row_number() OVER (PARTITION BY r.vec_id
        |        ORDER BY ${dist("r.n2", "r.v", "f.c", "f.cn2")}, f.cell) AS rn
-       |    FROM vroute r JOIN f2c f USING (ccell)) WHERE rn = 1),
+       |    FROM vroute r JOIN f2c f USING (ccell)) WHERE rn = 1)""".stripMargin
+  }
+
+  def annIvf2Sql: String = {
+    def dist(n2v: String, v: String, c: String, n2c: String) =
+      distSql(n2v, v, c, n2c)
+    s"""WITH $ivfCentroidCtesSql,
+       |$ivf2CoarseCtesSql,
+       |members AS (SELECT cell, vec_id AS nid, v AS nv FROM af2),
        |qs AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < 10),
        |qroute AS (
        |  SELECT qid, ccell FROM (
@@ -723,9 +734,26 @@ object SimilarityOps {
     * SemDeDup recipe for making within-cluster pairwise feasible at
     * web scale. The join is a cell-key equi-join (no global cross
     * join); the cosine is one codegen'd dot per pair. */
-  def dedupSemantic(spark: SparkSession, d: String): DataFrame = {
-    val m = assignCells(corpus(spark, d), cachedCentroids(spark, d))
-      .select(col("cell"), col("vec_id"), col("v"))
+  def dedupSemantic(spark: SparkSession, d: String): DataFrame =
+    semanticOn(assignCells(corpus(spark, d), cachedCentroids(spark, d))
+      .select(col("cell"), col("vec_id"), col("v")))
+
+  /** `dedup_semantic2`: SemDeDup through the TWO-LEVEL assignment —
+    * the >65,536-cell continuation of [[dedupSemantic]], whose flat
+    * [[assignCells]] broadcast hits the same [[IvfMaxCells]] ceiling
+    * the flat probe does. Same fine-centroid cache, same within-cell
+    * pairwise stage; only the routing differs (√k-bounded broadcasts,
+    * [[assignCellsCoarse]]), so cells — and therefore verdicts — can
+    * differ from the flat variant on boundary vectors. Deterministic,
+    * replayed exactly by [[dedupSemantic2Sql]]. */
+  def dedupSemantic2(spark: SparkSession, d: String): DataFrame =
+    semanticOn(assignCellsCoarse(corpus(spark, d), cachedCentroids(spark, d))
+      .select(col("cell"), col("vec_id"), col("v")))
+
+  /** The SemDeDup body over an arbitrary (cell, vec_id, v) assignment:
+    * within-cell lower-id pairs, best match per vector (max cos, ties
+    * to the lowest aid), threshold flag. */
+  private def semanticOn(m: DataFrame): DataFrame = {
     val lower = m.select(col("cell"), col("vec_id").as("aid"), col("v").as("av"))
     val best = m.join(lower, Seq("cell"))
       .where(col("aid") < col("vec_id"))
@@ -819,13 +847,12 @@ object SimilarityOps {
        |    ORDER BY votes DESC, sim_sum DESC, n_label) AS rn FROM votes)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  /** DuckDB mirror of [[dedupSemantic]] over the shared replayed
-    * index: same cells, same pair orientation, same tie-breaks. */
-  def dedupSemanticSql: String =
-    s"""WITH $ivfIndexCtesSql,
-       |pairs AS (
+  /** The SemDeDup SQL tail over a named (vec_id, v, cell) assignment
+    * CTE — mirrors [[semanticOn]] step for step. */
+  private def semanticTailSql(af: String): String =
+    s"""pairs AS (
        |  SELECT b.vec_id, a.vec_id AS aid, ${cosine9Sql("a.v", "b.v")} AS cos
-       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |  FROM $af a JOIN $af b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |best AS (
        |  SELECT vec_id, aid AS nn_id, cos AS nn_cos FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -833,7 +860,22 @@ object SimilarityOps {
        |    FROM pairs) WHERE rn = 1)
        |SELECT m.vec_id, m.cell, b.nn_id, b.nn_cos,
        |  COALESCE(b.nn_cos >= $SemThresh, FALSE) AS is_dup
-       |FROM af m LEFT JOIN best b USING (vec_id)
+       |FROM $af m LEFT JOIN best b USING (vec_id)""".stripMargin
+
+  /** DuckDB mirror of [[dedupSemantic]] over the shared replayed
+    * index: same cells, same pair orientation, same tie-breaks. */
+  def dedupSemanticSql: String =
+    s"""WITH $ivfIndexCtesSql,
+       |${semanticTailSql("af")}
+       |ORDER BY m.vec_id""".stripMargin
+
+  /** DuckDB mirror of [[dedupSemantic2]]: the centroid build, the
+    * shared coarse-level chain (→ `af2`), then the identical SemDeDup
+    * tail. */
+  def dedupSemantic2Sql: String =
+    s"""WITH $ivfCentroidCtesSql,
+       |$ivf2CoarseCtesSql,
+       |${semanticTailSql("af2")}
        |ORDER BY m.vec_id""".stripMargin
 
   // ---------------------------------------------------------------

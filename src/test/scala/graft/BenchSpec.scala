@@ -140,6 +140,7 @@ class BenchSpec extends AnyFunSuite {
     val couples = Seq( // builder -> sharer (same underlying cache)
       "dedup_semantic" -> "sim_ann_ivf", // IVF centroid cache
       "dedup_semantic" -> "sim_ann_ivf2", // same cache, two-level probe
+      "dedup_semantic" -> "dedup_semantic2", // same cache, two-level assignment
       "graph_pagerank" -> "graph_triangles") // minhash pair cache
     couples.foreach { case (builder, sharer) =>
       assert(names.contains(builder) && names.contains(sharer),

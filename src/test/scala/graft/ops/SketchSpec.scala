@@ -217,6 +217,21 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"two-level recall $recall")
   }
 
+  test("two-level SemDeDup agrees with the flat variant on most vectors") {
+    // routing differences only move BOUNDARY vectors between cells, so
+    // the two variants must agree on the vast majority of is_dup
+    // verdicts (and cover the identical vector set)
+    val flat = SimilarityOps.dedupSemantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val two = SimilarityOps.dedupSemantic2(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(flat.keySet === two.keySet, "both variants must cover every vector")
+    val agree = flat.count { case (id, d) => two(id) == d }
+    info(s"is_dup agreement: $agree/${flat.size}")
+    assert(agree.toDouble / flat.size >= 0.9,
+      s"two-level SemDeDup diverges from flat on ${flat.size - agree}/${flat.size}")
+  }
+
   test("PQ index round-trips through parquet and probes identically") {
     import org.apache.spark.sql.functions._
     // The build-once/probe-many production path: the two index tables
