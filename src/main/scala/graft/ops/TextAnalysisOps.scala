@@ -274,6 +274,66 @@ object TextAnalysisOps {
        |  CAST(SUM(len(${tokensSql("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
        |FROM documents""".stripMargin
 
+  // -------------------------------------------------------------
+  // text_pii_scrub: PII detection + redaction (the CCNet/Dolma-style
+  // scrub stage every released-corpus pipeline runs before training)
+  // -------------------------------------------------------------
+
+  // Pattern strings restricted to syntax Java regex and RE2 interpret
+  // IDENTICALLY (character classes, bounded quantifiers, \b, \d as
+  // ASCII, non-capturing groups — no backrefs, no lookaround), so the
+  // DuckDB oracle runs the very same strings.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val DigitRunRe = "\\d{7,}" // account/phone/id-like sequences
+
+  /** PII scrub over an arbitrary documents-shaped frame — the
+    * testable core ([[piiScrub]] feeds it the corpus). Counts and
+    * redacts in a FIXED cascade (emails → IPv4 → long digit runs),
+    * each stage counted against the previous stage's output so a
+    * digit run inside an IP (or an IP inside an email domain) is
+    * attributed to exactly one category; replacement tags contain no
+    * digits, so later passes cannot re-match earlier redactions.
+    * Pure per-row map-side work — no shuffle beyond the output
+    * ordering, scans only (doc_id, text). */
+  private[ops] def piiScrubOn(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val clean = regexp_replace(afterIp, DigitRunRe, "<NUM>")
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(afterIp, lit(DigitRunRe), lit(0))).as("n_digit_runs"),
+        length(clean).as("clean_len"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_digit_runs") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Declared query `text_pii_scrub`: per-document PII counts by
+    * category plus the redacted length. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame =
+    piiScrubOn(Tables.documents(spark, d))
+
+  def piiScrubSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT *, regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip
+       |  FROM s)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(after_email, '$Ipv4Re')) AS n_ips,
+       |  len(regexp_extract_all(after_ip, '$DigitRunRe')) AS n_digit_runs,
+       |  length(regexp_replace(after_ip, '$DigitRunRe', '<NUM>', 'g')) AS clean_len,
+       |  len(regexp_extract_all(text, '$EmailRe'))
+       |    + len(regexp_extract_all(after_email, '$Ipv4Re'))
+       |    + len(regexp_extract_all(after_ip, '$DigitRunRe')) > 0 AS has_pii
+       |FROM s2 ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: unique-token ratio, stopword ratio, length
     * normalization → weighted score. Pure arithmetic on counts, so the
     * score is bit-deterministic across engines. */

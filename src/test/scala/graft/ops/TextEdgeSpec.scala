@@ -124,4 +124,35 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_docs") === 3)
     assert(stats.getAs[Long]("total_tokens") === 7)
   }
+
+  test("PII scrub counts and redacts emails, IPs, and digit runs — cascade-attributed") {
+    // the driver corpus carries no PII at all (the hash gate proves
+    // only the all-zeros path), so the positive semantics live here
+    import spark.implicits._
+    val docs = Seq(
+      // two emails, tag must not re-match later stages
+      (1L, "contact a.user+x@example.com or B@sub.domain.org today"),
+      // IP inside text + a digit run NOT part of the IP
+      (2L, "server 10.0.255.7 leaked id 123456789 twice: 987654321"),
+      // digits inside an email's domain belong to the EMAIL stage;
+      // remaining short digits (1234) are no run
+      (3L, "mail me9876543@host12345678.com port 1234"),
+      (4L, "clean document, nothing to redact"),
+      (5L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysisOps.piiScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = rows(id)
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(5))
+    }
+    assert(counts(1L) === ((2, 0, 0, true)))
+    assert(counts(2L) === ((0, 1, 2, true)))
+    assert(counts(3L) === ((1, 0, 0, true)),
+      "digit runs inside a redacted email must not count again")
+    assert(counts(4L) === ((0, 0, 0, false)))
+    assert(counts(5L) === ((0, 0, 0, false)))
+    // clean_len reflects redaction: doc 2's scrubbed form is exactly
+    // "server <IP> leaked id <NUM> twice: <NUM>"
+    assert(rows(2L).getInt(4) === "server <IP> leaked id <NUM> twice: <NUM>".length)
+  }
 }
