@@ -41,3 +41,19 @@ class MrQueriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no tab/CR"))
   }
 }
+
+/** spaceTrim must be EXACTLY DuckDB trim() for every string. */
+object SpaceTrimProps extends org.scalacheck.Properties("spaceTrim") {
+  import org.scalacheck.{Gen, Prop}
+
+  private val gen: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.const(' '), 3 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(' ', '\f', ' ', '　'))).map(_.mkString)
+
+  property("equals reference space-only trim; idempotent; keeps other whitespace") =
+    Prop.forAll(gen) { s =>
+      val ref = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val got = MrQueries.spaceTrim(s)
+      got == ref && MrQueries.spaceTrim(got) == got
+    }
+}
