@@ -197,6 +197,48 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
+    * and weekly-averaged revenue of lineitems whose quantity is under
+    * 20% of their PART's average quantity. The reference formulation
+    * is a correlated scalar subquery (`l_quantity < (SELECT 0.2 *
+    * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey =
+    * p_partkey)`); this writes the plan Catalyst's decorrelation
+    * produces directly — a per-partkey threshold aggregate joined
+    * back on the grouping key — which is also the only shape that
+    * scales: one co-keyed shuffle join (threshold table is
+    * |parts| rows, partial agg map-side) instead of a per-row
+    * subquery, then a broadcast of the part dimension. Threshold
+    * arithmetic is [[graft.ops.OpsUtil.davg]]-exact (decimal sum ÷
+    * count, then one double multiply), so both engines compare
+    * l_quantity against bit-identical thresholds. */
+  def smallQuantityRevenue(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.OpsUtil.davg
+    val li = Tables.lineitem(spark, d)
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * davg(col("l_quantity"))).as("thr"))
+    li.join(thr, col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("thr"))
+      .join(broadcast(Tables.part(spark, d)), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  def smallQuantityRevenueSql: String =
+    """WITH thr AS (
+      |  SELECT l_partkey AS t_partkey,
+      |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |           / COUNT(l_quantity)) AS thr
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN thr ON t_partkey = l_partkey
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < thr
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Equi-width histogram of `l_quantity` (fixed domain [1, 50],
     * width 5 → 10 buckets) with per-bucket revenue — the
     * data-profiling complement to [[percentiles]]. The fixed domain
