@@ -197,6 +197,42 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** TPC-H Q4 shape through the SQL-TEXT route — orders per priority
+    * having at least one lineitem shipped more than 60 days after the
+    * order date, written as a correlated `EXISTS` and handed to
+    * `spark.sql` verbatim. Every other declared query is DataFrame-
+    * built; this one deliberately exercises the other half of the
+    * user surface end-to-end under the hash gate: the SQL parser and
+    * Catalyst's RewritePredicateSubquery, which decorrelates the
+    * EXISTS into a left-semi join on (orderkey, shipdate > orderdate
+    * + 60d) — the same plan the DataFrame `left_semi` would declare,
+    * proving the two APIs converge. Views are name-prefixed and
+    * per-call replaced: registration is idempotent, so the bench/
+    * verify concurrency (same session, same dir) is safe. */
+  def lateShipExists(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("graft_sql_orders")
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM graft_sql_orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM graft_sql_lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  def lateShipExistsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
     * and weekly-averaged revenue of lineitems whose quantity is under
     * 20% of their PART's average quantity. The reference formulation
