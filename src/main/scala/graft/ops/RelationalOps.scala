@@ -233,6 +233,46 @@ object RelationalOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q11 shape through the SQL-text surface — brands whose
+    * revenue share clears a threshold of the corpus total, written
+    * with an uncorrelated SCALAR subquery in the HAVING clause (the
+    * other subquery rewrite, complementing [[lateShipExists]]'s
+    * correlated EXISTS): Catalyst plans the total as a 1-row subquery
+    * broadcast into the having-filter — at any scale the "compare
+    * every group to the global total" pattern is one extra 1-row
+    * exchange, never a second corpus pass per group. Revenue sums are
+    * decimal-exact on both engines, and the share division uses the
+    * same two exact operands, so the filter and output bits match. */
+  def brandRevenueShare(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    Tables.part(spark, d).createOrReplaceTempView("graft_sql_part")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) /
+        |    (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |     FROM graft_sql_lineitem) AS share
+        |FROM graft_sql_lineitem JOIN graft_sql_part ON p_partkey = l_partkey
+        |GROUP BY p_brand
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) /
+        |    (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |     FROM graft_sql_lineitem) > 0.03
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  def brandRevenueShareSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) /
+      |    (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |     FROM lineitem) AS share
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY p_brand
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) /
+      |    (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |     FROM lineitem) > 0.03
+      |ORDER BY p_brand""".stripMargin
+
   /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
     * and weekly-averaged revenue of lineitems whose quantity is under
     * 20% of their PART's average quantity. The reference formulation
