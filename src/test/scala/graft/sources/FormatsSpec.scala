@@ -61,6 +61,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(byId(2L).isNullAt(1) && !byId(3L).isNullAt(1))
   }
 
+  test("Avro round-trip preserves 500 seeded-random rows across all primitive types") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // deterministic generator (fixed seed): wide value coverage —
+    // extreme longs/doubles (incl. -0.0 and subnormals), control and
+    // multi-byte chars, empty/null everything — without flaky inputs
+    val rnd = new scala.util.Random(0xA5E0)
+    def maybeNull[A](v: => A): Any = if (rnd.nextInt(5) == 0) null else v
+    val rows = (1 to 500).map { i =>
+      Row(
+        i.toLong,
+        maybeNull(rnd.nextLong()),
+        maybeNull(rnd.nextInt()),
+        maybeNull(rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * math.pow(10, rnd.nextInt(300) - 150)
+          case 1 => -0.0
+          case 2 => java.lang.Double.MIN_VALUE
+          case _ => rnd.nextDouble()
+        }),
+        maybeNull(rnd.nextFloat()),
+        maybeNull(new String(Array.fill(rnd.nextInt(40))(
+          (rnd.nextInt(0xD7FF) + 1).toChar))),
+        maybeNull(rnd.nextBoolean()),
+        maybeNull(Array.fill(rnd.nextInt(20))(rnd.nextInt().toByte)))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("bin", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val dir = Files.createTempDirectory("graft-avro-rand").toString
+    AvroFormat.writeAvro(df, s"$dir/data")
+    val back = AvroFormat.readAvro(spark, s"$dir/data", schema)
+    assert(back.count() === 500)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("zstd parquet round-trip preserves lineitem") {
     val dir = Files.createTempDirectory("graft-zstd").toString
     val li = graft.Tables.lineitem(spark, sf)
