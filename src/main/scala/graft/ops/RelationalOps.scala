@@ -273,6 +273,36 @@ object RelationalOps {
       |     FROM lineitem) > 0.03
       |ORDER BY p_brand""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id — the third SQL-text
+    * query: unlike cube/rollup (which the DataFrame API exposes and
+    * `cube_revenue`/`rollup_revenue` already gate), an ARBITRARY set
+    * list plus the grouping-id bitvector is SQL-only surface. The
+    * set list here is rollup-shaped but written explicitly; gid uses
+    * each engine's spelling (Spark `grouping_id()`, DuckDB
+    * `GROUPING(a, b)`) — both put the leftmost grouping column in
+    * the most significant bit, and the hash gate proves it. Ordering
+    * pins NULLS FIRST explicitly in the oracle because DuckDB
+    * defaults NULLS LAST where Spark defaults NULLS FIRST. */
+  def groupingSetsRevenue(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM graft_sql_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  def groupingSetsRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
     * and weekly-averaged revenue of lineitems whose quantity is under
     * 20% of their PART's average quantity. The reference formulation
