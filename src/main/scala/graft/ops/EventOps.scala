@@ -508,4 +508,50 @@ object EventOps {
       |    THEN round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 9) END) > 2,
       |    FALSE) AS is_anomaly
       |FROM scored ORDER BY day""".stripMargin
+
+  /** KMV distinct-user sketch per event type ([[graft.functions.KmvAgg]]).
+    * Where `agg_hll_merge` proves the mergeable-partials pattern with
+    * Spark's built-in HLL (engine-specific registers → only the error
+    * CONTRACT is declared), KMV's state is an order statistic of a
+    * deterministic hash — partition-independent — so the raw sketch
+    * (kth-smallest hash, estimate) goes under the hash gate itself and
+    * DuckDB replays it exactly with a rank-K window over the shared
+    * xhash60. Shuffle carries ≤ 32 longs per group vs countDistinct's
+    * every-distinct-value; the exact companion rides along to show the
+    * estimate's accuracy in the result. */
+  def kmvUsers(spark: SparkSession, d: String): DataFrame = {
+    import graft.ops.OpsUtil.xhash60
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        xhash60(col("user_id").cast("string"), 0).as("h"),
+        col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvAgg.kmv_distinct(col("h")).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        col("sk.n_held").as("n_held"),
+        col("sk.kth_hash").as("kth_hash"),
+        col("sk.est_distinct").as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  def kmvUsersSql: String = {
+    val K = graft.functions.KmvAgg.K
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ${OpsUtil.xhash60Sql("user_id", 0)} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h)
+       |SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
+       |  CAST(least(nd, $K) AS BIGINT) AS n_held,
+       |  MAX(CASE WHEN rn = $K THEN h END) AS kth_hash,
+       |  CAST(CASE WHEN nd < $K THEN nd
+       |    ELSE (CAST(${K - 1} AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+       |         // MAX(CASE WHEN rn = $K THEN h END) END AS BIGINT) AS est_distinct
+       |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin
+  }
 }

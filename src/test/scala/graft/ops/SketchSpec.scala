@@ -90,6 +90,33 @@ class SketchSpec extends AnyFunSuite {
     assert(est(g1, "never-seen") >= 0L)
   }
 
+  test("KMV sketch is partition-independent; below-K path is exact; estimate in error bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvAgg
+    // 500 distinct values with duplicates (sketch path), plus a group
+    // of 7 distinct (below-K exact path)
+    val rows = (0 until 500).flatMap(i => Seq(("big", s"v$i"), ("big", s"v$i"))) ++
+      (0 until 7).map(i => ("small", s"u$i"))
+    val base = rows.toDF("g", "v")
+      .select(col("g"), OpsUtil.xhash60(col("v"), 0).as("h"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(KmvAgg.kmv_distinct(col("h")).as("sk"))
+        .select(col("g"), col("sk.n_held"), col("sk.kth_hash"), col("sk.est_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.getLong(3))).toMap
+    // order statistics of a deterministic hash set: any merge tree
+    // must yield the identical K smallest values
+    val s1 = sketch(base.repartition(1))
+    val s13 = sketch(base.repartition(13))
+    assert(s1 === s13, "KMV state must not depend on the merge tree")
+    val (heldS, kthS, estS) = s1("small")
+    assert(heldS == 7L && kthS == null && estS == 7L, "below-K must be exact with null kth")
+    val (heldB, kthB, estB) = s1("big")
+    assert(heldB == KmvAgg.K.toLong && kthB != null)
+    // ~1/sqrt(K) ≈ 18% standard error; 3σ bound on 500 true distinct
+    assert(math.abs(estB - 500L) <= 500 * 0.54, s"estimate $estB too far from 500")
+  }
+
   test("topkSketch survives a flat distribution where top-5 tokens are evicted (ANSI)") {
     import spark.implicits._
     // 100 distinct tokens, one occurrence each: the K=32 MG sketch
