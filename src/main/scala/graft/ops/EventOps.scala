@@ -554,4 +554,47 @@ object EventOps {
        |         // MAX(CASE WHEN rn = $K THEN h END) END AS BIGINT) AS est_distinct
        |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next_type | prev_type) estimated from adjacent-pair
+    * counts — the behavioral-model companion to [[sessions]] (same
+    * per-user lag ordering: ts millis, event_id tiebreak). Sequence
+    * work happens inside ONE window shuffle on user_id; the pair
+    * counts then re-aggregate onto a ≤|types|² key space with
+    * map-side combine, so the transition table is dimension-sized no
+    * matter the event cardinality. Probabilities divide two exact
+    * window-summed longs (one IEEE division, rounded to 9), so both
+    * engines emit identical doubles. */
+  def markovTransitions(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val pairs = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 9).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  def markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+      |FROM pairs ORDER BY prev_type, next_type""".stripMargin
 }

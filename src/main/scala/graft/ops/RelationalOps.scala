@@ -303,6 +303,115 @@ object RelationalOps {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": for each
+    * supplier, count the finished orders where THIS supplier shipped
+    * late (>60 days after the order date, the [[lateShipExists]]
+    * lateness predicate — this schema has no commit/receipt dates)
+    * while at least one OTHER supplier was on the order (EXISTS) and
+    * no OTHER supplier was late (NOT EXISTS). The double-correlated
+    * EXISTS + NOT EXISTS over the same fact table is the hardest
+    * subquery-rewrite shape in the TPC-H suite: Catalyst decorrelates
+    * both into left-semi / left-anti self-joins of lineitem keyed on
+    * l_orderkey — at 100 TB that is two co-partitioned shuffles on
+    * the join key (AQE merges the exchange), never a per-row probe.
+    * The `<>` supplier inequality rides the semi/anti join as a
+    * non-equi conjunct on already-key-matched rows, so no cross
+    * product materializes. */
+  def waitingSuppliers(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("graft_sql_orders")
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    Tables.supplier(spark, d).createOrReplaceTempView("graft_sql_supplier")
+    spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM graft_sql_supplier s
+        |JOIN graft_sql_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_sql_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |  AND EXISTS (
+        |    SELECT 1 FROM graft_sql_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_sql_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  def waitingSuppliersSql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape — "dormant high-balance customers": per nation,
+    * count and total balance of customers above the global positive-
+    * balance average with no order in the trailing 180 days of the
+    * dataset (every sf customer HAS orders, so the classic no-orders
+    * anti-join is vacuous here; dormancy keeps the anti-join
+    * non-trivial and is what a real churn query asks anyway).
+    * Composes the two subquery rewrites the earlier SQL-text queries
+    * exercise separately, plus one more: an uncorrelated scalar
+    * (global average — one broadcast row), a correlated NOT EXISTS
+    * (→ left-anti join on o_custkey), and a scalar NESTED INSIDE the
+    * anti-join's predicate (the dataset's max order date — evaluated
+    * once, not per probe). At scale: customer anti-joins recent
+    * orders — the 180-day slice prunes the orders scan before the
+    * shuffle. Balance sums go through DECIMAL(18,6) for exact,
+    * order-independent totals. */
+  def dormantCustomers(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("graft_sql_orders")
+    Tables.customer(spark, d).createOrReplaceTempView("graft_sql_customer")
+    Tables.nation(spark, d).createOrReplaceTempView("graft_sql_nation")
+    spark.sql(
+      """SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM graft_sql_customer c
+        |JOIN graft_sql_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (SELECT AVG(c_acctbal)
+        |                     FROM graft_sql_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_sql_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 180 DAYS
+        |                           FROM graft_sql_orders))
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  def dormantCustomersSql: String =
+    """SELECT n_name, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > (SELECT AVG(c_acctbal)
+      |                     FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 180 DAY
+      |                           FROM orders))
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
     * and weekly-averaged revenue of lineitems whose quantity is under
     * 20% of their PART's average quantity. The reference formulation
@@ -872,6 +981,187 @@ object RelationalOps {
       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Inter-order gaps via `lag` — the offset-function slot of the
+    * window family ([[windowOrderRank]] ranks, [[windowNtile]]
+    * distributes; this one reaches BACK a row). Per customer, each
+    * order's days-since-previous-order (lag over (custkey, date,
+    * orderkey) — the key tiebreak makes equal-date neighbors
+    * deterministic), then rolled up per market segment: purchase
+    * cadence per segment. Scale: one shuffle on o_custkey for the
+    * window, map-side-combined re-aggregation onto the tiny segment
+    * key, customer dimension attaches broadcast. Average goes through
+    * decimal sum ÷ count so both engines divide identical exact
+    * inputs. */
+  def windowLagGap(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate").cast("date"), 1).over(w)).as("gap_days"))
+      .where(col("gap_days").isNotNull)
+    gaps.join(broadcast(Tables.customer(spark, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days").cast("long")).as("sum_gap_days"),
+        round(sum(col("gap_days").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 9).as("avg_gap_days"),
+        max(col("gap_days")).cast("long").as("max_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  def windowLagGapSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    datediff('day',
+      |      lag(CAST(o_orderdate AS DATE)) OVER
+      |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders)
+      |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+      |  round(CAST(SUM(CAST(gap_days AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*), 9) AS avg_gap_days,
+      |  CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+      |FROM g JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q9 shape — "product-type profit": revenue of parts matching
+    * a name pattern, attributed to the SUPPLIER's nation per order
+    * year. The four-way star join in the right order for 100 TB: the
+    * two filtered/dimension sides (part name-LIKE-pruned, supplier ⋈
+    * broadcast nation) broadcast onto lineitem — the fact table never
+    * shuffles for them — and the one genuinely big⋈big edge
+    * (lineitem ⋈ orders for the year) is the single key shuffle.
+    * The LIKE filter lands on the part SCAN (pushdown), so the
+    * broadcast side is the filtered remnant, not the full dim. */
+  def q9Profit(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val p = Tables.part(spark, d).where(col("p_name").like("%red%"))
+    val s = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d)),
+        col("s_nationkey") === col("n_nationkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))
+      .orderBy(col("nation"), col("yr").desc)
+  }
+
+  def q9ProfitSql: String =
+    """SELECT n_name AS nation, year(o_orderdate) AS yr, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, yr DESC""".stripMargin
+
+  /** TPC-H Q10 shape — "returned-item customers": revenue of
+    * return-flagged lineitems per customer, top 20. Scale posture:
+    * the `l_returnflag = 'R'` filter reaches the parquet scan
+    * (~25% selectivity BEFORE any join), lineitem ⋈ orders shuffles
+    * on the order key, the result re-keys once onto custkey for the
+    * customer join (customer is corpus-proportional — NO broadcast
+    * hint; AQE may still elect one at small SF, which is exactly the
+    * decision being delegated), nation attaches broadcast, and the
+    * final top-20 is TakeOrderedAndProject — per-partition heaps +
+    * one 20-row driver merge, never a global sort. */
+  def q10Returned(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).where(col("l_returnflag") === "R")
+    li.join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def q10ReturnedSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 shape — "customer order-count distribution": how many
+    * customers placed exactly N orders, INCLUDING the zero-order tail
+    * (LEFT OUTER join — an inner join silently drops the most
+    * interesting bucket). Two-level aggregation: the first groupBy
+    * rides the same custkey hash as the outer join (no extra
+    * exchange); the second collapses onto the tiny c_count key space
+    * with map-side combine, so the distribution costs one real
+    * shuffle of orders however large the corpus. */
+  def q13CountDist(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(spark, d)
+      .join(Tables.orders(spark, d),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  def q13CountDistSql: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 shape — "disjunctive-predicate revenue": three OR'd
+    * (brand × quantity-range × size-range) clauses per brand. The
+    * scale point is what a smart user must do by hand: the raw
+    * disjunction straddles both tables, so Catalyst can't push any of
+    * it to either scan — but its brand/size projection onto the part
+    * side (`p_brand IN (...) AND p_size BETWEEN lo∪hi`) is implied,
+    * and writing it explicitly prunes part BEFORE the broadcast while
+    * the full disjunction stays as the post-join residual. Per-brand
+    * output keeps the result a distribution, not one opaque row. */
+  def q19Disjunct(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d)
+      .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size").between(1, 15))
+    val li = Tables.lineitem(spark, d)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  def q19DisjunctSql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** TPC-H Q18 shape (large-volume customers): aggregate the fact
     * table, filter on the aggregate (HAVING), then join the surviving
