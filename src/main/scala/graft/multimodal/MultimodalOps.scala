@@ -333,6 +333,70 @@ object MultimodalOps {
       |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
+  /** Real GIF payloads for the corpus's image assets: dims keyed on
+    * doc_id, palette INDICES (one byte per pixel — GIF is an indexed
+    * format) cycled from the document text like [[bmpAssets]]. */
+  def gifAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (8 + (id * 5) % 200).toInt
+          val h = (1 + id % 16).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val idx = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+          (id, GifCodec.encode(w, h, idx))
+        }
+      }.toDF("asset_id", "gif")
+  }
+
+  /** Declared query: decode REAL GIF bytes — container walk plus a
+    * from-scratch variable-width LZW inflate — back to dims, palette
+    * geometry, and an exact index sum. GIF's LZW is lossless, so
+    * pixel_sum equals the sum of the generated source indices; the
+    * oracle recomputes it from the text bytes (same closed-form cycle
+    * sum as mmBmpSql), making a faithful LZW roundtrip the thing under
+    * the hash. Compressed length is dictionary-path-dependent and NOT
+    * declared (MultimodalSpec bounds it instead). */
+  def mmGif(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = gifAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = GifCodec // per-partition codec handle
+        rows.map { case (id, gif) =>
+          val m = codec.decode(gif)
+          (id, m.width.toLong, m.height.toLong, m.paletteSize.toLong,
+            m.minCodeSize.toLong, m.nPixels, codec.pixelSum(gif))
+        }
+      }
+    decoded.toDF("asset_id", "width", "height", "palette_size",
+      "min_code_size", "n_px", "pixel_sum")
+      .orderBy("asset_id")
+  }
+
+  // Nothing here knows GIF: agreement means the LZW decoder
+  // reproduced every palette index from the compressed stream.
+  def mmGifSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + (doc_id * 5) % 200 AS w, 1 + doc_id % 16 AS h,
+      |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |geo AS (SELECT doc_id, w, h, bl, hx, w * h AS total FROM dims),
+      |px AS (
+      |  SELECT doc_id, CASE WHEN bl = 0 THEN 0 ELSE
+      |      (total // bl) * COALESCE(list_sum(list_transform(range(bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |      + COALESCE(list_sum(list_transform(range(total % bl),
+      |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+      |    END AS psum
+      |  FROM geo)
+      |SELECT g.doc_id AS asset_id, g.w AS width, g.h AS height,
+      |  256 AS palette_size, 8 AS min_code_size, g.w * g.h AS n_px,
+      |  CAST(px.psum AS BIGINT) AS pixel_sum
+      |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
+
   // JPEG roundtrip tolerances (quality 0.9, grayscale sources),
   // derived from SPEC-level reasoning rather than one JVM's observed
   // worst case, so a different vendor codec can't shift a correct

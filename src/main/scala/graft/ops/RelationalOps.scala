@@ -412,6 +412,42 @@ object RelationalOps {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q16 shape — "supplier diversity per part class": distinct
+    * suppliers per (brand, size) excluding a brand and a supplier
+    * BLACKLIST expressed as `NOT IN (subquery)` — the last missing
+    * subquery rewrite after EXISTS ([[lateShipExists]]), NOT EXISTS
+    * ([[waitingSuppliers]]/[[dormantCustomers]]) and scalars: NOT IN
+    * has three-valued NULL semantics (one NULL in the subquery makes
+    * every row's predicate UNKNOWN), so Catalyst must plan a
+    * NULL-AWARE anti join, not the plain left-anti the others get —
+    * a distinct plan shape under the gate. At scale the blacklist is
+    * a filtered dimension (6 rows here): the null-aware anti join
+    * broadcasts it; the count-distinct rides the one fact shuffle. */
+  def q16PartSuppliers(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    Tables.part(spark, d).createOrReplaceTempView("graft_sql_part")
+    Tables.supplier(spark, d).createOrReplaceTempView("graft_sql_supplier")
+    spark.sql(
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_sql_lineitem JOIN graft_sql_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM graft_sql_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size
+        |LIMIT 20""".stripMargin)
+  }
+
+  def q16PartSuppliersSql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q17 shape — "small-quantity revenue": per brand, the count
     * and weekly-averaged revenue of lineitems whose quantity is under
     * 20% of their PART's average quantity. The reference formulation

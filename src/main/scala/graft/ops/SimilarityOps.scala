@@ -1085,4 +1085,53 @@ object SimilarityOps {
        |SELECT qid, nid, adc, rank FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
   }
+
+  /** Per-label vector profile through the higher-order array-function
+    * surface — `filter`, `aggregate` (fold), `transform`, `sort_array`
+    * — the lambda-on-array family no other declared query exercises
+    * end-to-end (ArrayDot covers the codegen'd dot product; this
+    * covers the general HOFs a feature-engineering user reaches for:
+    * sparsity counts, L1 norms, per-vector order statistics).
+    * Everything is per-row array work fused into ONE codegen stage
+    * over the scan — zero joins, zero extra shuffles; the only
+    * exchange is the final label aggregate (map-side combined onto 10
+    * keys). Cross-engine: floats cast to double before any math; the
+    * sequential fold mirrors DuckDB's list_sum in array order
+    * (cosine9's proven pattern), per-row results round to 9 then sum
+    * through DECIMAL(18,6). The per-vector median is an EXACT order
+    * statistic (sorted element 33 of 64) — no float summation at all. */
+  def embHofStats(spark: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, d)
+      .select(col("label"),
+        size(filter(e, x => x > lit(0.0))).cast("long").as("n_pos"),
+        round(aggregate(e, lit(0.0), (acc, x) => acc + abs(x)), 9).as("l1"),
+        round(array_max(transform(e, x => abs(x))), 9).as("abs_max"),
+        element_at(sort_array(e), 33).as("med"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_pos")).as("sum_pos"),
+        dsum(col("l1")).as("l1_total"),
+        max(col("abs_max")).as("max_abs"),
+        dsum(col("med")).as("med_total"))
+      .orderBy("label")
+  }
+
+  def embHofStatsSql: String =
+    """WITH per AS (
+      |  SELECT label,
+      |    CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |    round(list_sum(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 9) AS l1,
+      |    round(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 9) AS abs_max,
+      |    list_sort(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE)))[33] AS med
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(n_pos) AS BIGINT) AS sum_pos,
+      |  CAST(SUM(CAST(l1 AS DECIMAL(18,6))) AS DOUBLE) AS l1_total,
+      |  MAX(abs_max) AS max_abs,
+      |  CAST(SUM(CAST(med AS DECIMAL(18,6))) AS DOUBLE) AS med_total
+      |FROM per GROUP BY label ORDER BY label""".stripMargin
 }

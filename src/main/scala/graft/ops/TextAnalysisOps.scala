@@ -709,4 +709,73 @@ object TextAnalysisOps {
        |  ON c.lang = p.lang AND c.r = p.r AND c.b = p.b
        |GROUP BY p.lang, p.rank, p.token, p.n
        |ORDER BY p.lang, p.rank""".stripMargin
+
+  /** Inverted-index build — the search-engine primitive the text
+    * suite lacked: token → document-frequency + posting list, built
+    * from ONE tokenize pass (shared [[OpsUtil.tokens]]), per-doc
+    * `array_distinct` BEFORE the explode (so a token counts once per
+    * document — df, not tf — and the exploded row count is bounded by
+    * distinct-tokens-per-doc, not document length), then one shuffle
+    * keyed on token with map-side combine. Posting lists are
+    * `sort_array(collect_list(...))` — collect order is partition-
+    * dependent, the sorted SET is not — and the declared face carries
+    * a bounded 5-doc slice per token (full postings at 100 TB live in
+    * storage, keyed by token; a driver-visible result never holds
+    * them). Top-20 by df is TakeOrdered. */
+  def invertedIndex(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        // joined to a string: the driver's DuckDB compare hashes
+        // scalar cells, not nested arrays
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 5), ",")
+          .as("sample_docs"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+
+  def invertedIndexSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(${tokensSql("text")})) AS token
+       |  FROM documents)
+       |SELECT token, COUNT(*) AS df,
+       |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS sample_docs
+       |FROM tok GROUP BY token
+       |ORDER BY df DESC, token LIMIT 20""".stripMargin
+
+  /** Conjunctive (AND) term search through posting intersection — the
+    * query side of [[invertedIndex]], written the way it scales: the
+    * token filter prunes the exploded stream to the query terms'
+    * postings BEFORE any shuffle, then one doc-keyed aggregate counts
+    * distinct matched terms per document (= the k-way posting
+    * intersection without pairwise joins; k terms intersect in one
+    * pass whatever k is). Result is the per-language hit profile, so
+    * the declared face stays dimension-sized. */
+  def searchAnd(spark: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "window", "join")
+    val hits = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("token")).as("n_terms"))
+      .where(col("n_terms") === terms.size)
+    hits.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
+  def searchAndSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(${tokensSql("text")})) AS token
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang FROM tok
+       |  WHERE token IN ('spark', 'window', 'join')
+       |  GROUP BY doc_id, lang HAVING COUNT(DISTINCT token) = 3)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM hits GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -59,6 +59,21 @@ object EventStreams {
       .agg(count("*").as("n"), dsum(col("value")).as("total_value"))
       .select(col("win.start").as("hr"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding 1-hour windows advancing every 15 minutes — the
+    * overlapping-window mode ([[hourlyAgg]] is tumbling): each event
+    * lands in window/slide = 4 concurrent windows, so state is 4× the
+    * tumbling footprint and still watermark-bounded; this is the
+    * trailing-hour-freshened-every-15-minutes dashboard shape.
+    * Window starts are slide-grid epoch-aligned, which is what the
+    * oracle replays (each event exploded to its 4 bucket starts). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count("*").as("n"), dsum(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Session window (30-minute gap) — Spark's native session_window,
     * the streaming analog of EventOps.sessions. */
   def sessionAgg(events: DataFrame): DataFrame =
@@ -233,6 +248,28 @@ object EventStreams {
       .orderBy("hr", "event_type")
     finally dropStaged(staged)
   }
+
+  def streamSliding(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val staged = stageEventsDrop(d, "stream-sliding", n)
+    val ss = streamingSession(spark)
+    try runToMemory(ss, slidingAgg(readEvents(ss, staged)),
+      s"graft_stream_sliding_$n")
+      .orderBy("win_start", "event_type")
+    finally dropStaged(staged)
+  }
+
+  /** DuckDB replay: every event exploded to its 4 slide-grid window
+    * starts (bucket15(ts) − k·15min, k∈0..3 — each satisfies
+    * start ≤ ts < start+1h by construction), then the same aggregate. */
+  def streamSlidingSql: String =
+    """WITH expl AS (
+      |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k.k) AS win_start,
+      |    event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+      |SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM expl GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   /** Stream–static enrichment join under the hash gate: the event
     * stream joined against a STATIC per-user dimension (signup

@@ -311,6 +311,82 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GifCodec round-trips LZW exactly across payload shapes") {
+    val rng = new scala.util.Random(42)
+    val shapes = Seq(
+      (1, 1),    // single pixel
+      (3, 2),    // tiny
+      (200, 16), // the asset ceiling
+      (101, 97)  // ~10k px: forces several code-width bumps
+    )
+    for ((w, h) <- shapes) {
+      val idx = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+      val gif = GifCodec.encode(w, h, idx)
+      val m = GifCodec.decode(gif)
+      assert(m.width === w && m.height === h && m.nPixels === w.toLong * h)
+      assert(m.paletteSize === 256 && m.minCodeSize === 8)
+      assert(GifCodec.pixelSum(gif) === idx.map(_ & 0xff).map(_.toLong).sum,
+        s"${w}x$h")
+    }
+    // dictionary overflow: >4096 distinct phrases forces a mid-stream
+    // clear-code reset, the hardest sync point between encode/decode
+    val big = Array.fill[Byte](120000)(rng.nextInt(256).toByte)
+    val gif = GifCodec.encode(400, 300, big)
+    assert(GifCodec.pixelSum(gif) === big.map(_ & 0xff).map(_.toLong).sum)
+    // KwKwK: a run of one repeated index hits the code==next case
+    // immediately and continuously
+    val run = Array.fill[Byte](5000)(7.toByte)
+    assert(GifCodec.pixelSum(GifCodec.encode(100, 50, run)) === 7L * 5000)
+  }
+
+  test("GifCodec streams are real GIFs: the JDK's ImageIO reader agrees") {
+    // external-reality check — an independent decoder, not ours
+    val idx = Array.tabulate[Byte](64 * 32)(i => (i % 251).toByte)
+    val gif = GifCodec.encode(64, 32, idx)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO could not parse our GIF")
+    assert(img.getWidth === 64 && img.getHeight === 32)
+    // grayscale palette entry i is (i,i,i): the red channel IS the index
+    val back = for (y <- 0 until 32; x <- 0 until 64)
+      yield ((img.getRGB(x, y) >> 16) & 0xff).toByte
+    assert(back.toArray.toSeq === idx.toSeq, "pixel indices differ under ImageIO")
+  }
+
+  test("GifCodec walks extension blocks and fails loudly on alien bytes") {
+    val idx = Array.tabulate[Byte](10 * 5)(i => i.toByte)
+    val gif = GifCodec.encode(10, 5, idx)
+    // splice a Graphic Control Extension before the image descriptor
+    // (what any animated-tool-exported GIF carries)
+    val sep = gif.indexOf(0x2C.toByte, 13 + 768)
+    val gce = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = gif.take(sep) ++ gce ++ gif.drop(sep)
+    assert(GifCodec.pixelSum(spliced) === idx.map(_ & 0xff).map(_.toLong).sum)
+    intercept[IllegalArgumentException](GifCodec.decode("JFIF0000".getBytes))
+    intercept[IllegalArgumentException](GifCodec.decode(Array[Byte](1, 2, 3)))
+    // truncated LZW stream must not return silently-short pixels
+    intercept[Exception](GifCodec.decode(gif.dropRight(6) ++ Array[Byte](0, 0x3B)))
+  }
+
+  test("mm_gif decodes real generated GIFs to the generation arithmetic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalOps.mmGif(spark, sf).collect()
+    assert(rows.length === docs.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h) = ((8 + (id * 5) % 200).toInt, (1 + id % 16).toInt)
+      assert(r.getAs[Long]("width") === w.toLong, s"doc $id")
+      assert(r.getAs[Long]("height") === h.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_px") === w.toLong * h, s"doc $id")
+      assert(r.getAs[Long]("palette_size") === 256L, s"doc $id")
+      val src = { val b = docs(id).getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+      val expected = (0 until w * h).map(i => (src(i % src.length) & 0xff).toLong).sum
+      assert(r.getAs[Long]("pixel_sum") === expected, s"doc $id")
+    }
+  }
+
   test("Mp3Codec round-trips frames across the full bitrate/sample-rate tables") {
     val fill = Array.tabulate[Byte](100)(i => (i * 7).toByte)
     for (bIdx <- 1 to 14; srIdx <- 0 to 2) {
