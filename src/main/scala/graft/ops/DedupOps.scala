@@ -404,6 +404,53 @@ object DedupOps {
        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Shingle CONTAINMENT — the asymmetric member of the dedup family:
+    * C(A→B) = |A∩B| / |A| flags a document that is a subset/quote of
+    * a larger one even when symmetric Jaccard is diluted by the size
+    * gap (the long doc's extra shingles sink the union). Same
+    * fixed-budget hash-ordered sample shape as [[dedupNgramJaccard]]
+    * (distinct salt → independent draw), both directions emitted so
+    * the quote and the quoted rank identically; at production scale
+    * the pair source swaps to the LSH candidate join, this declared
+    * face keeps the quadratic bounded to the sample. */
+  def dedupContainment(spark: SparkSession, d: String): DataFrame = {
+    val grams = hashOrderedSample(spark, d, salt = 17, n = JaccardSampleN)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))).as("g"))
+    val a = grams.select(col("doc_id").as("d1"), col("g").as("g1"))
+    val b = grams.select(col("doc_id").as("d2"), col("g").as("g2"))
+    val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
+    a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (inter / size(col("g1"))).as("c_1in2"),
+        (inter / size(col("g2"))).as("c_2in1"),
+        greatest(inter / size(col("g1")), inter / size(col("g2")))
+          .as("containment"))
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  def dedupContainmentSql: String =
+    s"""WITH samp AS (
+       |  ${hashOrderedSampleSql(salt = 17, n = JaccardSampleN)}),
+       |toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM samp),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |           i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM toks WHERE len(tk) >= 2)
+       |SELECT d1, d2, c_1in2, c_2in1,
+       |  greatest(c_1in2, c_2in1) AS containment
+       |FROM (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS c_1in2,
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(b.g) AS c_2in1
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+       |ORDER BY containment DESC, d1, d2 LIMIT 20""".stripMargin
+
   /** Edit-distance near-dup: levenshtein over 32-char prefixes of a
     * fixed-budget hash-ordered sample ([[EditSampleN]] lowest-hash
     * docs — constant pair count at any SF, reproducible in the

@@ -412,6 +412,187 @@ object RelationalOps {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q7 shape — "volume shipping between nation pairs": revenue
+    * flowing between two specific nations (either direction) per ship
+    * year. The two-sided-dimension pattern: supplier AND customer each
+    * carry a nation, so the fact row's nationality pair is only known
+    * after BOTH dimension joins — the pair filter therefore splits
+    * into (a) per-side IN-filters pushed into each broadcast dim
+    * (prunes to the two nations before any join) and (b) the
+    * cross-side "not the same nation" residual after. Fact-side cost:
+    * lineitem ⋈ orders on orderkey, re-key once onto custkey —
+    * the same two shuffles ANY customer-attributed lineitem query
+    * pays; everything else is broadcast. */
+  def q7NationVolume(spark: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val sn = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d)
+        .where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cn = Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)
+        .where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  def q7NationVolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS yr, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
+  /** TPC-H Q8 shape — "market share": the fraction of an entire
+    * region's customer revenue supplied by one nation, per order
+    * year. Numerator and denominator ride the SAME aggregate — a
+    * conditional decimal sum inside the group, one fact pass — never
+    * two scans joined back. The region filter prunes the customer-
+    * side snowflake (nation ⋈ region broadcast) before the fact
+    * joins; the supplier side attaches broadcast just to tag rows
+    * with the would-be-numerator nation. One double division on two
+    * exact decimal sums, rounded to 9. */
+  def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    val supNation = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custInRegion = Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)
+        .join(Tables.region(spark, d).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val dec = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    Tables.lineitem(spark, d)
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        round(
+          sum(when(col("supp_nation") === "NATION_3", dec)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+          sum(dec).cast("double"), 9).as("share"))
+      .orderBy("yr")
+  }
+
+  def q8MarketShareSql: String =
+    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n_items,
+      |  round(
+      |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+      |    9) AS share
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = cn.n_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** TPC-H Q15 shape — "top supplier": suppliers whose total revenue
+    * equals the global maximum (the view + scalar-subquery query,
+    * written as its decorrelation): the per-supplier revenue
+    * aggregate is computed ONCE, its 1-row max broadcasts back onto
+    * itself, and the equality filter keeps the argmax row(s) — ties
+    * all surface, as the spec requires. Equality compares exact
+    * DECIMALS, not doubles: the one formulation where a sum must be
+    * compared for equality, which is precisely why every revenue sum
+    * in this engine is decimal-first. Supplier attaches broadcast
+    * for the name. */
+  def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("total"))
+    val top = rev.agg(max(col("total")).as("max_total"))
+    rev.join(broadcast(top), col("total") === col("max_total"))
+      .join(broadcast(Tables.supplier(spark, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  def q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total = (SELECT MAX(total) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape — "suppliers over the threshold": suppliers whose
+    * shipped quantity of name-matched parts clears 1.2× the average
+    * per-supplier quantity, written through the SQL-text surface as
+    * `IN (aggregating subquery HAVING (scalar subquery))` — an IN
+    * whose subquery is itself gated by a nested uncorrelated scalar,
+    * the remaining subquery NESTING pattern after [[dormantCustomers]]
+    * put a scalar inside NOT EXISTS. Catalyst plans the IN as a
+    * left-semi on the HAVING-filtered aggregate and evaluates the
+    * scalar once. Quantity sums go through DECIMAL so the threshold
+    * comparison feeds identical exact inputs in both engines. */
+  def q20ThresholdSuppliers(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("graft_sql_lineitem")
+    Tables.part(spark, d).createOrReplaceTempView("graft_sql_part")
+    Tables.supplier(spark, d).createOrReplaceTempView("graft_sql_supplier")
+    spark.sql(
+      """SELECT s_name, s_acctbal FROM graft_sql_supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM graft_sql_lineitem
+        |  JOIN graft_sql_part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > (
+        |    SELECT 1.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(DISTINCT l_suppkey)
+        |    FROM graft_sql_lineitem
+        |    JOIN graft_sql_part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE '%red%'))
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  def q20ThresholdSuppliersSql: String =
+    """SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE '%red%'
+      |  GROUP BY l_suppkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > (
+      |    SELECT 1.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |             / COUNT(DISTINCT l_suppkey)
+      |    FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE p_name LIKE '%red%'))
+      |ORDER BY s_name""".stripMargin
+
   /** TPC-H Q16 shape — "supplier diversity per part class": distinct
     * suppliers per (brand, size) excluding a brand and a supplier
     * BLACKLIST expressed as `NOT IN (subquery)` — the last missing

@@ -315,6 +315,42 @@ object TrainingPrepOps {
        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)), 9) AS centroid_norm
        |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  /** Per-dimension normalization parameters (mean, stddev) — the
+    * standardization stats a feature-scaling pass fits before
+    * training, companion to [[embCentroid]]'s per-label means: same
+    * posexplode → (dim) partial-aggregate shape (map-side partial
+    * sums, one shuffle onto 64 keys, never a collect), moments as
+    * exact decimal sums (x through DECIMAL(18,6), x² through
+    * DECIMAL(28,12) — float inputs cast identically in both engines),
+    * the float math once per dim on those exact inputs in a fixed
+    * order, variance clamped at 0 before sqrt (rounding can push an
+    * all-equal dim's s2/n − mean² a few ulps negative). */
+  def embNormParams(spark: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(spark, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        davg(col("x")).as("m"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("m"), 9).as("mean"),
+        round(sqrt(greatest(lit(0.0),
+          col("s2") / col("n") - col("m") * col("m"))), 9).as("stddev"))
+      .orderBy("dim")
+  }
+
+  def embNormParamsSql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e),
+      |per AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      |  FROM ex GROUP BY dim)
+      |SELECT dim, n, round(m, 9) AS mean,
+      |  round(sqrt(greatest(0.0, s2 / n - m * m)), 9) AS stddev
+      |FROM per ORDER BY dim""".stripMargin
+
   /** Hard-example mining: the 3 vectors FARTHEST from their own
     * label's centroid, per label — the embedding-quality audit that
     * surfaces mislabeled/outlier training examples for re-annotation.

@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding windows equal the batch 4-window explode") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, eventsStreamDir)
+    val got = EventStreams.runToMemory(spark, EventStreams.slidingAgg(stream), "slide_out")
+      .select("win_start", "event_type", "n", "total_value")
+    // batch equivalent: each event belongs to exactly window/slide = 4
+    // slide-grid windows (bucket15(ts) − k·15min, k ∈ 0..3)
+    val want = graft.Tables.events(spark, sf)
+      .select(explode(sequence(lit(0), lit(3))).as("k"), col("ts"),
+        col("event_type"), col("value"))
+      .select((date_trunc("minute", col("ts")) -
+        expr("make_interval(0,0,0,0,0, minute(ts) % 15 + k*15, 0)")).as("win_start"),
+        col("event_type"), col("value"))
+      .groupBy("win_start", "event_type")
+      .agg(count("*").as("n"), graft.ops.OpsUtil.dsum(col("value")).as("total_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming session windows cover the same events as batch sessions") {
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
     val got = EventStreams.runToMemory(spark, EventStreams.sessionAgg(stream), "sess_out")
