@@ -72,14 +72,19 @@ case class KmvAgg(
   }
 
   override def eval(buf: mutable.TreeSet[Long]): Any = {
+    // retained hashes ship in the result so downstream SKETCH ALGEBRA
+    // (union = merge, difference = agg_kmv_diff's a-not-b) can run on
+    // the K-bounded state without touching the corpus again
+    val hashes = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      buf.toArray[Long])
     if (buf.size < K)
-      new GenericInternalRow(Array[Any](buf.size.toLong, null, buf.size.toLong))
+      new GenericInternalRow(Array[Any](buf.size.toLong, null, buf.size.toLong, hashes))
     else {
       val kth = buf.last
       // exact integer math: (K-1)·2^60 overflows a signed 64-bit long
       // (63·2^60 ≈ 7.3e19), so divide in BigInt like the oracle's HUGEINT
       val est = (BigInt(K - 1) * (BigInt(1) << 60) / BigInt(kth)).toLong
-      new GenericInternalRow(Array[Any](buf.size.toLong, kth, est))
+      new GenericInternalRow(Array[Any](buf.size.toLong, kth, est, hashes))
     }
   }
 
@@ -121,7 +126,9 @@ object KmvAgg {
   val OutType: StructType = StructType(Seq(
     StructField("n_held", LongType, nullable = false),
     StructField("kth_hash", LongType, nullable = true),
-    StructField("est_distinct", LongType, nullable = false)))
+    StructField("est_distinct", LongType, nullable = false),
+    StructField("hashes", ArrayType(LongType, containsNull = false),
+      nullable = false)))
 
   /** Column API: KMV distinct sketch of a group's hash column →
     * struct(n_held, kth_hash, est_distinct). */

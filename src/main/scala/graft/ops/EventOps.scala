@@ -555,6 +555,82 @@ object EventOps {
        |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin
   }
 
+  /** KMV sketch ALGEBRA — the a-not-b estimator: |viewers ∖
+    * big-buyers| estimated from two K-bounded sketches alone, never
+    * re-touching the corpus. Theory (theta-sketch difference,
+    * Dalvi/Dasgupta et al. lineage): with θ = min(θ_A, θ_B), every
+    * retained A-hash below θ lies in BOTH sketches' fully-retained
+    * region, so membership-in-B tests are EXACT there, and the
+    * A-not-B survivors scale by 2⁶⁰/θ like any KMV count. Below-K
+    * sketches retain their whole set (θ = 2⁶⁰), making the estimate
+    * degrade gracefully to the exact answer. All set work happens on
+    * two ≤32-long arrays in one crossJoin of three 1-row frames; the
+    * exact companion rides along to show the error. Float math is one
+    * double divide+multiply+floor on exactly-converted longs —
+    * bit-identical in both engines. */
+  def kmvDiff(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg
+    import graft.ops.OpsUtil.xhash60
+    val ev = Tables.events(spark, d)
+    val viewers = ev.where(col("event_type") === "view")
+      .select(xhash60(col("user_id").cast("string"), 0).as("h"), col("user_id"))
+    val buyers = ev.where(col("event_type") === "purchase" && col("value") > 150)
+      .select(xhash60(col("user_id").cast("string"), 0).as("h"), col("user_id"))
+    val skV = viewers.agg(KmvAgg.kmv_distinct(col("h")).as("sk"))
+      .select(col("sk.n_held").as("n_view_held"),
+        col("sk.kth_hash").as("kth_v"), col("sk.hashes").as("hv"))
+    val skB = buyers.agg(KmvAgg.kmv_distinct(col("h")).as("sk"))
+      .select(col("sk.n_held").as("n_buy_held"),
+        col("sk.kth_hash").as("kth_b"), col("sk.hashes").as("hb"))
+    val exact = viewers.select("user_id").distinct()
+      .join(buyers.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("exact_diff"))
+    val full = lit(1152921504606846976L) // 2^60: sketch holds the whole set
+    skV.crossJoin(skB).crossJoin(exact)
+      .withColumn("theta",
+        least(coalesce(col("kth_v"), full), coalesce(col("kth_b"), full)))
+      .withColumn("diff_held",
+        size(filter(col("hv"),
+          x => x < col("theta") && !array_contains(col("hb"), x))).cast("long"))
+      .select(col("n_view_held"), col("n_buy_held"), col("theta"),
+        col("diff_held"),
+        floor(col("diff_held").cast("double") *
+          (lit(1152921504606846976.0) / col("theta").cast("double")))
+          .cast("long").as("est_diff"),
+        col("exact_diff"))
+  }
+
+  def kmvDiffSql: String = {
+    val K = graft.functions.KmvAgg.K
+    val full = "1152921504606846976"
+    def hash(c: String) = OpsUtil.xhash60Sql(c, 0)
+    s"""WITH va AS (SELECT DISTINCT ${hash("user_id")} AS h
+       |  FROM events WHERE event_type = 'view'),
+       |ba AS (SELECT DISTINCT ${hash("user_id")} AS h
+       |  FROM events WHERE event_type = 'purchase' AND value > 150),
+       |vk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM va),
+       |bk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ba),
+       |kv AS (SELECT COALESCE(MAX(CASE WHEN rn = $K THEN h END), $full) AS kth,
+       |         CAST(COUNT(*) AS BIGINT) AS n FROM vk WHERE rn <= $K),
+       |kb AS (SELECT COALESCE(MAX(CASE WHEN rn = $K THEN h END), $full) AS kth,
+       |         CAST(COUNT(*) AS BIGINT) AS n FROM bk WHERE rn <= $K),
+       |th AS (SELECT least(kv.kth, kb.kth) AS theta FROM kv, kb),
+       |dh AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM vk, th
+       |  WHERE vk.rn <= $K AND vk.h < th.theta
+       |    AND NOT EXISTS (SELECT 1 FROM bk WHERE bk.rn <= $K AND bk.h = vk.h)),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+       |  EXCEPT
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND value > 150) t)
+       |SELECT kv.n AS n_view_held, kb.n AS n_buy_held, th.theta AS theta,
+       |  dh.c AS diff_held,
+       |  CAST(floor(CAST(dh.c AS DOUBLE) *
+       |    ($full.0 / CAST(th.theta AS DOUBLE))) AS BIGINT) AS est_diff,
+       |  ex.c AS exact_diff
+       |FROM kv, kb, th, dh, ex""".stripMargin
+  }
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next_type | prev_type) estimated from adjacent-pair
     * counts — the behavioral-model companion to [[sessions]] (same

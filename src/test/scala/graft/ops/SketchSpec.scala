@@ -117,6 +117,41 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(estB - 500L) <= 500 * 0.54, s"estimate $estB too far from 500")
   }
 
+  test("KMV a-not-b: below-K sketches give the exact difference; big sets stay in bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvAgg
+    def sketchOf(vals: Seq[String]) =
+      vals.toDF("v").select(OpsUtil.xhash60(col("v"), 0).as("h"))
+        .agg(KmvAgg.kmv_distinct(col("h")).as("sk"))
+        .select(col("sk.kth_hash"), col("sk.hashes")).collect().head
+    def estDiff(a: Seq[String], b: Seq[String]): (Long, Long) = {
+      val (ra, rb) = (sketchOf(a), sketchOf(b))
+      val full = 1L << 60
+      val theta = math.min(
+        Option(ra.get(0)).map(_.asInstanceOf[Long]).getOrElse(full),
+        Option(rb.get(0)).map(_.asInstanceOf[Long]).getOrElse(full))
+      val hb = rb.getAs[scala.collection.Seq[Long]](1).toSet
+      val survivors = ra.getAs[scala.collection.Seq[Long]](1)
+        .count(h => h < theta && !hb.contains(h))
+      val est = math.floor(survivors.toDouble * (full.toDouble / theta)).toLong
+      val exact = (a.toSet -- b.toSet).size.toLong
+      (est, exact)
+    }
+    // both below K: theta = 2^60, membership exact → estimate IS exact
+    val (eSmall, xSmall) = estDiff((0 until 20).map(i => s"a$i"),
+      (10 until 25).map(i => s"a$i"))
+    assert(eSmall === xSmall && xSmall === 10L)
+    // both far above K: 800 \ 500-overlap → true diff 500; 3σ of the
+    // ~1/sqrt(K) relative error
+    val (eBig, xBig) = estDiff((0 until 800).map(i => s"v$i"),
+      (300 until 900).map(i => s"v$i"))
+    assert(xBig === 300L)
+    // the a-not-b error is relative to the UNION (survivors ≈
+    // K·diff/union ≈ 9 here → σ/est ≈ 1/√9 ≈ 33%); allow 3σ
+    assert(math.abs(eBig - xBig) <= 310, s"est $eBig too far from $xBig")
+  }
+
   test("topkSketch survives a flat distribution where top-5 tokens are evicted (ANSI)") {
     import spark.implicits._
     // 100 distinct tokens, one occurrence each: the K=32 MG sketch
