@@ -631,6 +631,65 @@ object EventOps {
        |FROM kv, kb, th, dh, ex""".stripMargin
   }
 
+  /** RFM segmentation — recency (days since last event, relative to
+    * the corpus max date), frequency (event count), monetary
+    * (purchase value) per user, each quartile-bucketed. The canonical
+    * implementation is three unpartitioned `ntile(4)` windows — a
+    * GLOBAL SORT of the user table per dimension, three times; this
+    * writes the scale form instead: quartile CUTPOINTS from one
+    * 1-row aggregate, broadcast back, bucket-by-comparison (the
+    * [[RelationalOps.equidepthPrice]] pattern ×3 in a single pass).
+    * Output is the 4×4×4 segment-count cube. Metrics are exact
+    * (integer days/counts, decimal-summed purchases), so the
+    * interpolated cutpoints and bucket assignments are bit-identical
+    * cross-engine. */
+  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("max_day"))
+    val m = ev.crossJoin(broadcast(maxDay))
+      .groupBy(col("user_id"))
+      .agg(
+        min(datediff(col("max_day"), to_date(col("ts")))).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("monetary"))
+      .localCheckpoint(false) // feeds cutpoints AND bucketing: one pass
+    val cuts = m.agg(
+      expr("percentile(recency, array(0.25,0.5,0.75))").as("cr"),
+      expr("percentile(frequency, array(0.25,0.5,0.75))").as("cf"),
+      expr("percentile(monetary, array(0.25,0.5,0.75))").as("cm"))
+    m.crossJoin(broadcast(cuts))
+      .select(
+        (size(filter(col("cr"), x => x < col("recency"))) + 1).cast("long").as("r"),
+        (size(filter(col("cf"), x => x < col("frequency"))) + 1).cast("long").as("f"),
+        (size(filter(col("cm"), x => x < col("monetary"))) + 1).cast("long").as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r", "f", "m")
+  }
+
+  def rfmSegmentsSql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    datediff('day', CAST(MAX(ts) AS DATE),
+      |      (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS recency,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,6))
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY user_id),
+      |cuts AS (
+      |  SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS cr,
+      |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS cf,
+      |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS cm
+      |  FROM m)
+      |SELECT CAST(1 + len(list_filter(cuts.cr, x -> x < m.recency)) AS BIGINT) AS r,
+      |  CAST(1 + len(list_filter(cuts.cf, x -> x < m.frequency)) AS BIGINT) AS f,
+      |  CAST(1 + len(list_filter(cuts.cm, x -> x < m.monetary)) AS BIGINT) AS m,
+      |  COUNT(*) AS n_users
+      |FROM m, cuts GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next_type | prev_type) estimated from adjacent-pair
     * counts — the behavioral-model companion to [[sessions]] (same

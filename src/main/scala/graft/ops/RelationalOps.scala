@@ -955,6 +955,42 @@ object RelationalOps {
       |  quantile_cont(o_totalprice, 0.95) AS p95_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Equi-DEPTH histogram — the quantile-bucketed companion to
+    * [[histQuantity]]'s equi-width profile: 8 buckets holding equal
+    * row counts, built the way it scales — exact percentile cutpoints
+    * from ONE aggregate (a 7-double row), broadcast back, each row
+    * bucketed by counting cutpoints strictly below it (ties go left).
+    * No `ntile`: an unpartitioned ranking window is a global sort of
+    * the corpus, while the cutpoint join is a map-side broadcast +
+    * one re-aggregate onto 8 keys. Cutpoints are interpolated doubles
+    * computed from identical exact inputs in both engines
+    * (agg_percentiles pins percentile ≡ quantile_cont), so bucket
+    * assignment is bit-identical. */
+  def equidepthPrice(spark: SparkSession, d: String): DataFrame = {
+    val cuts = Tables.orders(spark, d)
+      .agg(expr(
+        "percentile(o_totalprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))")
+        .as("c"))
+    Tables.orders(spark, d).crossJoin(broadcast(cuts))
+      .select((size(filter(col("c"), x => x < col("o_totalprice"))) + 1)
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  def equidepthPriceSql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(o_totalprice,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM orders)
+      |SELECT CAST(1 + len(list_filter(cuts.c, x -> x < o_totalprice)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  round(MIN(o_totalprice), 2) AS lo,
+      |  round(MAX(o_totalprice), 2) AS hi
+      |FROM orders, cuts GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Approximate sketches — HLL++ distinct counts and quantile
     * sketches, scored against their exact companions IN the query:
     * the output carries the exact answers plus within-bound flags
