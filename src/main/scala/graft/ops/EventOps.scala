@@ -690,6 +690,39 @@ object EventOps {
       |  COUNT(*) AS n_users
       |FROM m, cuts GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
 
+  /** Top event-path trigrams — the sequence-mining companion to
+    * [[markovTransitions]]' first-order matrix: full 3-step paths
+    * ranked by frequency (funnels the transition matrix factorizes
+    * away). `lead` ×2 inside the ONE user-keyed window shuffle every
+    * per-user sequence op shares; the path counts re-aggregate onto a
+    * ≤|types|³ key space map-side; top-10 is TakeOrdered. */
+  def pathTrigrams(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(10)
+  }
+
+  def pathTrigramsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      |SELECT s1, s2, s3, COUNT(*) AS n
+      |FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next_type | prev_type) estimated from adjacent-pair
     * counts — the behavioral-model companion to [[sessions]] (same

@@ -210,7 +210,12 @@ class ScaleStressSpec extends AnyFunSuite {
       // constant multiple here
       ("curate_pipeline", d => { CurationOps.curatePipeline(spark, d).count(); () }),
       ("shard_manifest", d => { TrainingPrepOps.shardManifest(spark, d).count(); () }),
-      ("knn_label", d => { SimilarityOps.knnLabel(spark, d).count(); () }))
+      ("knn_label", d => { SimilarityOps.knnLabel(spark, d).count(); () }),
+      // inverted index: the exploded stream is bounded by
+      // distinct-tokens-per-doc; posting aggregation is one
+      // token-keyed shuffle with map-side combine — salted copies
+      // multiply postings ~×8, never pairwise
+      ("text_invindex", d => { TextAnalysisOps.invertedIndex(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
