@@ -710,6 +710,91 @@ object TextAnalysisOps {
        |GROUP BY p.lang, p.rank, p.token, p.n
        |ORDER BY p.lang, p.rank""".stripMargin
 
+  /** BPE merge training — 5 iterations of REAL byte-pair-encoding
+    * vocabulary learning (count adjacent symbol pairs, merge the most
+    * frequent, repeat), the tokenizer-construction step every LLM
+    * pipeline runs before `text_token_stats`-style counting. Written
+    * the way it scales: the corpus is read ONCE into a word-frequency
+    * table (standard word-level pre-tokenization), checkpointed; every
+    * merge iteration is VOCAB-sized work (pair explode over the
+    * symbol sequences, weighted by word count), and the driver sees
+    * exactly one (pair, count) row per iteration — the bounded
+    * per-round action [[GraphOps.pagerank]] also uses. Ties break
+    * count-desc then pair-asc, so the learned merges are
+    * deterministic; pair substitution is literal non-overlapping
+    * left-to-right `replace` on space-joined symbols — identical
+    * semantics in both engines — and the oracle replays all 5
+    * iterations as unrolled CTE stages. */
+  def bpeMerges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val chars = filter(split(col("tok"), ""), c => c =!= "")
+    var seq = Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", chars).as("seq"), col("n"))
+      .localCheckpoint(false) // one corpus scan; iterations are vocab-sized
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMergeRounds && !exhausted) {
+      val top = seq
+        .select(split(col("seq"), " ").as("l"), col("n"))
+        .where(size(col("l")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => concat(element_at(col("l"), i), lit(" "),
+            element_at(col("l"), i + 1)))).as("p"), col("n"))
+        .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(1)
+        .collect().headOption
+      top match {
+        case None => exhausted = true // every word fully merged already
+        case Some(row) =>
+          val (pair, cnt) = (row.getString(0), row.getLong(1))
+          merges += ((k, pair, cnt))
+          seq = seq.select(
+            trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+              lit(s" $pair "),
+              lit(" " + pair.replace(" ", "") + " "))).as("seq"), col("n"))
+          k += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
+  }
+
+  private val BpeMergeRounds = 5
+
+  def bpeMergesSql: String = {
+    val base =
+      s"""words AS (
+         |  SELECT tok AS word, COUNT(*) AS n FROM (
+         |    SELECT unnest(${tokensSql("text")}) AS tok FROM documents) t
+         |  GROUP BY tok),
+         |seq0 AS (
+         |  SELECT array_to_string(string_split(word, ''), ' ') AS seq, n
+         |  FROM words)""".stripMargin
+    def pairs(k: Int) =
+      s"""pairs$k AS (
+         |  SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(l)),
+         |      i -> l[i] || ' ' || l[i+1])) AS p, n
+         |    FROM (SELECT string_split(seq, ' ') AS l, n FROM seq$k) s) u
+         |  GROUP BY p),
+         |top$k AS (SELECT p, cnt FROM pairs$k ORDER BY cnt DESC, p LIMIT 1)""".stripMargin
+    def merge(k: Int) =
+      s"""seq${k + 1} AS (
+         |  SELECT trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT p FROM top$k) || ' ',
+         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' ')) AS seq, n
+         |  FROM seq$k)""".stripMargin
+    val stages = (0 until BpeMergeRounds).map { k =>
+      pairs(k) + (if (k < BpeMergeRounds - 1) ",\n" + merge(k) else "")
+    }.mkString(",\n")
+    val out = (0 until BpeMergeRounds)
+      .map(k => s"SELECT ${k + 1} AS merge_rank, p AS pair, cnt FROM top$k")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$stages\nSELECT * FROM (\n$out) r ORDER BY merge_rank"
+  }
+
   /** Inverted-index build — the search-engine primitive the text
     * suite lacked: token → document-frequency + posting list, built
     * from ONE tokenize pass (shared [[OpsUtil.tokens]]), per-doc

@@ -125,6 +125,28 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("total_tokens") === 7)
   }
 
+  test("BPE merges: overlap semantics, weighted ties, early exhaustion") {
+    import spark.implicits._
+    // crafted corpus: 'aaaa' x5 and 'bc' x3 as the full vocabulary
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    (Seq.fill(5)("aaaa") ++ Seq.fill(3)("bc")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "crafted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysisOps.bpeMerges(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: 'a a' counts 3 pairs x 5 words = 15 (BPE's standard
+    // overlapping count), and the left-to-right NON-overlapping
+    // replace — scan resumes after the consumed match, verified
+    // identical in DuckDB — turns 'a a a a' into 'aa a a', leaving a
+    // residual 'a a' that legitimately re-wins round 2 (count-desc,
+    // pair-asc tie-break vs 'aa a' at 5). rounds 3/4 finish the
+    // collapse; then nothing is mergeable and training stops early.
+    assert(got === Seq((1, "a a", 15L), (2, "a a", 5L),
+      (3, "aa aa", 5L), (4, "b c", 3L)))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("PII scrub counts and redacts emails, IPs, and digit runs — cascade-attributed") {
     // the driver corpus carries no PII at all (the hash gate proves
     // only the all-zeros path), so the positive semantics live here
