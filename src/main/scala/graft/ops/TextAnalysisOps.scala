@@ -727,6 +727,13 @@ object TextAnalysisOps {
     * iterations as unrolled CTE stages. */
   def bpeMerges(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, d)._1.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
+  }
+
+  /** Shared BPE training core: returns (learned merges, the final
+    * symbol-sequence-per-word table after applying them). */
+  private def bpeTrain(spark: SparkSession, d: String)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     val chars = filter(split(col("tok"), ""), c => c =!= "")
     var seq = Tables.documents(spark, d)
       .select(explode(tokens(col("text"))).as("tok"))
@@ -758,7 +765,58 @@ object TextAnalysisOps {
           k += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
+    (merges.toSeq, seq)
+  }
+
+  /** The APPLY side of [[bpeMerges]]: segment the vocabulary with the
+    * learned merges and emit the resulting subword-token histogram —
+    * what the trained tokenizer actually produces over this corpus
+    * (top 15, weighted by word frequency; learned multi-char subwords
+    * surface next to residual single characters). Same scale shape as
+    * training: everything after the one corpus scan is vocab-sized. */
+  def bpeTokenize(spark: SparkSession, d: String): DataFrame = {
+    val (_, seq) = bpeTrain(spark, d)
+    seq.select(explode(split(col("seq"), " ")).as("token"), col("n"))
+      .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(15)
+  }
+
+  def bpeTokenizeSql: String = {
+    // replay training (bpeMergesSql's unrolled stages), apply the 5th
+    // merge too, then histogram the final symbol stream
+    val mergeAll = (0 until BpeMergeRounds).map { k =>
+      s"""seq${k + 1} AS (
+         |  SELECT trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT p FROM top$k) || ' ',
+         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' ')) AS seq, n
+         |  FROM seq$k)""".stripMargin
+    }
+    val pairsTops = (0 until BpeMergeRounds).map { k =>
+      s"""pairs$k AS (
+         |  SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(l)),
+         |      i -> l[i] || ' ' || l[i+1])) AS p, n
+         |    FROM (SELECT string_split(seq, ' ') AS l, n FROM seq$k) s) u
+         |  GROUP BY p),
+         |top$k AS (SELECT p, cnt FROM pairs$k ORDER BY cnt DESC, p LIMIT 1)""".stripMargin
+    }
+    val base =
+      s"""words AS (
+         |  SELECT tok AS word, COUNT(*) AS n FROM (
+         |    SELECT unnest(${tokensSql("text")}) AS tok FROM documents) t
+         |  GROUP BY tok),
+         |seq0 AS (
+         |  SELECT array_to_string(string_split(word, ''), ' ') AS seq, n
+         |  FROM words)""".stripMargin
+    val stages = (0 until BpeMergeRounds)
+      .map(k => pairsTops(k) + ",\n" + mergeAll(k)).mkString(",\n")
+    s"""WITH $base,
+       |$stages
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split(seq, ' ')) AS token, n
+       |  FROM seq$BpeMergeRounds) t
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 15""".stripMargin
   }
 
   private val BpeMergeRounds = 5
