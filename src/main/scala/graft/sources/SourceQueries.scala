@@ -104,6 +104,18 @@ object SourceQueries {
     docStats(AvroFormat.readAvro(spark, s"$dir/data", docSchema))
   }
 
+  /** Declared query `src_warc`: the fingerprint over a WARC
+    * (ISO 28500 — Common Crawl's container) round trip through
+    * [[WarcFormat]]: byte-framed records with Content-Length
+    * delimiting, non-payload columns as X-Graft-* extension headers,
+    * warcinfo records walked and skipped. Same committer-requires-
+    * fresh-target layout as Avro. */
+  def warcDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "warc")((df, out) =>
+      WarcFormat.writeWarc(df, s"$out/data"))
+    docStats(WarcFormat.readWarc(spark, s"$dir/data"))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.io.{BytesWritable, NullWritable}
+import org.apache.hadoop.mapreduce.{Job, RecordWriter, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) — the container Common Crawl ships in, i.e. THE
+  * ingest format of web-scale LLM corpus work, and the one format in
+  * this family where the record is a byte-framed envelope (headers +
+  * `Content-Length`-delimited payload) rather than a row encoding.
+  * Writes one `.warc` file per partition through the real Hadoop
+  * committer (crash-safe, no driver funnel): a `warcinfo` record,
+  * then one `resource` record per document with the non-payload
+  * columns carried as `X-Graft-*` headers (WARC's extension-header
+  * mechanism). Reads are byte-exact: `Content-Length` framing means
+  * the parser never scans inside a payload, so text containing
+  * `\r\n\r\nWARC/1.0` round-trips untouched — the failure mode that
+  * breaks naive delimiter-split readers.
+  *
+  * Scale note, stated not hidden: this reader parallelizes at FILE
+  * granularity (one task per .warc, like the CSV-multiLine path) —
+  * matching the writer's one-file-per-partition layout. Production
+  * Common Crawl WARCs are gzip-per-record, which is what makes a
+  * single huge archive splittable mid-file; record-boundary splitting
+  * is the continuation if single files outgrow a task.
+  */
+object WarcFormat {
+
+  private val CRLF = "\r\n"
+
+  /** Raw-bytes-per-record output (no separators): each BytesWritable
+    * value is appended verbatim, giving committer-managed .warc files. */
+  final class WarcOutputFormat extends FileOutputFormat[NullWritable, BytesWritable] {
+    override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[NullWritable, BytesWritable] = {
+      val file = getDefaultWorkFile(ctx, ".warc")
+      val out = file.getFileSystem(ctx.getConfiguration).create(file, false)
+      new RecordWriter[NullWritable, BytesWritable] {
+        override def write(k: NullWritable, v: BytesWritable): Unit =
+          out.write(v.getBytes, 0, v.getLength)
+        override def close(ctx: TaskAttemptContext): Unit = out.close()
+      }
+    }
+  }
+
+  private def record(tpe: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0" ++= CRLF
+    h ++= s"WARC-Type: $tpe" ++= CRLF
+    headers.foreach { case (k, v) => h ++= s"$k: $v" ++= CRLF }
+    h ++= s"Content-Length: ${payload.length}" ++= CRLF ++= CRLF
+    val bb = new ByteArrayOutputStream()
+    bb.write(h.toString.getBytes(UTF_8))
+    bb.write(payload)
+    bb.write(CRLF.getBytes(UTF_8)); bb.write(CRLF.getBytes(UTF_8))
+    bb.toByteArray
+  }
+
+  /** Expects the documents schema (doc_id, text, lang, source,
+    * n_chars); one warcinfo + N resource records per partition file. */
+  def writeWarc(df: DataFrame, path: String): Unit = {
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .rdd.mapPartitions { rows =>
+        val head = Iterator.single(record("warcinfo",
+          Seq("WARC-Record-ID" -> "<urn:graft:warcinfo>",
+            "Content-Type" -> "application/warc-fields"),
+          s"software: graft$CRLF".getBytes(UTF_8)))
+        val recs = rows.map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1), "null doc_id/text in WARC stage")
+          val id = r.getLong(0)
+          record("resource",
+            Seq("WARC-Record-ID" -> s"<urn:graft:doc-$id>",
+              "WARC-Target-URI" -> s"graft://documents/$id",
+              "Content-Type" -> "text/plain; charset=utf-8",
+              "X-Graft-Lang" -> r.getString(2),
+              "X-Graft-Source" -> r.getString(3),
+              "X-Graft-NChars" -> r.getLong(4).toString),
+            r.getString(1).getBytes(UTF_8))
+        }
+        (head ++ recs).map(b => (NullWritable.get(), new BytesWritable(b)))
+      }.saveAsNewAPIHadoopFile(path, classOf[NullWritable],
+        classOf[BytesWritable], classOf[WarcOutputFormat], job.getConfiguration)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Walk one file's records. Fails loudly on bad magic, a missing
+    * Content-Length, or broken record framing — alien bytes at 100 TB
+    * must surface as errors, not dropped documents. */
+  private[sources] def parseRecords(bytes: Array[Byte]): Iterator[Row] = {
+    var pos = 0
+    def line(): String = {
+      val nl = {
+        var i = pos
+        while (i < bytes.length - 1 && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+        i
+      }
+      require(nl < bytes.length - 1, s"WARC: unterminated header line at $pos")
+      val s = new String(bytes, pos, nl - pos, UTF_8)
+      pos = nl + 2
+      s
+    }
+    new Iterator[Row] {
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): Row = {
+        require(line() == "WARC/1.0", "WARC: bad version magic")
+        val headers = Iterator.continually(line()).takeWhile(_.nonEmpty)
+          .map { l =>
+            val i = l.indexOf(": ")
+            require(i > 0, s"WARC: malformed header '$l'")
+            l.substring(0, i) -> l.substring(i + 2)
+          }.toMap
+        val len = headers.getOrElse("Content-Length",
+          sys.error("WARC: record without Content-Length")).toInt
+        require(pos + len + 4 <= bytes.length, "WARC: truncated payload")
+        val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+        pos += len
+        require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+          bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+          "WARC: record not closed by CRLFCRLF")
+        pos += 4
+        if (headers("WARC-Type") != "resource") Row(null, null, null, null, null)
+        else Row(
+          headers("WARC-Record-ID").stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong,
+          new String(payload, UTF_8),
+          headers("X-Graft-Lang"),
+          headers("X-Graft-Source"),
+          headers("X-Graft-NChars").toLong)
+      }
+    }
+  }
+
+  /** One task per .warc file via the binaryFile source; non-resource
+    * records (warcinfo etc.) are walked and skipped like any real
+    * WARC consumer must. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.read.format("binaryFile").load(s"$path/*.warc")
+      .select(col("content")).rdd
+      .flatMap(r => parseRecords(r.getAs[Array[Byte]](0)))
+      .filter(_.get(0) != null)
+    spark.createDataFrame(rows, outSchema)
+  }
+}

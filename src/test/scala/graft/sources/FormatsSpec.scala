@@ -33,6 +33,32 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("WARC round-trip preserves documents, incl. a payload containing record framing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc").toString
+    // adversarial payload: contains the WARC magic AND the CRLFCRLF
+    // frame closer — Content-Length framing must carry it untouched
+    val evil = "x\r\n\r\nWARC/1.0\r\nWARC-Type: resource\r\n\r\nend"
+    val docs = Tables.documents(spark, sf)
+      .union(Seq((999999L, evil, "xx", "crafted", evil.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    WarcFormat.writeWarc(docs, s"$dir/data")
+    val back = WarcFormat.readWarc(spark, s"$dir/data")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("WARC parser fails loudly on alien and truncated bytes") {
+    intercept[IllegalArgumentException](
+      WarcFormat.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes).toList)
+    val dir = Files.createTempDirectory("graft-warc2").toString
+    WarcFormat.writeWarc(Tables.documents(spark, sf).limit(3), s"$dir/data")
+    val f = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".warc")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    intercept[Exception](
+      WarcFormat.parseRecords(bytes.dropRight(6)).toList) // broken framing
+  }
+
   test("Avro round-trip preserves documents (container files via avro-mapred)") {
     val dir = Files.createTempDirectory("graft-avro").toString
     val docs = Tables.documents(spark, sf)
