@@ -116,6 +116,16 @@ object SourceQueries {
     docStats(WarcFormat.readWarc(spark, s"$dir/data"))
   }
 
+  /** Declared query `src_warc_gz`: the fingerprint over the
+    * gzip-per-record `.warc.gz` layout (each record its own gzip
+    * member, concatenated — production Common Crawl's splittable
+    * form). */
+  def warcGzDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "warcgz")((df, out) =>
+      WarcFormat.writeWarcGz(df, s"$out/data"))
+    docStats(WarcFormat.readWarcGz(spark, s"$dir/data"))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers

@@ -61,6 +61,17 @@ object WarcFormat {
     bb.toByteArray
   }
 
+  private[sources] def resourceRecord(id: Long, text: String, lang: String,
+      source: String, nChars: Long): Array[Byte] =
+    record("resource",
+      Seq("WARC-Record-ID" -> s"<urn:graft:doc-$id>",
+        "WARC-Target-URI" -> s"graft://documents/$id",
+        "Content-Type" -> "text/plain; charset=utf-8",
+        "X-Graft-Lang" -> lang,
+        "X-Graft-Source" -> source,
+        "X-Graft-NChars" -> nChars.toString),
+      text.getBytes(UTF_8))
+
   /** Expects the documents schema (doc_id, text, lang, source,
     * n_chars); one warcinfo + N resource records per partition file. */
   def writeWarc(df: DataFrame, path: String): Unit = {
@@ -73,19 +84,80 @@ object WarcFormat {
           s"software: graft$CRLF".getBytes(UTF_8)))
         val recs = rows.map { r =>
           require(!r.isNullAt(0) && !r.isNullAt(1), "null doc_id/text in WARC stage")
-          val id = r.getLong(0)
-          record("resource",
-            Seq("WARC-Record-ID" -> s"<urn:graft:doc-$id>",
-              "WARC-Target-URI" -> s"graft://documents/$id",
-              "Content-Type" -> "text/plain; charset=utf-8",
-              "X-Graft-Lang" -> r.getString(2),
-              "X-Graft-Source" -> r.getString(3),
-              "X-Graft-NChars" -> r.getLong(4).toString),
-            r.getString(1).getBytes(UTF_8))
+          resourceRecord(r.getLong(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4))
         }
         (head ++ recs).map(b => (NullWritable.get(), new BytesWritable(b)))
       }.saveAsNewAPIHadoopFile(path, classOf[NullWritable],
         classOf[BytesWritable], classOf[WarcOutputFormat], job.getConfiguration)
+  }
+
+  // ---- .warc.gz: gzip-per-record members (the Common Crawl layout) ----
+
+  /** Same committer path, `.warc.gz` extension. */
+  final class WarcGzOutputFormat extends FileOutputFormat[NullWritable, BytesWritable] {
+    override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[NullWritable, BytesWritable] = {
+      val file = getDefaultWorkFile(ctx, ".warc.gz")
+      val out = file.getFileSystem(ctx.getConfiguration).create(file, false)
+      new RecordWriter[NullWritable, BytesWritable] {
+        override def write(k: NullWritable, v: BytesWritable): Unit =
+          out.write(v.getBytes, 0, v.getLength)
+        override def close(ctx: TaskAttemptContext): Unit = out.close()
+      }
+    }
+  }
+
+  private[sources] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bb = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bb)
+    gz.write(bytes); gz.finish(); gz.close()
+    bb.toByteArray
+  }
+
+  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    // GZIPInputStream consumes CONCATENATED members transparently —
+    // exactly the multi-member stream a .warc.gz is
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** The production Common Crawl layout: each record is its OWN gzip
+    * member, concatenated — which is what makes a single multi-GB
+    * archive splittable (any member offset is an independent entry
+    * point; production readers pair the file with a member-offset
+    * index and fan tasks out mid-file). This reader decompresses the
+    * member stream per file; the per-member random access the layout
+    * exists for is proven in FormatsSpec by decoding one member in
+    * isolation. */
+  def writeWarcGz(df: DataFrame, path: String): Unit = {
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .rdd.mapPartitions { rows =>
+        val head = Iterator.single(gzipMember(record("warcinfo",
+          Seq("WARC-Record-ID" -> "<urn:graft:warcinfo>",
+            "Content-Type" -> "application/warc-fields"),
+          s"software: graft$CRLF".getBytes(UTF_8))))
+        val recs = rows.map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1), "null doc_id/text in WARC stage")
+          gzipMember(resourceRecord(r.getLong(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4)))
+        }
+        (head ++ recs).map(b => (NullWritable.get(), new BytesWritable(b)))
+      }.saveAsNewAPIHadoopFile(path, classOf[NullWritable],
+        classOf[BytesWritable], classOf[WarcGzOutputFormat], job.getConfiguration)
+  }
+
+  def readWarcGz(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.read.format("binaryFile").load(s"$path/*.warc.gz")
+      .select(col("content")).rdd
+      .flatMap(r => parseRecords(gunzipAll(r.getAs[Array[Byte]](0))))
+      .filter(_.get(0) != null)
+    spark.createDataFrame(rows, outSchema)
   }
 
   private val outSchema = StructType(Seq(

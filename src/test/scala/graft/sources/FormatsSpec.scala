@@ -59,6 +59,21 @@ class FormatsSpec extends AnyFunSuite {
       WarcFormat.parseRecords(bytes.dropRight(6)).toList) // broken framing
   }
 
+  test(".warc.gz round-trips and each gzip member is an independent entry point") {
+    val dir = Files.createTempDirectory("graft-warcgz").toString
+    val docs = Tables.documents(spark, sf)
+    WarcFormat.writeWarcGz(docs, s"$dir/data")
+    val back = WarcFormat.readWarcGz(spark, s"$dir/data")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // the property the layout exists for: ONE member decodes alone —
+    // a reader given any member offset needs nothing before it
+    val one = WarcFormat.gzipMember(
+      WarcFormat.resourceRecord(7L, "solo body", "en", "crafted", 9L))
+    val rows = WarcFormat.parseRecords(WarcFormat.gunzipAll(one)).toList
+    assert(rows.size === 1 && rows.head.getLong(0) === 7L
+      && rows.head.getString(1) === "solo body")
+  }
+
   test("Avro round-trip preserves documents (container files via avro-mapred)") {
     val dir = Files.createTempDirectory("graft-avro").toString
     val docs = Tables.documents(spark, sf)
