@@ -555,6 +555,55 @@ object EventOps {
        |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin
   }
 
+  /** Lag-7 autocorrelation of the daily event count — the seasonality
+    * probe next to [[anomalyDays]]' spike detector: r ≈ 1 means a
+    * strong weekly rhythm, ≈ 0 none. The series pairs with itself via
+    * a calendar self-join (day = day−7 — exact date equality, no
+    * window frame to misalign over gaps), and the correlation builds
+    * from raw moments summed EXACTLY (counts and decimal products),
+    * so the one double expression at the end is bit-identical in both
+    * engines. The daily aggregate is days-of-history-sized; the join
+    * and moments never see event cardinality. */
+  def autocorrWeekly(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = daily.select(col("day"), col("n").as("x"))
+      .join(daily.select((col("day") + expr("INTERVAL 7 DAYS")).as("day"),
+        col("n").as("y")), Seq("day"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast("double").as("syy"))
+      .select(col("m"),
+        round((col("sxy") - col("sx").cast("double") * col("sy") / col("m")) /
+          sqrt((col("sxx") - col("sx").cast("double") * col("sx") / col("m")) *
+            (col("syy") - col("sy").cast("double") * col("sy") / col("m"))), 9)
+          .as("r7"))
+  }
+
+  def autocorrWeeklySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.n AS x, b.n AS y
+      |  FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+      |  FROM pairs)
+      |SELECT m,
+      |  round((sxy - CAST(sx AS DOUBLE) * sy / m) /
+      |    sqrt((sxx - CAST(sx AS DOUBLE) * sx / m) *
+      |         (syy - CAST(sy AS DOUBLE) * sy / m)), 9) AS r7
+      |FROM s""".stripMargin
+
   /** KMV sketch ALGEBRA — the a-not-b estimator: |viewers ∖
     * big-buyers| estimated from two K-bounded sketches alone, never
     * re-touching the corpus. Theory (theta-sketch difference,

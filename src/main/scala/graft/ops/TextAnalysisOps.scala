@@ -710,6 +710,59 @@ object TextAnalysisOps {
        |GROUP BY p.lang, p.rank, p.token, p.n
        |ORDER BY p.lang, p.rank""".stripMargin
 
+  /** Zipf-law fit of the word-frequency distribution: log-log
+    * regression slope of frequency vs rank (natural text sits near
+    * −1; a flat or near-0 slope is a corpus-quality red flag —
+    * synthetic/templated text, as this generator's ≈−0.18 shows).
+    * One corpus tokenize into word counts, a vocab-sized rank window,
+    * then the least-squares slope from per-point terms rounded to 9
+    * and decimal-summed (the score_dsir ln-precision recipe) so both
+    * engines feed identical exact sums into one final double
+    * expression. At scale the rank window runs over the VOCAB table
+    * (cap it top-N for a truly unbounded vocabulary). */
+  def zipfSlope(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val pts = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .select(round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("n").cast("double")), 9).as("y"))
+    val dsum12 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast("decimal(28,12)")).cast("double")
+    pts.agg(
+        count(lit(1)).as("m"),
+        dsum12(col("x")).as("sx"),
+        dsum12(col("y")).as("sy"),
+        dsum12(round(col("x") * col("y"), 9)).as("sxy"),
+        dsum12(round(col("x") * col("x"), 9)).as("sxx"))
+      .select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
+  def zipfSlopeSql: String =
+    s"""WITH freq AS (
+       |  SELECT tok, COUNT(*) AS n FROM (
+       |    SELECT unnest(${tokensSql("text")}) AS tok FROM documents) t
+       |  GROUP BY tok),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY n DESC, tok) AS rank, n FROM freq),
+       |pts AS (
+       |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+       |    round(ln(CAST(n AS DOUBLE)), 9) AS y
+       |  FROM ranked),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(round(x*y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+       |  CAST(SUM(CAST(round(x*x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+       |  FROM pts)
+       |SELECT m, round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS zipf_slope
+       |FROM s""".stripMargin
+
   /** BPE merge training — 5 iterations of REAL byte-pair-encoding
     * vocabulary learning (count adjacent symbol pairs, merge the most
     * frequent, repeat), the tokenizer-construction step every LLM
