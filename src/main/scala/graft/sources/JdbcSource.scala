@@ -85,7 +85,11 @@ object JdbcSource {
   /** Declared query `src_jdbc`: column-covering fingerprint over the
     * Derby round trip, keyed like the DB would be queried (status ×
     * priority). The `o_totalprice` sum goes through DECIMAL(18,6) so
-    * both engines sum exactly (order-independent). */
+    * both engines sum exactly (order-independent), then the final
+    * value is cast to double — the dsum convention (OpsUtil.dsum):
+    * declared outputs must never carry DecimalType, because the
+    * driver's hash is type-kind-sensitive and DuckDB's SUM(DECIMAL)
+    * widens to a different precision than Spark's. */
   def jdbcOrderStats(spark: SparkSession, d: String): DataFrame =
     readOrders(spark, d)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -93,7 +97,7 @@ object JdbcSource {
         count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_okey"),
         sum(col("o_custkey")).as("sum_ckey"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).as("sum_price"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"),
         min(col("o_orderdate")).as("min_date_us"),
         max(col("o_orderdate")).as("max_date_us"))
       .orderBy("o_orderstatus", "o_orderpriority")
@@ -105,7 +109,7 @@ object JdbcSource {
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
       |  CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
       |  CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
       |FROM orders GROUP BY o_orderstatus, o_orderpriority

@@ -21,10 +21,32 @@ class OpsSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // The driver's hash is type-kind-sensitive and its compare can't
+  // hash nested values: a declared output carrying DecimalType
+  // (src_jdbc, r11's only red row — DuckDB widens SUM(DECIMAL(18,6))
+  // to DECIMAL(38,6) while Spark emits (28,6)) or any Array/Map/
+  // Struct/Binary column will rows+schema-match yet hash-fail. This
+  // is the enforceable form of the "never output array columns" rule:
+  // finish decimal-exact sums with .cast("double") (OpsUtil.dsum) and
+  // join array results to strings before declaring them.
+  private def driverHashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => false
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true // string, integral/float primitives, boolean, date, timestamp
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
+      val banned = df.schema.fields.filterNot(f => driverHashable(f.dataType))
+      assert(banned.isEmpty,
+        s"$name output carries non-driver-hashable column(s) " +
+          banned.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ") +
+          " — cast decimals to double (dsum convention), stringify nested types")
       assert(df.count() > 0, s"$name returned no rows")
     }
   }

@@ -35,6 +35,23 @@ def main(outdir, sfdir):
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
             want = con.execute(oracle[name]).df()
+            # Physical-schema guard: pandas flattens DECIMAL and
+            # float64 to the same dtype, which let r11's src_jdbc ship
+            # a DECIMAL(28,6) column past this gate while the driver's
+            # type-kind-sensitive hash failed it. Inspect the written
+            # parquet's DuckDB logical types directly: any DECIMAL or
+            # nested (LIST/STRUCT/MAP) column in a declared output is
+            # a gate failure here, before the value compare.
+            phys = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+            ).fetchall()
+            bad_types = [(c, t) for c, t, *_ in phys
+                         if t.startswith("DECIMAL") or "[" in t
+                         or t.startswith(("STRUCT", "MAP", "UNION"))]
+            if bad_types:
+                print(f"FAIL {name}: non-driver-hashable physical column type(s) "
+                      f"{bad_types} — cast decimals to double, stringify nested")
+                n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         gc, wc = sorted(got.columns), sorted(want.columns)
