@@ -31,6 +31,15 @@ object Bench {
     * already steady-state) time. See the pass-2 comment in main. */
   val Pass2ThresholdSec = 1.0
 
+  /** Contention threshold for the contract line's `contended` flag,
+    * calibrated for local[32]: quiet-box runs of this workload sit at
+    * cpu/wall ≈ 2.8; the r11 driver bench recorded 2.38 with uniform
+    * +40-80% per-query inflation across unchanged queries — external
+    * load stealing cores, not regressions. Publishing the boolean lets
+    * a reader discount a noisy round mechanically instead of
+    * rediscovering the signature in the per-query deltas. */
+  val ContendedRatioFloor = 2.6
+
   /** One timed pass in sorted-name order. A throwing query records
     * its error instead of a timing (timing-to-exception is
     * meaningless). */
@@ -109,7 +118,8 @@ object Bench {
     def suffix(shown: Int, otherSec: Double): String =
       s"""},"other_sec":${fmt2(otherSec)},"n_queries":${results.size},""" +
         s""""n_shown":$shown,"failed":$failedCount,"wall_sec":${fmt2(wallSec)},""" +
-        s""""cpu_wall_ratio":${fmt2(ratio)},"sf":"${jsonEscape(sfDir)}"}"""
+        s""""cpu_wall_ratio":${fmt2(ratio)},"contended":${ratio < ContendedRatioFloor},""" +
+        s""""sf":"${jsonEscape(sfDir)}"}"""
     // suffix length varies by a few chars with shown/otherSec; size
     // against the pessimistic all-shown suffix for the first fit.
     // STOP at the first entry that doesn't fit (never skip-and-

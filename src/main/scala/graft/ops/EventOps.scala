@@ -537,7 +537,16 @@ object EventOps {
 
   def kmvUsersSql: String = {
     val K = graft.functions.KmvAgg.K
-    s"""WITH h AS (
+    // n_exact counts distinct USER IDs (matching Spark's
+    // countDistinct(user_id)), not distinct hashes: the sketch columns
+    // (n_held/kth_hash/est_distinct) live in 60-bit hash space like
+    // the engine's KMV state does, but the exact companion must not
+    // silently inherit the hash's collision behavior — a colliding
+    // user pair would shift nd while countDistinct stays truthful.
+    s"""WITH ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_ex
+       |  FROM events GROUP BY event_type),
+       |h AS (
        |  SELECT DISTINCT event_type,
        |    ${OpsUtil.xhash60Sql("user_id", 0)} AS h
        |  FROM events),
@@ -546,13 +555,14 @@ object EventOps {
        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
        |    count(*) OVER (PARTITION BY event_type) AS nd
        |  FROM h)
-       |SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
+       |SELECT r.event_type, CAST(MAX(ex.n_ex) AS BIGINT) AS n_exact,
        |  CAST(least(nd, $K) AS BIGINT) AS n_held,
        |  MAX(CASE WHEN rn = $K THEN h END) AS kth_hash,
        |  CAST(CASE WHEN nd < $K THEN nd
        |    ELSE (CAST(${K - 1} AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
        |         // MAX(CASE WHEN rn = $K THEN h END) END AS BIGINT) AS est_distinct
-       |FROM r GROUP BY event_type, nd ORDER BY event_type""".stripMargin
+       |FROM r JOIN ex ON r.event_type = ex.event_type
+       |GROUP BY r.event_type, nd ORDER BY r.event_type""".stripMargin
   }
 
   /** Lag-7 autocorrelation of the daily event count — the seasonality
@@ -704,10 +714,15 @@ object EventOps {
           col("value").cast("decimal(18,6)"))
           .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("monetary"))
       .localCheckpoint(false) // feeds cutpoints AND bucketing: one pass
+    // Cutpoints rounded to 9 decimals before the comparison bucketing
+    // (the repo's cross-engine float recipe): the inputs are exact, but
+    // percentile vs quantile_cont INTERPOLATION arithmetic is each
+    // engine's own — a last-ulp divergence would flip the bucket of any
+    // value landing between the two cutpoint versions.
     val cuts = m.agg(
-      expr("percentile(recency, array(0.25,0.5,0.75))").as("cr"),
-      expr("percentile(frequency, array(0.25,0.5,0.75))").as("cf"),
-      expr("percentile(monetary, array(0.25,0.5,0.75))").as("cm"))
+      expr("transform(percentile(recency, array(0.25,0.5,0.75)), x -> round(x, 9))").as("cr"),
+      expr("transform(percentile(frequency, array(0.25,0.5,0.75)), x -> round(x, 9))").as("cf"),
+      expr("transform(percentile(monetary, array(0.25,0.5,0.75)), x -> round(x, 9))").as("cm"))
     m.crossJoin(broadcast(cuts))
       .select(
         (size(filter(col("cr"), x => x < col("recency"))) + 1).cast("long").as("r"),
@@ -729,9 +744,12 @@ object EventOps {
       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS monetary
       |  FROM events GROUP BY user_id),
       |cuts AS (
-      |  SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS cr,
-      |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS cf,
-      |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS cm
+      |  SELECT list_transform(quantile_cont(recency, [0.25, 0.5, 0.75]),
+      |      x -> round(x, 9)) AS cr,
+      |    list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]),
+      |      x -> round(x, 9)) AS cf,
+      |    list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+      |      x -> round(x, 9)) AS cm
       |  FROM m)
       |SELECT CAST(1 + len(list_filter(cuts.cr, x -> x < m.recency)) AS BIGINT) AS r,
       |  CAST(1 + len(list_filter(cuts.cf, x -> x < m.frequency)) AS BIGINT) AS f,

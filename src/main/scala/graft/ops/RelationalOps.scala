@@ -964,12 +964,15 @@ object RelationalOps {
     * the corpus, while the cutpoint join is a map-side broadcast +
     * one re-aggregate onto 8 keys. Cutpoints are interpolated doubles
     * computed from identical exact inputs in both engines
-    * (agg_percentiles pins percentile ≡ quantile_cont), so bucket
-    * assignment is bit-identical. */
+    * (agg_percentiles pins percentile ≡ quantile_cont) and then
+    * rounded to 9 decimals BEFORE the comparison bucketing — the
+    * repo's standard cross-engine float recipe: a last-ulp divergence
+    * in the two interpolation arithmetics would otherwise flip the
+    * bucket of any value landing between the two cutpoint versions. */
   def equidepthPrice(spark: SparkSession, d: String): DataFrame = {
     val cuts = Tables.orders(spark, d)
       .agg(expr(
-        "percentile(o_totalprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))")
+        "transform(percentile(o_totalprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875)), x -> round(x, 9))")
         .as("c"))
     Tables.orders(spark, d).crossJoin(broadcast(cuts))
       .select((size(filter(col("c"), x => x < col("o_totalprice"))) + 1)
@@ -983,8 +986,9 @@ object RelationalOps {
 
   def equidepthPriceSql: String =
     """WITH cuts AS (
-      |  SELECT quantile_cont(o_totalprice,
-      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM orders)
+      |  SELECT list_transform(quantile_cont(o_totalprice,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+      |    x -> round(x, 9)) AS c FROM orders)
       |SELECT CAST(1 + len(list_filter(cuts.c, x -> x < o_totalprice)) AS BIGINT) AS bucket,
       |  COUNT(*) AS n_orders,
       |  round(MIN(o_totalprice), 2) AS lo,

@@ -839,10 +839,15 @@ object TextAnalysisOps {
     // replay training (bpeMergesSql's unrolled stages), apply the 5th
     // merge too, then histogram the final symbol stream
     val mergeAll = (0 until BpeMergeRounds).map { k =>
+      // COALESCE: an exhausted round (empty top$k → NULL scalar
+      // subqueries → NULL replace) must degrade to a no-op stage, the
+      // way the Scala trainer's early `exhausted` stop does — without
+      // it every later seq stage is NULL and the histogram diverges.
       s"""seq${k + 1} AS (
-         |  SELECT trim(replace(' ' || seq || ' ',
+         |  SELECT trim(COALESCE(replace(' ' || seq || ' ',
          |    ' ' || (SELECT p FROM top$k) || ' ',
-         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' ')) AS seq, n
+         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' '),
+         |    ' ' || seq || ' ')) AS seq, n
          |  FROM seq$k)""".stripMargin
     }
     val pairsTops = (0 until BpeMergeRounds).map { k =>
@@ -891,11 +896,15 @@ object TextAnalysisOps {
          |    FROM (SELECT string_split(seq, ' ') AS l, n FROM seq$k) s) u
          |  GROUP BY p),
          |top$k AS (SELECT p, cnt FROM pairs$k ORDER BY cnt DESC, p LIMIT 1)""".stripMargin
+    // COALESCE: see bpeTokenizeSql — an exhausted round's empty top$k
+    // must no-op the stage (the merges UNION then naturally emits zero
+    // rows for that round, matching the Scala loop's early stop).
     def merge(k: Int) =
       s"""seq${k + 1} AS (
-         |  SELECT trim(replace(' ' || seq || ' ',
+         |  SELECT trim(COALESCE(replace(' ' || seq || ' ',
          |    ' ' || (SELECT p FROM top$k) || ' ',
-         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' ')) AS seq, n
+         |    ' ' || (SELECT replace(p, ' ', '') FROM top$k) || ' '),
+         |    ' ' || seq || ' ')) AS seq, n
          |  FROM seq$k)""".stripMargin
     val stages = (0 until BpeMergeRounds).map { k =>
       pairs(k) + (if (k < BpeMergeRounds - 1) ",\n" + merge(k) else "")

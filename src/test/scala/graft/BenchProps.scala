@@ -32,6 +32,13 @@ object BenchProps extends Properties("Bench") {
         node.get("n_queries").asInt == results.size
     }
 
+  property("compactLine publishes contended exactly when ratio < floor") =
+    forAll(resultsGen, Gen.chooseNum(0.5, 5.0)) { (results, ratio) =>
+      val line = Bench.compactLine(results, 0, 1.0, ratio, "/sf")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      node.get("contended").asBoolean == (ratio < Bench.ContendedRatioFloor)
+    }
+
   property("fmt2 round-trips within a cent and never uses locale separators") =
     forAll(Gen.chooseNum(0.0, 99999.0)) { d =>
       val s = Bench.fmt2(d)

@@ -144,6 +144,13 @@ class TextEdgeSpec extends AnyFunSuite {
     // collapse; then nothing is mergeable and training stops early.
     assert(got === Seq((1, "a a", 15L), (2, "a a", 5L),
       (3, "aa aa", 5L), (4, "b c", 3L)))
+    // the apply side after exhaustion: both words fully merged — and
+    // the SQL oracle degrades identically (its exhausted round-5 stage
+    // COALESCEs to a no-op; manually replayed in DuckDB: 4 merge rows,
+    // histogram [('aaaa',5),('bc',3)])
+    val tok = TextAnalysisOps.bpeTokenize(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tok === Seq(("aaaa", 5L), ("bc", 3L)))
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
