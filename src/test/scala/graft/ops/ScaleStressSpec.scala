@@ -336,6 +336,35 @@ class ScaleStressSpec extends AnyFunSuite {
         "tighten -Xmx/spark.memory.fraction so this test actually exercises spilling")
   }
 
+  test("batched BPE trains ≥64 merges in bounded driver actions, deterministically") {
+    // The sequential trainer (the declared 5-round query) costs one
+    // 1-row driver round-trip per merge — fine for 5, a wall-clock
+    // non-starter for a real 30k+-merge vocabulary. bpeTrainBatched is
+    // the scale continuation: ONE bounded driver action per ROUND,
+    // learning every symbol-disjoint pair from the top-`candidates`
+    // list. This proves the amortization is real (≥8 merges/round on
+    // sf0.1 docs), the batch never exceeds the requested vocabulary,
+    // round 1 opens with sequential BPE's own first pick, and the
+    // whole merge sequence is deterministic across runs.
+    val (merges, rounds) = TextAnalysisOps.bpeTrainBatched(spark, sf01, 64)
+    assert(merges.size === 64, s"requested 64 merges, learned ${merges.size}")
+    assert(rounds <= 8,
+      s"batching must amortize driver actions: 64 merges took $rounds rounds")
+    assert(merges.map(_._2).distinct.size === 64, "learned pairs must be distinct")
+    assert(merges.map(_._1) === (1 to 64), "merge ranks are dense 1..64")
+    // batched round 1 counts against the same pre-round corpus as
+    // sequential round 1, so the top-ranked batched merge IS the
+    // sequential trainer's first pick
+    val seqFirst = TextAnalysisOps.bpeMerges(spark, sf01)
+      .orderBy("merge_rank").limit(1).collect().head
+    assert(merges.head._2 === seqFirst.getString(1))
+    assert(merges.head._3 === seqFirst.getLong(2))
+    val (again, roundsAgain) = TextAnalysisOps.bpeTrainBatched(spark, sf01, 64)
+    assert(again === merges && roundsAgain === rounds,
+      "batched training must be deterministic run-over-run")
+    info(s"64 merges in $rounds rounds (${64.0 / rounds} merges/driver action)")
+  }
+
   test("two-level IVF assigns a >2M-vector corpus across >65,536 fine cells " +
     "with only √k-bounded broadcasts") {
     // The IvfMaxCells ceiling exists because the flat index BROADCASTS
