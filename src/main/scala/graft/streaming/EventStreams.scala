@@ -180,14 +180,17 @@ object EventStreams {
     * Stateful operators pay a fixed per-partition per-batch state-store
     * cost (snapshot, maintenance, the no-data cleanup batch — a
     * stream-stream join keeps FOUR stores per partition), so the
-    * harness's 100k-row replays run with 8 state partitions instead of
-    * inheriting the batch session's 32: measured 2× on
-    * stream_attribution with identical results (state is hash-keyed;
-    * results are partition-count-independent, and the decimal-sum
-    * aggregates keep them bit-stable). At production scale this is the
-    * knob you SIZE UP with input rate — state partition count is fixed
-    * at first start by spark.sql.shuffle.partitions. */
-  private val StreamShufflePartitions = 8
+    * harness's 100k-row replays run with 4 state partitions instead of
+    * inheriting the batch session's 32: r12 profiling (StreamProfile,
+    * per-batch durationMs) put the fixed per-partition cost at the top
+    * of both creeped headlines — 8→4 cut stream_attribution's no-data
+    * batch and addBatch commit time ~20% with identical results (state
+    * is hash-keyed; results are partition-count-independent, and the
+    * decimal-sum aggregates keep them bit-stable); 2 measured no
+    * better than 4. At production scale this is the knob you SIZE UP
+    * with input rate — state partition count is fixed at first start
+    * by spark.sql.shuffle.partitions. */
+  private val StreamShufflePartitions = 4
 
   /** A per-run session clone for a declared streaming query: streaming
     * conf (state partition count) must not leak into the shared batch
@@ -414,6 +417,17 @@ object EventStreams {
     val n = sinkSeq.incrementAndGet()
     val staged = stageEventsDrop(d, "stream-attr", n)
     val ss = streamingSession(spark)
+    // An INNER stream-stream join emits every match eagerly in the
+    // data batch that completes it; the trailing no-data micro-batch
+    // exists only to evict expired join state — housekeeping a
+    // run-to-completion AvailableNow replay never benefits from, yet
+    // it costs a full state-store load/commit cycle across all
+    // partitions (r12 StreamProfile: ~0.7 s of a 2.7 s query). Skip
+    // it HERE ONLY: outer joins and timeout-bearing stateful ops emit
+    // RESULTS from no-data batches and must keep them (streamUserTotals'
+    // timeout finals), and a continuous production stream keeps them
+    // for state-size bounding.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try runToParquetSink(ss, attribution(readEvents(ss, staged)),
       "stream_attribution", OutputMode.Append())
       .orderBy("user_id", "click_id", "purchase_id")
