@@ -39,7 +39,14 @@ import org.apache.spark.sql.functions._
   * Caveat stated, not hidden: *embedded* Derby is same-JVM only, which
   * is fine on local[32] where all executor threads share the JVM; on a
   * real cluster the identical reader options point at a network
-  * `jdbc:postgresql://...`-style URL and nothing else changes.
+  * `jdbc:postgresql://...`-style URL and nothing else changes. A
+  * network-server dress rehearsal (Derby's `derbynet` server +
+  * `derbyclient` driver) was scoped for r12 but is not testable in
+  * this environment: the Spark distribution ships only
+  * derby/derbyshared/derbytools jars — no server, no client driver —
+  * and the build allows no added dependencies (zero egress). The
+  * partitioned-read path itself has no same-JVM assumption: every
+  * option it sets is wire-protocol-side.
   *
   * Reference scope: the EECS 485 framework ingests only text files
   * (mapreduce/manager/__main__.py partitions input directories);

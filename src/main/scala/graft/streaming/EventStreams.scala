@@ -337,6 +337,54 @@ object EventStreams {
     finally dropStaged(staged)
   }
 
+  /** The watermark-windowed hourly pipeline driven by a REAL clock
+    * trigger — `Trigger.ProcessingTime(25 ms)` — instead of
+    * AvailableNow, so the declared streaming surface includes a query
+    * that genuinely TICKS: the events table is staged as four
+    * time-ordered quarter drops replayed one file per micro-batch,
+    * the watermark advances between clock-fired batches, and the
+    * Complete-mode result is exactly the batch answer (oracle =
+    * `EventOps.hourlySql`, the same DuckDB twin `stream_hourly`
+    * checks — what differs here is the TRIGGER, which is the point).
+    * Bounded-input shutdown is `processAllAvailable()` + `stop()` —
+    * the drain-and-stop deploy pattern for a clock-triggered stream;
+    * on an unbounded production source the same query simply never
+    * stops. Kept off a rate/socket source deliberately: those
+    * generate wall-clock-dependent rows that no deterministic oracle
+    * can replay, while a clocked file stream keeps the data exact. */
+  def streamClockHourly(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val ss = streamingSession(spark)
+    val ev = graft.Tables.events(ss, d)
+    val bounds = ev.agg(
+      min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val qWidth = (hi - lo) / 4 + 1
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-clock-$n")
+    (0 until 4).foreach { q =>
+      ev.filter(unix_millis(col("ts")) >= lo + q * qWidth &&
+          unix_millis(col("ts")) < lo + (q + 1) * qWidth)
+        .coalesce(1).write.mode("append").parquet(drop.toString)
+      Thread.sleep(5) // distinct mod-times: deterministic batch order
+    }
+    try {
+      val name = s"graft_stream_clock_$n"
+      val q: StreamingQuery =
+        hourlyAgg(readEvents(ss, drop.toString, maxFilesPerTrigger = Some(1)))
+          .writeStream
+          .outputMode(OutputMode.Complete())
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.ProcessingTime("25 milliseconds"))
+          .start()
+      q.processAllAvailable() // drain: blocks until all staged input is processed
+      q.stop()
+      q.awaitTermination()
+      ss.table(name).orderBy("hr", "event_type")
+    } finally dropStaged(drop.toString)
+  }
+
   /** Streaming exact dedup under the hash gate: the events table
     * staged as TWO identical drops, replayed as SEPARATE micro-batches
     * (`maxFilesPerTrigger = 1`), so the watermark-bounded

@@ -31,6 +31,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("clock-triggered (ProcessingTime) hourly equals batch hourly") {
+    // the non-AvailableNow face: four quarter drops replayed one file
+    // per clock tick, drained via processAllAvailable + stop — the
+    // final Complete-mode table must still be exactly the batch answer
+    val got = EventStreams.streamClockHourly(spark, sf)
+      .select("hr", "event_type", "n", "total_value")
+    val want = EventOps.hourly(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming sliding windows equal the batch 4-window explode") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEvents(spark, eventsStreamDir)
