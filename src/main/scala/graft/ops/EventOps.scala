@@ -832,4 +832,140 @@ object EventOps {
       |  round(CAST(n AS DOUBLE) /
       |    SUM(n) OVER (PARTITION BY prev_type), 9) AS p
       |FROM pairs ORDER BY prev_type, next_type""".stripMargin
+
+  /** EWMA (α = 0.5) of the daily event count — the trend smoother
+    * next to [[anomalyDays]]' spike detector and [[autocorrWeekly]]'s
+    * seasonality probe. α is HALF deliberately: every weight 2^-(j+1)
+    * is a dyadic rational, so term = count · 2^(19-j) is an exact
+    * BIGINT, the 20-term lookback sums exactly, and the final ÷ 2^20
+    * is an exact double — zero float accumulation, zero rounding,
+    * bit-identical cross-engine BY CONSTRUCTION (no round-to-9 crutch
+    * needed). The lookback is calendar-based (a gap day decays the
+    * average like an observed zero) and truncates at 20 days, where
+    * the discarded tail weight is < 1e-6 of the total. Scale shape:
+    * the daily aggregate is days-of-history-sized; the 20-day range
+    * self-join and the weighted sum never see event cardinality
+    * ([[autocorrWeekly]]'s exact pattern). */
+  def ewmaDaily(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val hist = daily.select(col("day").as("day2"), col("n").as("n2"))
+    daily.join(hist,
+        col("day2").between(date_sub(col("day"), 19), col("day")))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 19 - datediff(day, day2)) * n2"))
+          / lit(1048576.0)).as("ewma"))
+      .orderBy("day")
+  }
+
+  def ewmaDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT d1.day, MAX(d1.n) AS n,
+      |  CAST(SUM(d2.n * (CAST(1 AS BIGINT)
+      |    << (19 - datediff('day', d2.day, d1.day)))) AS BIGINT)
+      |    / 1048576.0 AS ewma
+      |FROM daily d1 JOIN daily d2
+      |  ON d2.day BETWEEN d1.day - 19 AND d1.day
+      |GROUP BY d1.day ORDER BY d1.day""".stripMargin
+
+  /** Distribution drift between the corpus's first and second time
+    * halves: per-event-type counts, probabilities, and the per-type
+    * KL-divergence contribution P·ln(P/Q) — the monitoring primitive
+    * behind every "did the traffic mix shift?" alert (summing kl_term
+    * gives D_KL(first‖second)). The midpoint cut and both halves'
+    * totals ride a broadcast 1-row bounds aggregate (the [[rfmSegments]]
+    * pattern — no driver action); counts are exact, the probabilities
+    * divide exact integers, and the one ln per type is rounded to 9
+    * (the cross-engine float recipe). */
+  def driftHalves(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+    val b = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+    val tagged = ev.crossJoin(broadcast(b))
+      .select(col("event_type"),
+        (col("ms") >= col("lo") +
+          ((col("hi") - col("lo")) / lit(2)).cast("long")).cast("int").as("half"))
+    val c = tagged.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+    val tot = c.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    c.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("t1"), 9).as("p1"),
+        round(col("n2").cast("double") / col("t2"), 9).as("p2"),
+        round((col("n1").cast("double") / col("t1")) *
+          log((col("n1").cast("double") / col("t1")) /
+            (col("n2").cast("double") / col("t2"))), 9).as("kl_term"))
+      .orderBy("event_type")
+  }
+
+  def driftHalvesSql: String =
+    """WITH b AS (SELECT MIN(epoch_ms(ts)) AS lo, MAX(epoch_ms(ts)) AS hi FROM events),
+      |tagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN epoch_ms(ts) < (SELECT lo + (hi - lo) // 2 FROM b)
+      |         THEN 0 ELSE 1 END AS half
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+      |  FROM tagged GROUP BY event_type),
+      |tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(CAST(n1 AS DOUBLE) / t1, 9) AS p1,
+      |  round(CAST(n2 AS DOUBLE) / t2, 9) AS p2,
+      |  round((CAST(n1 AS DOUBLE) / t1) *
+      |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9) AS kl_term
+      |FROM c, tot ORDER BY event_type""".stripMargin
+
+  /** Event-type co-occurrence cosine over (user, day) incidence — the
+    * item-item collaborative-filtering primitive: how strongly two
+    * event types light up together in the same user-day. Incidence is
+    * BINARY and day-granular (plain per-user incidence saturates: at
+    * any realistic history length every user eventually touches every
+    * type and all cosines hit 1.0). Scale shape: the distinct
+    * (user, day, type) table shuffles once on its natural key; the
+    * pair self-join is an equi-join on (user_id, day) whose per-row
+    * fan-out is bounded by |types|² — never a cross join — and the
+    * pair counts re-aggregate onto a ≤ |types|² key space map-side.
+    * The per-type marginals are a |types|-row broadcast. Cosines are
+    * exact-integer ratios through one sqrt, rounded to 9. */
+  def cooccurTypes(spark: SparkSession, d: String): DataFrame = {
+    val inc = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val n = inc.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val a = inc.select(col("user_id"), col("day"), col("event_type").as("ta"))
+    val bb = inc.select(col("user_id"), col("day"), col("event_type").as("tb"))
+    val pairs = a.join(bb, Seq("user_id", "day"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(n.select(col("event_type").as("ta"), col("cnt").as("n_a"))), Seq("ta"))
+      .join(broadcast(n.select(col("event_type").as("tb"), col("cnt").as("n_b"))), Seq("tb"))
+      .select(col("ta"), col("tb"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b")), 9).as("cosine"))
+      .orderBy("ta", "tb")
+  }
+
+  def cooccurTypesSql: String =
+    """WITH inc AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |n AS (SELECT event_type, COUNT(*) AS cnt FROM inc GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_both
+      |  FROM inc a JOIN inc b ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(na.cnt AS BIGINT) AS n_a, CAST(nb.cnt AS BIGINT) AS n_b,
+      |  round(n_both / sqrt(CAST(na.cnt AS DOUBLE) * nb.cnt), 9) AS cosine
+      |FROM pairs JOIN n na ON na.event_type = ta JOIN n nb ON nb.event_type = tb
+      |ORDER BY ta, tb""".stripMargin
 }

@@ -1134,4 +1134,66 @@ object SimilarityOps {
       |  MAX(abs_max) AS max_abs,
       |  CAST(SUM(CAST(med AS DECIMAL(18,6))) AS DOUBLE) AS med_total
       |FROM per GROUP BY label ORDER BY label""".stripMargin
+
+  /** One Lloyd iteration of k-means (k = 8) over the embedding corpus
+    * — the clustering primitive under the IVF index builders
+    * ([[annIvf]] trains its coarse quantizer exactly this way) exposed
+    * as its own declared, oracle-checked step: hash-ranked seed
+    * selection (TakeOrdered top-8 on the content-derived hash — the
+    * deterministic stand-in for random init; rand() is
+    * partitioning-dependent), one broadcast-assign pass (8 codegen'd
+    * dots per vector, argmin with rounded distances and centroid-id
+    * tie-break), and the per-cell population + mean distance the next
+    * iteration's convergence check reads. Scale shape: seeds are a
+    * k-row broadcast, assignment is one map-side pass over the corpus,
+    * the re-aggregate is onto k keys — a full Lloyd loop is this plan
+    * iterated, exactly like [[GraphOps.pagerank]]'s per-round shape.
+    * Mean distance goes through a rounded decimal sum (dsum recipe) so
+    * the division is exact-over-exact. */
+  def embKmeans(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = e
+      .select(xhash60(col("vec_id").cast("string"), 99).as("h"),
+        col("vec_id"), col("v"))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+      .select(col("cid"), col("v").as("c"))
+    val scored = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"),
+        round(norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c"))
+          + norm2(col("c")), 9).as("dist2"))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+      .where(col("rk") === 1)
+    best.groupBy(col("cid").as("centroid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(round(sqrt(col("dist2")), 9).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_dist"))
+      .orderBy("centroid")
+  }
+
+  def embKmeansSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sr AS (SELECT vec_id, v, row_number() OVER (
+       |  ORDER BY ${xhash60Sql("CAST(vec_id AS VARCHAR)", 99)}, vec_id) AS r FROM e),
+       |seeds AS (SELECT r AS cid, v AS c FROM sr WHERE r <= 8),
+       |scored AS (
+       |  SELECT e.vec_id, s.cid,
+       |    round(list_sum(list_transform(e.v, x -> x*x))
+       |      - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> e.v[i] * s.c[i]))
+       |      + list_sum(list_transform(s.c, x -> x*x)), 9) AS dist2
+       |  FROM e CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, cid, dist2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+       |  FROM scored)
+       |SELECT CAST(cid AS BIGINT) AS centroid, COUNT(*) AS n_vecs,
+       |  round(CAST(SUM(CAST(round(sqrt(dist2), 9) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_dist
+       |FROM best WHERE rk = 1 GROUP BY cid ORDER BY centroid""".stripMargin
 }

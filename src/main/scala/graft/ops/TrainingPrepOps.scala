@@ -188,6 +188,44 @@ object TrainingPrepOps {
        |  FROM documents)
        |WHERE rn <= $StratumK ORDER BY lang, doc_id""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis: each
+    * document draws key = −ln(u)/w from a deterministic uniform
+    * u = (xhash60(doc_id)+1)/2⁶⁰ and weight w = n_chars, and the 100
+    * SMALLEST keys are the sample (longer documents proportionally
+    * likelier, the standard length-weighted mix draw a training
+    * pipeline makes). E-S is THE distributed weighted sampler: keys
+    * are row-local (no coordination, any partitioning), selection is
+    * one TakeOrdered top-K — never a global sort; the rank window
+    * runs over the 100 already-selected rows only. rand(seed) would be
+    * partitioning-dependent; the content-derived hash is not. Keys are
+    * rounded to 9 before ranking (one ln per row — the cross-engine
+    * float recipe; doc_id breaks rounding-induced ties). */
+  def sampleWeighted(spark: SparkSession, d: String): DataFrame = {
+    val u = (xhash60(col("doc_id").cast("string"), 77) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)
+    val w = greatest(col("n_chars"), lit(1L))
+    val keyed = Tables.documents(spark, d)
+      .select(col("doc_id"), w.as("w"),
+        round(-log(u) / w.cast("double"), 9).as("k"))
+    keyed.orderBy(col("k"), col("doc_id")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("k"))
+      .orderBy("rank")
+  }
+
+  def sampleWeightedSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, greatest(n_chars, 1) AS w,
+       |    round(-ln(((${xhash60Sql("CAST(doc_id AS VARCHAR)", 77)}) + 1)
+       |            / 1152921504606846976.0)
+       |          / greatest(n_chars, 1), 9) AS k
+       |  FROM documents),
+       |r AS (SELECT doc_id, w, k,
+       |  row_number() OVER (ORDER BY k, doc_id) AS rank FROM keyed)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(w AS BIGINT) AS w, k
+       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------
   // text_pack: greedy sequence packing into token-budget bins
   // ---------------------------------------------------------------
