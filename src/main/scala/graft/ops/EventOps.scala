@@ -565,6 +565,51 @@ object EventOps {
        |GROUP BY r.event_type, nd ORDER BY r.event_type""".stripMargin
   }
 
+  /** Bloom-filter membership sketch per event type
+    * ([[graft.functions.BloomAgg]]) — the mergeable-union companion to
+    * [[kmvUsers]]' order-statistic sketch: 16 longs of OR-merged bit
+    * state per group cross the shuffle instead of the distinct user
+    * set, and the popcount (partition-schedule-independent, so it
+    * goes straight under the hash gate; DuckDB replays it as
+    * COUNT(DISTINCT md5-position)) feeds the two standard
+    * diagnostics: the fill-inversion cardinality estimate
+    * −(M/K)·ln(1−bits/M) and the current false-positive rate
+    * (bits/M)^K — cubed by explicit multiplication, not pow(), so
+    * both engines run the identical float ops. The exact distinct
+    * count rides along to score the estimate. */
+  def bloomUsers(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomAgg
+    val m = BloomAgg.M.toDouble
+    val fill = col("bits_set").cast("double") / lit(m)
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        BloomAgg.bloom_bits(col("user_id").cast("string")).as("bits_set"))
+      .select(col("event_type"), col("n_exact"), col("bits_set"),
+        round(lit(-m / BloomAgg.K) * log(lit(1.0) - fill), 6).as("est_n"),
+        round(fill * fill * fill, 9).as("fpp"))
+      .orderBy("event_type")
+  }
+
+  def bloomUsersSql: String = {
+    val (m, k) = (graft.functions.BloomAgg.M, graft.functions.BloomAgg.K)
+    s"""WITH el AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events),
+       |pos AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(u), 8*r + 1, 8))::BIGINT % $m AS p
+       |  FROM el CROSS JOIN (SELECT unnest(range(0, $k)) AS r) ks),
+       |b AS (SELECT event_type, COUNT(DISTINCT p) AS bits FROM pos GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1)
+       |SELECT b.event_type, CAST(ex.n AS BIGINT) AS n_exact,
+       |  CAST(b.bits AS BIGINT) AS bits_set,
+       |  round(-($m.0 / $k) * ln(1.0 - CAST(b.bits AS DOUBLE) / $m), 6) AS est_n,
+       |  round((CAST(b.bits AS DOUBLE) / $m) * (CAST(b.bits AS DOUBLE) / $m)
+       |    * (CAST(b.bits AS DOUBLE) / $m), 9) AS fpp
+       |FROM b JOIN ex ON b.event_type = ex.event_type
+       |ORDER BY b.event_type""".stripMargin
+  }
+
   /** Lag-7 autocorrelation of the daily event count — the seasonality
     * probe next to [[anomalyDays]]' spike detector: r ≈ 1 means a
     * strong weekly rhythm, ≈ 0 none. The series pairs with itself via

@@ -1135,6 +1135,43 @@ object SimilarityOps {
       |  CAST(SUM(CAST(med AS DECIMAL(18,6))) AS DOUBLE) AS med_total
       |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  /** ANN self-evaluation: recall@3 of the IVF index against the exact
+    * brute-force top-3, per query — the metric an index owner watches
+    * when tuning nprobe/cell count, promoted to a first-class declared
+    * query (SimilaritySpec asserts a recall FLOOR; this exposes the
+    * exact per-query value under the hash gate, both sides replayed
+    * deterministically by the oracle). Scale shape: both inputs are
+    * existing declared plans (broadcast-probe joins); the recall join
+    * matches two ≤3-row-per-query sets on (qid, nid) and aggregates
+    * onto |queries| keys. Missed queries surface as recall 0, not as
+    * absent rows (left join from the exact side). */
+  def annRecall(spark: SparkSession, d: String): DataFrame = {
+    val brute = bruteTopK(spark, d).where(col("rank") <= 3)
+      .select(col("qid"), col("nid"))
+    val ann = annIvf(spark, d).select(col("qid"), col("nid"))
+    val hits = brute.join(ann, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    brute.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / lit(3.0), 9).as("recall3"))
+      .orderBy("qid")
+  }
+
+  def annRecallSql: String =
+    s"""WITH brute3 AS (
+       |  SELECT qid, nid FROM ($bruteTopKSql) b WHERE rank <= 3),
+       |ann AS (SELECT qid, nid FROM ($annIvfSql) a),
+       |hits AS (
+       |  SELECT brute3.qid, COUNT(*) AS h
+       |  FROM brute3 JOIN ann ON brute3.qid = ann.qid AND brute3.nid = ann.nid
+       |  GROUP BY brute3.qid)
+       |SELECT q.qid, COALESCE(h, 0) AS n_hits,
+       |  round(COALESCE(h, 0) / 3.0, 9) AS recall3
+       |FROM (SELECT DISTINCT qid FROM brute3) q
+       |LEFT JOIN hits ON q.qid = hits.qid
+       |ORDER BY q.qid""".stripMargin
+
   /** One Lloyd iteration of k-means (k = 8) over the embedding corpus
     * — the clustering primitive under the IVF index builders
     * ([[annIvf]] trains its coarse quantizer exactly this way) exposed

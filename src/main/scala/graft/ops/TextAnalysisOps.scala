@@ -994,6 +994,44 @@ object TextAnalysisOps {
     s"WITH $base,\n$stages\nSELECT * FROM (\n$out) r ORDER BY merge_rank"
   }
 
+  /** Flesch–Kincaid grade-level readability per document — the
+    * classic quality feature next to [[qualityScores]]' ratio signals
+    * and the Gopher rules: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59, with sentences counted as
+    * terminator RUNS ([.!?]+), syllables approximated as vowel runs
+    * ([aeiouy]+, the standard cheap estimator), and both clamped ≥ 1
+    * so fragment documents score instead of dividing by zero. All
+    * three inputs are exact integer counts from one regexp pass per
+    * document (row-local, no shuffle beyond the final sort), so the
+    * one float expression runs on identical operands in both engines
+    * (round 6). */
+  def readability(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))), lit(1)).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("n_sents"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        round(lit(0.39) * col("n_words").cast("double") / col("n_sents")
+          + lit(11.8) * col("n_syll").cast("double") / col("n_words")
+          - lit(15.59), 6).as("fk_grade"))
+      .orderBy("doc_id")
+
+  def readabilitySql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    greatest(len(${tokensSql("text")}), 1) AS n_words,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+       |  round(0.39 * CAST(n_words AS DOUBLE) / n_sents
+       |    + 11.8 * CAST(n_syll AS DOUBLE) / n_words - 15.59, 6) AS fk_grade
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Inverted-index build — the search-engine primitive the text
     * suite lacked: token → document-frequency + posting list, built
     * from ONE tokenize pass (shared [[OpsUtil.tokens]]), per-doc

@@ -90,6 +90,31 @@ class SketchSpec extends AnyFunSuite {
     assert(est(g1, "never-seen") >= 0L)
   }
 
+  test("Bloom popcount is partition-independent; membership never false-negative; estimate in bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomAgg
+    // 300 distinct values with duplicates (dups must not move any bit)
+    val rows = (0 until 300).flatMap(i => Seq(s"item$i", s"item$i")).map(Tuple1(_))
+    val base = rows.toDF("v")
+    def bits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(BloomAgg.bloom_bits(col("v")).as("b")).collect().head.getLong(0)
+    // OR-union: any merge tree yields the identical bit set
+    val b1 = bits(base.repartition(1))
+    val b13 = bits(base.repartition(13))
+    assert(b1 === b13, "bloom bits must not depend on the merge tree")
+    // popcount equals the distinct-position count computed directly
+    val wantBits = (0 until 300)
+      .flatMap(i => BloomAgg.positions(s"item$i")).distinct.size.toLong
+    assert(b1 === wantBits)
+    // no false negatives by construction; fill-inversion estimate of
+    // n within the sketch's coarse tolerance (K*n = 900 of M = 1024
+    // bits -> heavy collisions; 35% is the analytic ballpark here)
+    val est = -(BloomAgg.M.toDouble / BloomAgg.K) *
+      math.log(1.0 - b1.toDouble / BloomAgg.M)
+    assert(math.abs(est - 300.0) <= 300 * 0.35, s"estimate $est too far from 300")
+  }
+
   test("KMV sketch is partition-independent; below-K path is exact; estimate in error bound") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
