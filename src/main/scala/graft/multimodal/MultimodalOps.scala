@@ -256,6 +256,83 @@ object MultimodalOps {
       |  CAST(px.psum AS BIGINT) AS pixel_sum
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
+  /** Real TIFF payloads — the tagged-container image format: dims
+    * keyed on doc_id (different arithmetic than BMP so the two
+    * decoders can't accidentally validate each other), RGB bytes
+    * cycled from the document text. */
+  def tiffAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (16 + (id * 11) % 300).toInt
+          val h = (1 + id % 17).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val pixels = Array.tabulate[Byte](w * h * 3)(i => src(i % src.length))
+          (id, TiffCodec.encode(w, h, pixels))
+        }
+      }.toDF("asset_id", "tiff")
+  }
+
+  /** Declared query: decode REAL TIFF bytes via the IFD walk back to
+    * typed metadata + resize plan. Every field is read out of the
+    * tag directory by [[TiffCodec.decode]] (offsets followed, not
+    * assumed); the oracle recomputes expectations from the canonical
+    * layout arithmetic (128-byte preamble + unpadded RGB strip) and
+    * the cycled-source pixel-sum closed form. */
+  def mmTiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = tiffAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = TiffCodec
+        rows.map { case (id, tiff) =>
+          val m = codec.decode(tiff)
+          val scale = math.min(1.0, 256.0 / math.max(m.width, m.height))
+          (id, tiff.length.toLong, m.width.toLong, m.height.toLong,
+            m.samplesPerPixel.toLong, m.bitsPerSample.toLong,
+            m.stripOffset.toLong, m.stripBytes.toLong,
+            math.max(1, (m.width * scale).toInt).toLong,
+            math.max(1, (m.height * scale).toInt).toLong,
+            codec.pixelSum(tiff))
+        }
+      }
+    decoded.toDF("asset_id", "tiff_bytes", "width", "height", "spp",
+      "bits", "strip_off", "strip_bytes", "resized_w", "resized_h", "pixel_sum")
+      .orderBy("asset_id")
+  }
+
+  // TIFF rows are UNPADDED (no BMP stride), so total bytes and the
+  // pixel sum have the simplest closed forms: strip = w*h*3, file =
+  // 128 + strip, sum = cycles × sum(text bytes) + prefix remainder.
+  def mmTiffSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 16 + (doc_id * 11) % 300 AS w, 1 + doc_id % 17 AS h,
+       |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |geo AS (
+       |  SELECT doc_id, w, h, bl, hx,
+       |    LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale,
+       |    w * h * 3 AS total
+       |  FROM dims),
+       |px AS (
+       |  SELECT doc_id, CASE WHEN bl = 0 THEN 0 ELSE
+       |      (total // bl) * COALESCE(list_sum(list_transform(range(bl),
+       |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+       |      + COALESCE(list_sum(list_transform(range(total % bl),
+       |        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT)), 0)
+       |    END AS psum
+       |  FROM geo)
+       |SELECT g.doc_id AS asset_id,
+       |  ${TiffCodec.PixelOffset} + g.total AS tiff_bytes,
+       |  g.w AS width, g.h AS height, 3 AS spp, 8 AS bits,
+       |  ${TiffCodec.PixelOffset} AS strip_off, g.total AS strip_bytes,
+       |  GREATEST(1, CAST(trunc(g.w * g.scale) AS BIGINT)) AS resized_w,
+       |  GREATEST(1, CAST(trunc(g.h * g.scale) AS BIGINT)) AS resized_h,
+       |  CAST(px.psum AS BIGINT) AS pixel_sum
+       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
+
   /** Real PNG payloads for the corpus's image assets — a COMPRESSED
     * format (deflate over filtered scanlines), encoded with the JDK's
     * ImageIO: dims keyed on doc_id, RGB triplets cycled from the

@@ -1187,29 +1187,75 @@ object SimilarityOps {
     * iterated, exactly like [[GraphOps.pagerank]]'s per-round shape.
     * Mean distance goes through a rounded decimal sum (dsum recipe) so
     * the division is exact-over-exact. */
-  def embKmeans(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(spark, d)
+  private def kmVectors(spark: SparkSession, d: String) =
+    Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val seeds = e
-      .select(xhash60(col("vec_id").cast("string"), 99).as("h"),
-        col("vec_id"), col("v"))
-      .orderBy(col("h"), col("vec_id")).limit(8)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long"))
-      .select(col("cid"), col("v").as("c"))
-    val scored = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cid"),
+
+  private def kmSeeds(e: DataFrame): DataFrame = e
+    .select(xhash60(col("vec_id").cast("string"), 99).as("h"),
+      col("vec_id"), col("v"))
+    .orderBy(col("h"), col("vec_id")).limit(8)
+    .withColumn("cid",
+      row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+    .select(col("cid"), col("v").as("c"))
+
+  /** Broadcast-assign: each vector to its nearest centroid (rounded
+    * L2², centroid-id tie-break). */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
         round(norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c"))
           + norm2(col("c")), 9).as("dist2"))
-    val best = scored
+    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
       .where(col("rk") === 1)
-    best.groupBy(col("cid").as("centroid"))
+  }
+
+  def embKmeans(spark: SparkSession, d: String): DataFrame = {
+    val e = kmVectors(spark, d)
+    kmAssign(e, kmSeeds(e))
+      .groupBy(col("cid").as("centroid"))
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(round(sqrt(col("dist2")), 9).cast("decimal(18,6)"))
           .cast("double") / count(lit(1)), 6).as("mean_dist"))
       .orderBy("centroid")
+  }
+
+  /** The full Lloyd LOOP — the scale continuation of the declared
+    * one-iteration [[embKmeans]] (the [[graft.ops.GraphOps.pagerank]]
+    * shape applied to clustering): per round, one broadcast-assign
+    * pass over the corpus, one (cid, dim)-keyed partial-aggregate to
+    * recompute means distributed (never a per-cluster array fold on
+    * one node), and exactly ONE bounded driver action — the 1-row
+    * total-cost scalar the convergence check reads. Centroid means go
+    * through the decimal-exact davg, so every round is deterministic
+    * and Lloyd's monotone-descent guarantee is assertable
+    * (ScaleStressSpec). A centroid that loses every vector drops out
+    * (k shrinks), the standard Lloyd degeneracy. Returns the final
+    * per-cluster summary and the per-round total cost trace. */
+  private[graft] def embKmeansIter(spark: SparkSession, d: String,
+      rounds: Int): (DataFrame, Seq[Double]) = {
+    val e = kmVectors(spark, d).localCheckpoint(false)
+    var cents = kmSeeds(e)
+    val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to rounds).foreach { _ =>
+      val best = kmAssign(e, cents).localCheckpoint(false)
+      costs += best.agg(
+        sum(round(sqrt(col("dist2")), 9).cast("decimal(18,6)"))
+          .cast("double").as("cost")).head.getDouble(0)
+      cents = best.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(graft.ops.OpsUtil.davg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+    }
+    val summary = kmAssign(e, cents)
+      .groupBy(col("cid").as("centroid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("centroid")
+    (summary, costs.toSeq)
   }
 
   def embKmeansSql: String =

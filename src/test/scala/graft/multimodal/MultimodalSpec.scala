@@ -190,6 +190,73 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("TiffCodec round-trips encode→decode via a real IFD walk") {
+    for (w <- 1 to 5; h <- Seq(1, 9)) {
+      val m = TiffCodec.decode(TiffCodec.encode(w, h, Array.fill[Byte](w * h * 3)(5)))
+      assert(m === TiffMeta(w, h, 3, 8, h, TiffCodec.PixelOffset, w * h * 3), s"${w}x$h")
+    }
+  }
+
+  test("TiffCodec follows the IFD pointer (decode assumes no canonical layout)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // relocate the whole IFD+values block after the pixel strip and
+    // repoint the header: a reader that assumes offset 8 breaks here
+    val w = 4; val h = 2
+    val canonical = TiffCodec.encode(w, h, Array.fill[Byte](w * h * 3)(7))
+    val ifdBlock = java.util.Arrays.copyOfRange(canonical, 8, TiffCodec.PixelOffset)
+    val strip = java.util.Arrays.copyOfRange(canonical, TiffCodec.PixelOffset, canonical.length)
+    val out = ByteBuffer.allocate(canonical.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42)
+      .putInt(8 + strip.length) // IFD now lives after the strip
+      .put(strip).put(ifdBlock)
+    val moved = out.array()
+    // fix the two offsets the moved block carries: BitsPerSample
+    // external values (entry 3, value field) and StripOffsets (entry 6)
+    val ifdBase = 8 + strip.length
+    val bb = ByteBuffer.wrap(moved).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(ifdBase + 2 + 2 * 12 + 8, ifdBase + 2 + 9 * 12 + 4) // BitsPerSample → after IFD
+    bb.putInt(ifdBase + 2 + 5 * 12 + 8, 8)                        // strip now at offset 8
+    val m = TiffCodec.decode(moved)
+    assert(m.width === w && m.height === h && m.stripOffset === 8)
+    assert(TiffCodec.pixelSum(moved) === 7L * w * h * 3)
+  }
+
+  test("TiffCodec fails loudly on alien / compressed / truncated bytes") {
+    intercept[IllegalArgumentException](TiffCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      TiffCodec.decode("MM *   ".getBytes("US-ASCII"))) // big-endian
+    val ok = TiffCodec.encode(6, 3, Array.fill[Byte](54)(1))
+    intercept[IllegalArgumentException](TiffCodec.decode(ok.take(100))) // truncated strip
+    val compressed = ok.clone()
+    // Compression entry (index 3) value field → 5 (LZW)
+    java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(8 + 2 + 3 * 12 + 8, 5)
+    intercept[IllegalArgumentException](TiffCodec.decode(compressed))
+  }
+
+  test("mm_tiff decodes real generated TIFF bytes to the expected metadata") {
+    val rows = MultimodalOps.mmTiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val w = 16 + (id * 11) % 300
+      val h = 1 + id % 17
+      assert(r.getAs[Long]("width") === w, s"doc $id")
+      assert(r.getAs[Long]("height") === h, s"doc $id")
+      assert(r.getAs[Long]("strip_bytes") === w * h * 3, s"doc $id")
+      assert(r.getAs[Long]("tiff_bytes") === TiffCodec.PixelOffset + w * h * 3, s"doc $id")
+      val src = { val b = docs(id).getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+      val total = (w * h * 3).toInt
+      var expected = 0L; var i = 0
+      while (i < total) { expected += (src(i % src.length) & 0xff); i += 1 }
+      assert(r.getAs[Long]("pixel_sum") === expected, s"doc $id")
+    }
+  }
+
   test("AviCodec round-trips encode→decode incl. frame walk and odd-size pads") {
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
     val m = AviCodec.decode(AviCodec.encode(320, 240, 33333, 30, 1, frames))

@@ -365,6 +365,27 @@ class ScaleStressSpec extends AnyFunSuite {
     info(s"64 merges in $rounds rounds (${64.0 / rounds} merges/driver action)")
   }
 
+  test("Lloyd k-means loop descends monotonically with one driver scalar per round") {
+    // The declared emb_kmeans is ONE Lloyd iteration; the loop is the
+    // scale path: per round one broadcast-assign pass + one (cid,dim)
+    // partial-agg recompute + ONE 1-row cost collect. Lloyd's descent
+    // guarantee (cost non-increasing round over round) is the
+    // correctness invariant the decimal-exact means make assertable.
+    val (summary, costs) = SimilarityOps.embKmeansIter(spark, sf01, 5)
+    assert(costs.size === 5)
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd cost must not increase: $costs")
+    }
+    assert(costs.last < costs.head, s"5 rounds should improve on the seeds: $costs")
+    val n = summary.agg(org.apache.spark.sql.functions.sum("n_vecs"))
+      .head.getLong(0)
+    assert(n === spark.read.parquet(s"$sf01/embeddings.parquet").count(),
+      "every vector assigned exactly once")
+    // determinism: same seeds, same data -> identical trace
+    val (_, again) = SimilarityOps.embKmeansIter(spark, sf01, 5)
+    assert(again === costs, "Lloyd trace must be deterministic run-over-run")
+  }
+
   test("two-level IVF assigns a >2M-vector corpus across >65,536 fine cells " +
     "with only √k-bounded broadcasts") {
     // The IvfMaxCells ceiling exists because the flat index BROADCASTS
