@@ -967,6 +967,46 @@ object EventOps {
       |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9) AS kl_term
       |FROM c, tot ORDER BY event_type""".stripMargin
 
+  /** Benford first-digit profile of the event `value` column — the
+    * classic fabricated-data / instrumentation-bug diagnostic: natural
+    * multiplicative quantities put ~30.1% of first digits at 1; a
+    * uniform RNG or a capped field shows up instantly as a flat or
+    * truncated profile. The digit is extracted WITHOUT float
+    * formatting (each engine prints doubles its own way): the value
+    * goes through DECIMAL(18,6), scales to an exact integer, and the
+    * first digit comes off the integer's decimal string — identical
+    * in both engines by construction. One groupBy onto ≤9 keys; the
+    * expected-p constants are one rounded ln ratio per digit. */
+  def benfordValues(spark: SparkSession, d: String): DataFrame = {
+    val pos = Tables.events(spark, d)
+      .where(col("value") > 0)
+      .select((col("value").cast("decimal(18,6)") * lit(1000000))
+        .cast("bigint").as("iv"))
+    val c = pos.select(substring(col("iv").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).cast("double").as("t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("t"), 9).as("p"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9)
+          .as("benford_p"))
+      .orderBy("digit")
+  }
+
+  def benfordValuesSql: String =
+    """WITH pos AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS iv
+      |  FROM events WHERE value > 0),
+      |dig AS (
+      |  SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit FROM pos),
+      |c AS (SELECT digit, COUNT(*) AS n FROM dig GROUP BY digit),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(n / t, 9) AS p,
+      |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 9) AS benford_p
+      |FROM c, tot ORDER BY digit""".stripMargin
+
   /** Event-type co-occurrence cosine over (user, day) incidence — the
     * item-item collaborative-filtering primitive: how strongly two
     * event types light up together in the same user-day. Incidence is

@@ -1538,4 +1538,52 @@ object RelationalOps {
       |JOIN big ON o_orderkey = big.l_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Market-basket lift over order contents — association-rule mining,
+    * the analytics family (frequent itemsets) the relational suite
+    * lacked: for the 20 most co-purchased part pairs, support counts
+    * and lift = P(a∧b) / (P(a)·P(b)) (lift ≫ 1 ⇒ genuinely bought
+    * together, not just both popular). Scale shape: the basket
+    * self-join is an equi-join on l_orderkey whose per-order fan-out
+    * is bounded by (items per order)² — TPC-H orders hold ≤ 7 lines,
+    * so the pair stream is a small constant × |lineitem| — and pair
+    * counts re-aggregate map-side onto the co-purchased key space;
+    * the part marginals are a |parts|-row broadcast; top-20 is
+    * TakeOrdered. Lift divides exact counts once, rounded to 9. */
+  def basketLift(spark: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val total = items.agg(countDistinct(col("l_orderkey"))
+      .cast("double").as("total"))
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("pa"), col("n").as("n_a"))), Seq("pa"))
+      .join(broadcast(freq.select(col("l_partkey").as("pb"), col("n").as("n_b"))), Seq("pb"))
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both") * col("total") /
+          (col("n_a").cast("double") * col("n_b")), 9).as("lift"))
+      .orderBy(col("n_both").desc, col("pa"), col("pb")).limit(20)
+  }
+
+  def basketLiftSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS total FROM items),
+      |freq AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_both
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(fa.n AS BIGINT) AS n_a, CAST(fb.n AS BIGINT) AS n_b,
+      |  round((n_both * (SELECT total FROM n_orders)) /
+      |    (CAST(fa.n AS DOUBLE) * fb.n), 9) AS lift
+      |FROM pairs JOIN freq fa ON fa.l_partkey = pa JOIN freq fb ON fb.l_partkey = pb
+      |ORDER BY n_both DESC, pa, pb LIMIT 20""".stripMargin
 }

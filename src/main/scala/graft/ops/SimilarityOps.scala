@@ -1135,6 +1135,66 @@ object SimilarityOps {
       |  CAST(SUM(CAST(med AS DECIMAL(18,6))) AS DOUBLE) AS med_total
       |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  /** One power-iteration step toward the embedding covariance's top
+    * eigenvector — the distributed linear-algebra primitive under PCA
+    * whitening and spectral diagnostics: cov = E[xxᵀ] − μμᵀ built the
+    * way it scales (per-vector outer-product explode → (di, dj)
+    * partial aggregation onto dims² = 4096 keys, map-side combined —
+    * never a driver-side matrix), then v₁ = cov·v₀ from the exact
+    * dyadic start v₀ = (1/8,…,1/8) (unit L2 norm at 64 dims, and 1/8
+    * multiplies exactly). Cross-engine exactness: second moments sum
+    * through DECIMAL(28,12), the per-entry cov float math runs once on
+    * those exact operands, and the matvec re-sums rounded terms
+    * through decimal. Declared face: per-dimension variance (the cov
+    * diagonal) and the v₁ component. */
+  def embPower(spark: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val m = ex.groupBy(col("d"))
+      .agg(graft.ops.OpsUtil.davg(col("x")).as("mu"), count(lit(1)).as("n"))
+    val a = ex.select(col("vec_id"), col("d").as("di"), col("x").as("xi"))
+    val b = ex.select(col("vec_id"), col("d").as("dj"), col("x").as("xj"))
+    val xx = a.join(b, Seq("vec_id"))
+      .groupBy(col("di"), col("dj"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(28,12)"))
+        .cast("double").as("sxy"))
+    val cov = xx
+      .join(broadcast(m.select(col("d").as("di"), col("mu").as("mi"), col("n"))), Seq("di"))
+      .join(broadcast(m.select(col("d").as("dj"), col("mu").as("mj"))), Seq("dj"))
+      .select(col("di"), col("dj"),
+        (col("sxy") / col("n") - col("mi") * col("mj")).as("c"))
+    val v1 = cov.groupBy(col("di").as("vd"))
+      .agg(sum(round(col("c") * lit(0.125), 9).cast("decimal(28,12)"))
+        .cast("double").as("v1"))
+    cov.where(col("di") === col("dj"))
+      .join(v1, col("di") === col("vd"))
+      .select(col("di").cast("long").as("dim"),
+        round(col("c"), 9).as("var_d"), round(col("v1"), 9).as("v1"))
+      .orderBy("dim")
+  }
+
+  def embPowerSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e),
+      |m AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS mu,
+      |       COUNT(*) AS n FROM ex GROUP BY d),
+      |xx AS (
+      |  SELECT a.d AS di, b.d AS dj,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+      |cov AS (
+      |  SELECT di, dj, sxy / ma.n - ma.mu * mb.mu AS c
+      |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj),
+      |v1 AS (
+      |  SELECT di AS vd,
+      |    CAST(SUM(CAST(round(c * 0.125, 9) AS DECIMAL(28,12))) AS DOUBLE) AS v1
+      |  FROM cov GROUP BY di)
+      |SELECT CAST(cov.di AS BIGINT) AS dim, round(cov.c, 9) AS var_d,
+      |  round(v1.v1, 9) AS v1
+      |FROM cov JOIN v1 ON v1.vd = cov.di
+      |WHERE cov.di = cov.dj ORDER BY dim""".stripMargin
+
   /** ANN self-evaluation: recall@3 of the IVF index against the exact
     * brute-force top-3, per query — the metric an index owner watches
     * when tuning nprobe/cell count, promoted to a first-class declared

@@ -994,6 +994,74 @@ object TextAnalysisOps {
     s"WITH $base,\n$stages\nSELECT * FROM (\n$out) r ORDER BY merge_rank"
   }
 
+  /** Jensen–Shannon divergence of each source's token distribution
+    * from the corpus-wide one — the domain-mix drift monitor a
+    * multi-source training pipeline runs per crawl snapshot (a source
+    * whose JSD jumps changed its content mix). Distributions live on
+    * a BOUNDED support — the top-100 corpus tokens (count-desc,
+    * token-asc) — so the |sources|×|support| comparison frame is
+    * fixed-size however large the corpus grows; the frame is built
+    * with a broadcast of the support against the |sources|-row totals
+    * and a LEFT join of per-source counts, so a token a source lacks
+    * contributes its full q-side JSD mass instead of silently
+    * vanishing (truncated-divergence bug). JSD is symmetric and
+    * bounded [0, ln 2]; both halves' ln terms are rounded to 9 and
+    * summed through decimal. */
+  def textJsd(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val support = tok.groupBy(col("t")).agg(count(lit(1)).as("qn"))
+      .orderBy(col("qn").desc, col("t")).limit(100)
+    val stot = support.agg(sum(col("qn")).cast("double").as("qtot"))
+    val src = tok.join(broadcast(support.select(col("t"))), Seq("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("pn"))
+    val srctot = src.groupBy(col("source"))
+      .agg(sum(col("pn")).cast("double").as("ptot"))
+    val frame = srctot.crossJoin(broadcast(support))
+      .join(src, Seq("source", "t"), "left")
+      .crossJoin(broadcast(stot))
+      .select(col("source"),
+        (coalesce(col("pn"), lit(0L)).cast("double") / col("ptot")).as("p"),
+        (col("qn").cast("double") / col("qtot")).as("q"))
+    val m2 = (col("p") + col("q")) / lit(2.0)
+    val contrib = frame.select(col("source"),
+      (when(col("p") > 0, round(lit(0.5) * col("p") * log(col("p") / m2), 9))
+        .otherwise(lit(0.0)) +
+        round(lit(0.5) * col("q") * log(col("q") / m2), 9)).as("c"))
+    contrib.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_support"),
+        round(sum(col("c").cast("decimal(28,12)")).cast("double"), 6).as("jsd"))
+      .orderBy("source")
+  }
+
+  def textJsdSql: String =
+    s"""WITH tok AS (SELECT source, unnest(${tokensSql("text")}) AS t FROM documents),
+       |corpus AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+       |support AS (SELECT t, n FROM corpus ORDER BY n DESC, t LIMIT 100),
+       |stot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM support),
+       |src AS (
+       |  SELECT tok.source, tok.t, COUNT(*) AS n
+       |  FROM tok JOIN support USING (t) GROUP BY 1, 2),
+       |srctot AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS tot FROM src GROUP BY source),
+       |frame AS (
+       |  SELECT st.source, sup.t, sup.n AS qn, COALESCE(src.n, 0) AS pn
+       |  FROM srctot st CROSS JOIN support sup
+       |  LEFT JOIN src ON src.source = st.source AND src.t = sup.t),
+       |terms AS (
+       |  SELECT f.source,
+       |    CAST(f.pn AS DOUBLE) / st.tot AS p,
+       |    CAST(f.qn AS DOUBLE) / (SELECT tot FROM stot) AS q
+       |  FROM frame f JOIN srctot st ON st.source = f.source),
+       |contrib AS (
+       |  SELECT source,
+       |    CASE WHEN p > 0 THEN round(0.5 * p * ln(p / ((p + q) / 2)), 9)
+       |         ELSE 0 END
+       |    + round(0.5 * q * ln(q / ((p + q) / 2)), 9) AS c
+       |  FROM terms)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_support,
+       |  round(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS jsd
+       |FROM contrib GROUP BY source ORDER BY source""".stripMargin
+
   /** Flesch–Kincaid grade-level readability per document — the
     * classic quality feature next to [[qualityScores]]' ratio signals
     * and the Gopher rules: 0.39·(words/sentences) +
