@@ -1548,8 +1548,12 @@ object RelationalOps {
     * is bounded by (items per order)² — TPC-H orders hold ≤ 7 lines,
     * so the pair stream is a small constant × |lineitem| — and pair
     * counts re-aggregate map-side onto the co-purchased key space;
-    * the part marginals are a |parts|-row broadcast; top-20 is
-    * TakeOrdered. Lift divides exact counts once, rounded to 9. */
+    * the part-marginal joins are plain equi-joins — deliberately NOT
+    * broadcast-hinted, because the marginal table is CATALOG-sized
+    * (TPC-H part = SF×200k rows: a forced broadcast is exactly the
+    * kind of hint that dies at 100 TB), and AQE already picks a
+    * broadcast at small SF from runtime stats; top-20 is TakeOrdered.
+    * Lift divides exact counts once, rounded to 9. */
   def basketLift(spark: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1562,8 +1566,8 @@ object RelationalOps {
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
     pairs
-      .join(broadcast(freq.select(col("l_partkey").as("pa"), col("n").as("n_a"))), Seq("pa"))
-      .join(broadcast(freq.select(col("l_partkey").as("pb"), col("n").as("n_b"))), Seq("pb"))
+      .join(freq.select(col("l_partkey").as("pa"), col("n").as("n_a")), Seq("pa"))
+      .join(freq.select(col("l_partkey").as("pb"), col("n").as("n_b")), Seq("pb"))
       .crossJoin(broadcast(total))
       .select(col("pa"), col("pb"), col("n_both"), col("n_a"), col("n_b"),
         round(col("n_both") * col("total") /

@@ -482,6 +482,90 @@ object EventStreams {
     finally dropStaged(staged)
   }
 
+  /** LEFT OUTER variant of [[attribution]] — the join shape that
+    * genuinely NEEDS no-data micro-batches (the exact contrast to
+    * [[streamAttribution]]'s inner-join skip): an unmatched click's
+    * null-padded row can only emit once the WATERMARK proves no
+    * future purchase can match it, and that proof often arrives in a
+    * batch with no data. */
+  def attributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        unix_micros(col("c_ts")).as("c_us"), col("purchase_id"), col("amount"))
+  }
+
+  /** Declared query `stream_attr_outer`: the outer join run to
+    * completion, with the END-OF-STREAM EDGE made deterministic. An
+    * unmatched click emits its null row only when the GLOBAL
+    * watermark passes its match window, and the global watermark is
+    * the MIN over both inputs of (that side's max event time − its
+    * delay) — empirically pinned here: with a 2h-from-global-max
+    * cutoff the gate came back exactly 2 rows short, both clicks
+    * younger than min(max_click, max_purchase) − 2h. Clicks inside
+    * that final window sit in state forever on a finite replay (an
+    * artifact of stopping a conceptually endless stream), and the
+    * precise boundary depends on strict-vs-≥ comparison and the
+    * watermark's millisecond truncation; the declared face therefore
+    * keeps matched rows unconditionally and null rows only for
+    * clicks a 1-second guard OLDER than the eviction cutoff, with
+    * the identical expression in the DuckDB twin — any
+    * boundary-window click is excluded from both sides no matter
+    * which way the engine decided it. */
+  def streamAttrOuter(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val staged = stageEventsDrop(d, "stream-attr-outer", n)
+    val ss = streamingSession(spark)
+    // no-data micro-batches stay ON: the outer join's null rows emit
+    // from exactly those batches (see streamAttribution's skip note)
+    try {
+      val raw = runToParquetSink(ss, attributionOuter(readEvents(ss, staged)),
+        "stream_attr_outer", OutputMode.Append())
+      val us = unix_micros(col("ts"))
+      val bounds = graft.Tables.events(ss, d).agg(least(
+        max(when(col("event_type") === "click", us)),
+        max(when(col("event_type") === "purchase", us))).as("wm_src"))
+      raw.crossJoin(broadcast(bounds))
+        .where(col("purchase_id").isNotNull ||
+          col("c_us") < col("wm_src") - lit(7200000000L + 1000000L))
+        .select(col("user_id"), col("click_id"), col("c_us"),
+          col("purchase_id"), col("amount"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    } finally dropStaged(staged)
+  }
+
+  def streamAttrOuterSql: String =
+    """WITH b AS (
+      |  SELECT least(
+      |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+      |    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS wm_src
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us,
+      |    value AS amount
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, c.c_us, p.purchase_id, p.amount
+      |  FROM c LEFT JOIN p ON p.user_id = c.user_id
+      |    AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000)
+      |SELECT user_id, click_id, c_us, purchase_id, amount
+      |FROM j, b
+      |WHERE purchase_id IS NOT NULL OR c_us < b.wm_src - 7201000000
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   // epoch_us arithmetic on both sides mirrors Spark's µs timestamp
   // semantics exactly (the streamSessionsSql precision discipline);
   // 3600000000 µs = the 1-hour attribution window
