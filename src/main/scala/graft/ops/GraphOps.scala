@@ -142,6 +142,87 @@ object GraphOps {
     ranks.select(col("id").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }
 
+  /** BFS hop distance from each component's canonical representative
+    * (its minimum doc_id) — the third fixed-round iterative shape
+    * next to [[pagerank]]'s numeric fixpoint and
+    * [[DedupOps.dedupClusters]]' pointer-jumping: plain frontier
+    * relaxation, the primitive under "how far is this duplicate from
+    * its cluster's canonical copy". Label and distance ride ONE
+    * encoded BIGINT per vertex — enc = root·2¹⁰ + dist — so the
+    * per-round lexicographic minimum (smallest reachable root, then
+    * shortest distance to it) is a plain `min(enc)` and the reduce is
+    * order-independent in any merge tree; both facts together make
+    * every round bit-replayable in DuckDB as an unrolled CTE. Rounds
+    * are CAPPED at [[BfsRounds]] (near-dup components are
+    * near-cliques; the cap is part of the declared semantics and the
+    * oracle unrolls exactly the same count — a vertex farther than
+    * the cap from its true component minimum reports the best label
+    * within the horizon, identically in both engines). Per-round
+    * plan: one equi-join (frontier × edges on src) + one min-agg on
+    * id, gated exactly like [[pagerankOnPairs]]: small |V| broadcasts
+    * the frontier; past the gate the edge table is hash-partitioned
+    * by src once and only the frontier shuffles. */
+  def bfs(spark: SparkSession, d: String): DataFrame =
+    bfsOnPairs(cachedPairs(spark, d))
+
+  private val BfsRounds = 8
+  private val BfsEnc = 1024L // dist field width; dist ≤ BfsRounds ≪ 1024
+
+  private[ops] def bfsOnPairs(pairs: DataFrame, rounds: Int = BfsRounds,
+      broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(false)
+    var best = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), (col("id") * lit(BfsEnc)).as("enc"))
+      .localCheckpoint(false)
+    val smallV = best.count() <= broadcastVertexLimit
+    val edgesBySrc =
+      if (smallV) edges else edges.repartition(col("src")).localCheckpoint(false)
+    for (t <- 1 to rounds) {
+      val prop =
+        (if (smallV) edgesBySrc.join(broadcast(best), col("id") === col("src"))
+         else edgesBySrc.join(best.hint("shuffle_hash"), col("id") === col("src")))
+          .select(col("dst").as("id"), (col("enc") + lit(1L)).as("enc"))
+      best = best.union(prop).groupBy(col("id")).agg(min(col("enc")).as("enc"))
+      if (t % CheckpointEvery == 0 && t < rounds)
+        best = best.localCheckpoint(false)
+    }
+    best.select(col("id").as("doc_id"),
+        expr(s"enc div $BfsEnc").as("root"),
+        (col("enc") % lit(BfsEnc)).as("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the shared minhash pair CTEs, then [[BfsRounds]]
+    * unrolled relaxation rounds with the identical encoded-min
+    * arithmetic. */
+  def bfsSql: String = {
+    // AS MATERIALIZED is load-bearing: every round references the
+    // previous frontier TWICE (keep + relax), and an inlining planner
+    // would re-expand the whole upstream minhash pipeline 2^rounds
+    // times — observed as a hang at 8 rounds before the hint
+    val roundCtes = (1 to BfsRounds).map { t =>
+      s"""b$t AS MATERIALIZED (
+         |  SELECT id, MIN(enc) AS enc FROM (
+         |    SELECT id, enc FROM b${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, b.enc + 1 AS enc
+         |    FROM b${t - 1} b JOIN edges e ON e.src = b.id) u
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashPairsCteSql},
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs WHERE jaccard >= 0.6
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM pairs WHERE jaccard >= 0.6),
+       |b0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src * $BfsEnc AS enc FROM edges),
+       |$roundCtes
+       |SELECT id AS doc_id, enc // $BfsEnc AS root, enc % $BfsEnc AS dist
+       |FROM b$BfsRounds ORDER BY doc_id""".stripMargin
+  }
+
   /** Triangle count + local clustering coefficient per node of the
     * near-dup graph — the cluster-density audit: a near-dup cluster
     * should be near-clique (coefficient → 1); a low-coefficient,

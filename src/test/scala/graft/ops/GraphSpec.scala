@@ -61,6 +61,30 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(12L) === ((1L, 0L, 0.0)))
   }
 
+  test("bfs: roots, shortest distances, multi-component, and the hop-cap horizon") {
+    // a 13-node path 0-1-...-12 (diameter 12 > BfsRounds 8) plus the
+    // disjoint star/2-cycle — pins all three declared semantics:
+    // shortest hop counts, per-component roots, and the capped
+    // horizon (a vertex farther than 8 hops from the true component
+    // minimum reports the best label within 8 hops)
+    val P = 100L // path ids offset clear of the star/cycle ids
+    val path = (0L until 12L).map(i => (P + i, P + i + 1)).toDF("d1", "d2")
+    val rows = GraphOps.bfsOnPairs(path.union(starPairs)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // path component: nodes within the horizon see root P at their
+    // true hop distance; past it, the best visible root is 8 back
+    (0L to 8L).foreach(i => assert(rows(P + i) === ((P, i)), s"node ${P + i}"))
+    (9L to 12L).foreach(i => assert(rows(P + i) === ((P + i - 8L, 8L)), s"node ${P + i}"))
+    // star component: root 1, leaves at 1 hop; 2-cycle: root 10
+    assert(rows(1L) === ((1L, 0L)))
+    (2L to 6L).foreach(l => assert(rows(l) === ((1L, 1L)), s"leaf $l"))
+    assert(rows(10L) === ((10L, 0L)) && rows(11L) === ((10L, 1L)))
+    // bit-identical across partitionings: encoded min is order-free
+    val repart = GraphOps.bfsOnPairs(path.union(starPairs).repartition(13))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(repart === rows)
+  }
+
   test("pair-graph cache: one persisted table per dir, shared, evictable, stable") {
     // exact getPersistentRDDs counts are flaky here: the pipeline's
     // transient localCheckpoint RDDs register there too and the
