@@ -68,8 +68,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_DIR__ placeholder: oracle SQL normally sees only the
+    // registered table views, but metadata-level oracles (e.g.
+    // src_parquet_meta's parquet_metadata(...) footer read) need the
+    // PHYSICAL file path — which only this dump knows. Substituting
+    // here bakes the absolute path into the JSON the driver executes.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // drop the graft_bkt_* catalog tables join_bucketed staged (the
     // Bench-end cleanup; the warehouse dir removal below would leave
