@@ -967,6 +967,149 @@ object EventOps {
       |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9) AS kl_term
       |FROM c, tot ORDER BY event_type""".stripMargin
 
+  /** High-value purchase threshold shared by [[survivalKm]] and
+    * [[abTest]]: picks an event rare enough to carry signal (21% of
+    * users at sf0.01; "any purchase" saturates at 100% on this
+    * corpus and degenerates both estimators). */
+  private val HighValue = 200
+
+  /** Kaplan–Meier estimator of time-to-first-high-value-purchase —
+    * THE survival-analysis primitive (churn/conversion curves),
+    * distinct from every moment-based statistic in the suite because
+    * it handles CENSORING: a user who never converts contributes
+    * risk-set mass up to their observation end instead of being
+    * dropped (which would bias the curve) or counted as converted at
+    * the horizon (worse). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event
+    * times; the product is computed as exp of a decimal-summed
+    * per-time rounded ln — fixed order, deterministic cross-engine.
+    * Scale shape: the per-user reduction is one groupBy; everything
+    * after lives on the ≤|distinct durations| table, so the
+    * unpartitioned windows scan dozens of rows, not users
+    * ([[anomalyDays]]' pattern). */
+  def survivalKm(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val firstEv = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val firstBuy = ev
+      .where(col("event_type") === "purchase" && col("value") > HighValue)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("db"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("dmax"))
+    val life = firstEv.join(firstBuy, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("db").isNull, datediff(col("dmax"), col("d0")))
+          .otherwise(datediff(col("db"), col("d0"))).as("t"),
+        when(col("db").isNull, 0L).otherwise(1L).as("ev"))
+    val nTotal = life.agg(count(lit(1)).as("n"))
+    val atT = life.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("leaving"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = atT.crossJoin(broadcast(nTotal))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    risk.where(col("d") > 0 && col("d") < col("n_risk"))
+      .withColumn("lf",
+        round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 9))
+      .withColumn("survival",
+        round(exp(sum(col("lf").cast("decimal(28,12)")).over(wCum)
+          .cast("double")), 6))
+      .select(col("t").cast("long").as("t"), col("d").cast("long").as("d"),
+        col("n_risk").cast("long").as("n_risk"), col("survival"))
+      .orderBy("t")
+  }
+
+  def survivalKmSql: String =
+    s"""WITH first_ev AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+       |first_buy AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS db FROM events
+       |  WHERE event_type = 'purchase' AND value > $HighValue GROUP BY user_id),
+       |life AS (
+       |  SELECT f.user_id,
+       |    CASE WHEN b.db IS NULL
+       |         THEN datediff('day', f.d0, (SELECT MAX(CAST(ts AS DATE)) FROM events))
+       |         ELSE datediff('day', f.d0, b.db) END AS t,
+       |    CASE WHEN b.db IS NULL THEN 0 ELSE 1 END AS ev
+       |  FROM first_ev f LEFT JOIN first_buy b ON b.user_id = f.user_id),
+       |n_total AS (SELECT COUNT(*) AS n FROM life),
+       |at_t AS (SELECT t, SUM(ev) AS d, COUNT(*) AS leaving FROM life GROUP BY t),
+       |risk AS (
+       |  SELECT t, d,
+       |    (SELECT n FROM n_total)
+       |      - COALESCE(SUM(leaving) OVER (ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM at_t),
+       |f AS (
+       |  SELECT t, d, n_risk, round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9) AS lf
+       |  FROM risk WHERE d > 0 AND d < n_risk),
+       |km AS (
+       |  SELECT t, d, n_risk,
+       |    round(exp(CAST(SUM(CAST(lf AS DECIMAL(28,12))) OVER (ORDER BY t)
+       |      AS DOUBLE)), 6) AS survival
+       |  FROM f)
+       |SELECT CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS d,
+       |  CAST(n_risk AS BIGINT) AS n_risk, survival
+       |FROM km ORDER BY t""".stripMargin
+
+  /** Two-proportion z-test between deterministic experiment arms
+    * (user_id parity — the hash-bucketing every real experimentation
+    * platform uses, minus the salt): conversion = any high-value
+    * purchase. One per-user reduction, one 2-row arm aggregate, one
+    * pooled-variance z on exact integers — the canonical A/B readout
+    * as a declared query, and the statistical companion to
+    * [[driftHalves]]' distribution monitor. */
+  def abTest(spark: SparkSession, d: String): DataFrame = {
+    val arms = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > HighValue, 1L).otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("conv"))
+    val agg = arms.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val w = agg.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("x"))).as("x0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("x"))).as("x1"))
+    val p0 = col("x0").cast("double") / col("n0")
+    val p1 = col("x1").cast("double") / col("n1")
+    val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
+    w.select(
+      col("n0").as("n_control"), col("x0").as("conv_control"),
+      col("n1").as("n_treat"), col("x1").as("conv_treat"),
+      round(p0, 9).as("p_control"), round(p1, 9).as("p_treat"),
+      round((p1 - p0) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 9).as("z"))
+  }
+
+  def abTestSql: String =
+    s"""WITH arms AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > $HighValue
+       |        THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |agg AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS x FROM arms GROUP BY arm),
+       |w AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN arm = 1 THEN x END) AS x1
+       |  FROM agg)
+       |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(x0 AS BIGINT) AS conv_control,
+       |  CAST(n1 AS BIGINT) AS n_treat, CAST(x1 AS BIGINT) AS conv_treat,
+       |  round(CAST(x0 AS DOUBLE) / n0, 9) AS p_control,
+       |  round(CAST(x1 AS DOUBLE) / n1, 9) AS p_treat,
+       |  round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) /
+       |    sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+       |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+       |      * (1.0 / n0 + 1.0 / n1)), 9) AS z
+       |FROM w""".stripMargin
+
   /** Benford first-digit profile of the event `value` column — the
     * classic fabricated-data / instrumentation-bug diagnostic: natural
     * multiplicative quantities put ~30.1% of first digits at 1; a
