@@ -967,6 +967,44 @@ object EventOps {
       |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9) AS kl_term
       |FROM c, tot ORDER BY event_type""".stripMargin
 
+  /** CUSUM changepoint score of the daily event count — the
+    * level-shift detector next to [[anomalyDays]]' pointwise z-spike:
+    * a sustained small drift that never trips a z-threshold
+    * accumulates here. Uses the classic identity
+    * S_t = P_t − min_{j≤t} P_j (prefix sums of deviations minus
+    * their running minimum) instead of the recursive
+    * max(0, S+x−k) form — the identity is two plain windows, and by
+    * scaling deviations to x_t·D − total EVERY intermediate is an
+    * exact BIGINT: no float enters until the final division, which
+    * both engines perform on identical operands. Day-count-sized
+    * data throughout ([[autocorrWeekly]]'s shape). */
+  def cusumDaily(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val s = daily.agg(count(lit(1)).as("dcount"), sum(col("n")).as("total"))
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(s))
+      .withColumn("dev", col("n") * col("dcount") - col("total"))
+      .withColumn("pref", sum(col("dev")).over(wAll))
+      .withColumn("sc", col("pref") - min(col("pref")).over(wAll))
+      .select(col("day"), col("n"),
+        round(col("sc").cast("double") / col("dcount"), 6).as("cusum"))
+      .orderBy("day")
+  }
+
+  def cusumDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS dcount, SUM(n) AS total FROM daily),
+      |d AS (SELECT day, n,
+      |  n * (SELECT dcount FROM s) - (SELECT total FROM s) AS dev FROM daily),
+      |p AS (SELECT day, n, SUM(dev) OVER (ORDER BY day) AS pref FROM d),
+      |c AS (SELECT day, n, pref - MIN(pref) OVER (ORDER BY day) AS sc FROM p)
+      |SELECT day, CAST(n AS BIGINT) AS n,
+      |  round(CAST(sc AS DOUBLE) / (SELECT dcount FROM s), 6) AS cusum
+      |FROM c ORDER BY day""".stripMargin
+
   /** High-value purchase threshold shared by [[survivalKm]] and
     * [[abTest]]: picks an event rare enough to carry signal (21% of
     * users at sf0.01; "any purchase" saturates at 100% on this
