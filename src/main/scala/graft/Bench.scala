@@ -283,11 +283,11 @@ object Bench {
     // passes of litter — the "warm" pair table had been evicted and
     // the probe recomputed the whole minhash build (24.99 s).
     val cacheCoupled = Seq(
-      "dedup_semantic", "dedup_semantic2", "graph_pagerank",
+      "dedup_semantic", "dedup_semantic2", "graph_bfs", "graph_pagerank",
       "graph_triangles", "sim_ann_ivf", "sim_ann_ivf2")
       .filter(n => ordered.exists(_._1 == n))
     freeBlocks(spark)
-    Seq("dedup_semantic", "graph_pagerank").foreach { builder =>
+    Seq("dedup_semantic", "graph_bfs").foreach { builder =>
       SparkEntry.queries.get(builder).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
@@ -318,8 +318,10 @@ object Bench {
     // cache annotation: state each coupled query's headline pricing and
     // its measured warm-probe time (caches were warm for pWarm)
     val cacheJson = cacheCoupled.filterNot(failed).map { n =>
+      // first coupled query in sorted pass order pays each cold build:
+      // graph_bfs (r12) now precedes graph_pagerank on the pair cache
       val pricing =
-        if (n == "dedup_semantic" || n == "graph_pagerank") "cold_build" else "warm_shared"
+        if (n == "dedup_semantic" || n == "graph_bfs") "cold_build" else "warm_shared"
       "\"" + n + "\":{\"headline\":\"" + pricing + "\"" +
         pWarm.get(n).filter(_.err.isEmpty)
           .map(t => ",\"warm_sec\":" + t.sec).getOrElse("") + "}"

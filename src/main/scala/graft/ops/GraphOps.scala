@@ -185,7 +185,10 @@ object GraphOps {
          else edgesBySrc.join(best.hint("shuffle_hash"), col("id") === col("src")))
           .select(col("dst").as("id"), (col("enc") + lit(1L)).as("enc"))
       best = best.union(prop).groupBy(col("id")).agg(min(col("enc")).as("enc"))
-      if (t % CheckpointEvery == 0 && t < rounds)
+      // tighter cut than pagerank's 5: a bfs round nests union+agg+join
+      // (three operators to pagerank's two), so uncut segments cost
+      // more analysis per round — every-3 measured faster at 8 rounds
+      if (t % 3 == 0 && t < rounds)
         best = best.localCheckpoint(false)
     }
     best.select(col("id").as("doc_id"),

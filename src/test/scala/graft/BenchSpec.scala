@@ -141,7 +141,8 @@ class BenchSpec extends AnyFunSuite {
       "dedup_semantic" -> "sim_ann_ivf", // IVF centroid cache
       "dedup_semantic" -> "sim_ann_ivf2", // same cache, two-level probe
       "dedup_semantic" -> "dedup_semantic2", // same cache, two-level assignment
-      "graph_pagerank" -> "graph_triangles") // minhash pair cache
+      "graph_bfs" -> "graph_pagerank", // minhash pair cache (bfs builds, r12)
+      "graph_bfs" -> "graph_triangles") // same pair cache
     couples.foreach { case (builder, sharer) =>
       assert(names.contains(builder) && names.contains(sharer),
         s"cache-coupled queries renamed: $builder/$sharer no longer registered — " +
