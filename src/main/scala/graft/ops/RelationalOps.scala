@@ -1539,6 +1539,68 @@ object RelationalOps {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** 2-D skyline (Pareto frontier) of orders on (recency, price) —
+    * the maximal-vector operator relational engines ship as SKYLINE
+    * and Spark lacks natively: an order survives iff no other order
+    * is at least as recent AND at least as expensive with one strict.
+    * Implemented as the classic TWO-PHASE distributed skyline: phase
+    * 1 computes each partition's LOCAL skyline (windows partitioned
+    * by `spark_partition_id()` — dominated points can only be removed
+    * by this filter, never added, so the survivor set is a superset
+    * of the answer on ANY partitioning and the final result is
+    * partitioning-invariant); phase 2 runs the same two windows
+    * globally over the surviving sliver. For a 1-D sort key the
+    * skyline test is two window maxima: strictly-later-date max
+    * (RANGE 1 FOLLOWING..∞) and same-date max — the global sort
+    * phase 2 needs touches only local survivors, never the corpus.
+    * Prices compare as exact decimals; the emitted double is a cast
+    * of the stored value. */
+  def skylineOrders(spark: SparkSession, d: String): DataFrame =
+    skylineOn(Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("dms"),
+        col("o_totalprice").cast("decimal(18,6)").as("p")))
+
+  /** Two-phase skyline core over (id, dms, p) — exposed so the
+    * partitioning-invariance claim (phase 1 only ever REMOVES
+    * dominated points, so the final frontier is identical on any
+    * input partitioning) is testable directly. */
+  private[ops] def skylineOn(o: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def skyline(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val wLater = Window.partitionBy(part: _*).orderBy(col("dms"))
+        .rangeBetween(1, Window.unboundedFollowing)
+      val wSame = Window.partitionBy(part :+ col("dms"): _*)
+      df.withColumn("later_max", max(col("p")).over(wLater))
+        .withColumn("sd_max", max(col("p")).over(wSame))
+        .where((col("later_max").isNull || col("p") > col("later_max")) &&
+          col("p") === col("sd_max"))
+        .drop("later_max", "sd_max")
+    }
+    val local = skyline(o.withColumn("pid", spark_partition_id()), Seq(col("pid")))
+      .drop("pid")
+    skyline(local, Seq.empty)
+      .select(col("o_orderkey"), col("dms").as("date_ms"),
+        col("p").cast("double").as("price"))
+      .orderBy(col("date_ms").desc, col("o_orderkey"))
+  }
+
+  def skylineOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, epoch_ms(o_orderdate) AS dms,
+      |    CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      |  FROM orders),
+      |m AS (
+      |  SELECT o_orderkey, dms, p,
+      |    MAX(p) OVER (ORDER BY dms
+      |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS later_max,
+      |    MAX(p) OVER (PARTITION BY dms) AS sd_max
+      |  FROM o)
+      |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(dms AS BIGINT) AS date_ms, CAST(p AS DOUBLE) AS price
+      |FROM m WHERE (later_max IS NULL OR p > later_max) AND p = sd_max
+      |ORDER BY date_ms DESC, o_orderkey""".stripMargin
+
   /** Market-basket lift over order contents — association-rule mining,
     * the analytics family (frequent itemsets) the relational suite
     * lacked: for the 20 most co-purchased part pairs, support counts

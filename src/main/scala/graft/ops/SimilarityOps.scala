@@ -1135,6 +1135,56 @@ object SimilarityOps {
       |  CAST(SUM(CAST(med AS DECIMAL(18,6))) AS DOUBLE) AS med_total
       |FROM per GROUP BY label ORDER BY label""".stripMargin
 
+  /** Top-10 embedding outliers by diagonal-covariance Mahalanobis
+    * distance — the statistically-scaled companion to
+    * [[graft.ops.TrainingPrepOps.embHardExamples]]' raw-L2 mining: a
+    * vector extreme only along naturally-high-variance dimensions is
+    * NOT an outlier here, one extreme along a tight dimension is (the
+    * distinction raw distance can't draw, and the standard first-pass
+    * screen before expensive near-dup/quality checks). Per-dim
+    * (mean, var) come from the one (dim)-keyed decimal-exact partial
+    * aggregate [[graft.ops.TrainingPrepOps.embNormParams]] also uses;
+    * the 64-row stats table joins back (dim-keyed, AQE-broadcast),
+    * per-(vector, dim) standardized squares round to 9 and sum
+    * through decimal, top-10 is TakeOrdered. Variance floors at 1e-12
+    * so an all-constant dimension contributes nothing rather than a
+    * division blowup. */
+  def embOutliers(spark: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val stats = ex.groupBy(col("d"))
+      .agg(graft.ops.OpsUtil.davg(col("x")).as("m"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("d"), col("m"),
+        greatest(lit(1e-12), col("s2") / col("n") - col("m") * col("m")).as("v"))
+    ex.join(broadcast(stats), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round((col("x") - col("m")) * (col("x") - col("m")) / col("v"), 9)
+        .cast("decimal(28,12)")).cast("double").as("d2"))
+      .select(col("vec_id"), round(sqrt(col("d2")), 6).as("mdist"), col("d2"))
+      .orderBy(col("d2").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("mdist"))
+  }
+
+  def embOutliersSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e),
+      |per AS (
+      |  SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2, COUNT(*) AS n
+      |  FROM ex GROUP BY d),
+      |stats AS (
+      |  SELECT d, m, greatest(1e-12, s2 / n - m * m) AS var FROM per),
+      |dist AS (
+      |  SELECT ex.vec_id,
+      |    CAST(SUM(CAST(round((ex.x - st.m) * (ex.x - st.m) / st.var, 9)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
+      |  FROM ex JOIN stats st ON st.d = ex.d GROUP BY ex.vec_id)
+      |SELECT vec_id, round(sqrt(d2), 6) AS mdist
+      |FROM dist ORDER BY d2 DESC, vec_id LIMIT 10""".stripMargin
+
   /** One power-iteration step toward the embedding covariance's top
     * eigenvector — the distributed linear-algebra primitive under PCA
     * whitening and spectral diagnostics: cov = E[xxᵀ] − μμᵀ built the

@@ -256,4 +256,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
       s"tf stage not reused — corpus would tokenize twice:\n$plan")
   }
+
+  test("two-phase skyline is partitioning-invariant and correct on a crafted frontier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // crafted points: (date, price) with a known Pareto frontier —
+    // 40 is dominated by 30 (same date, higher price), 10 by every
+    // later-or-equal-priced point; frontier = {30, 20, 50}
+    val pts = Seq(
+      (10L, 100L, 5.0), (20L, 200L, 9.0), (30L, 300L, 7.0),
+      (40L, 300L, 6.0), (50L, 50L, 11.0), (60L, 150L, 8.0))
+      .toDF("o_orderkey", "dms", "price")
+      .select(col("o_orderkey"), col("dms"),
+        col("price").cast("decimal(18,6)").as("p"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      RelationalOps.skylineOn(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = run(pts.repartition(1))
+    assert(base.map(_._1) === Seq(30L, 20L, 50L),
+      s"wrong frontier: $base")
+    // phase 1 only removes dominated points — ANY partitioning of the
+    // input yields the identical global frontier
+    (2 to 7 by 5).foreach { n =>
+      assert(run(pts.repartition(n)) === base, s"partitioning $n diverged")
+    }
+  }
 }
