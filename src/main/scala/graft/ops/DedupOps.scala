@@ -338,6 +338,32 @@ object DedupOps {
        |FROM clusters ORDER BY doc_id""".stripMargin
   }
 
+  /** Cluster-size histogram over [[dedupClusters]] — the dedup run's
+    * headline ops metric: how many size-k near-dup clusters exist,
+    * how many documents they hold, and what fraction of each size
+    * class survives (always exactly one representative per cluster,
+    * which the removable-fraction column makes auditable at a
+    * glance). Two tiny re-aggregations on top of the existing CC
+    * plan: cluster→size, then size→(count, docs). */
+  def clusterSizes(spark: SparkSession, d: String): DataFrame =
+    dedupClusters(spark, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"),
+        round((col("sz") - 1).cast("double") / col("sz"), 9)
+          .as("removable_frac"))
+      .orderBy("sz")
+
+  def clusterSizesSql: String =
+    s"""SELECT sz, COUNT(*) AS n_clusters,
+       |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+       |  round(CAST(sz - 1 AS DOUBLE) / sz, 9) AS removable_frac
+       |FROM (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM ($dedupClustersSql) c GROUP BY cluster_id) s
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   // QA cross-check sample budgets: the brute-force checks below are
   // quadratic in their SAMPLE, so the sample targets a fixed row
   // budget (hash-ordered limit — the lowest-xhash60 docs, a uniform

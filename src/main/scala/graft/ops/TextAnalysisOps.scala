@@ -202,6 +202,42 @@ object TextAnalysisOps {
        |  ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Agreement/confusion matrix between the suite's TWO language
+    * identifiers — stopword-dictionary [[langId]] vs char-bigram
+    * profile [[langIdNgram]] — scored against the corpus metadata
+    * label: the model-comparison readout a pipeline owner looks at
+    * before swapping classifiers ([[SimilarityOps.annRecall]]'s
+    * self-evaluation pattern applied to text). Each matrix cell
+    * carries how often each side also matched the metadata label, so
+    * disagreement cells show WHICH side was right. Both inputs are
+    * existing declared plans; the join is doc-keyed, the matrix is
+    * ≤ (langs+1)² cells. */
+  def langConfusion(spark: SparkSession, d: String): DataFrame = {
+    val sw = langId(spark, d)
+      .select(col("doc_id"), col("pred_lang").as("pred_sw"), col("meta_lang"))
+    val ng = langIdNgram(spark, d)
+      .select(col("doc_id"), col("pred_lang").as("pred_ng"))
+    sw.join(ng, Seq("doc_id"))
+      .groupBy(col("pred_sw"), col("pred_ng"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_sw") === col("meta_lang"), 1L).otherwise(0L))
+          .as("n_sw_correct"),
+        sum(when(col("pred_ng") === col("meta_lang"), 1L).otherwise(0L))
+          .as("n_ng_correct"))
+      .orderBy("pred_sw", "pred_ng")
+  }
+
+  def langConfusionSql: String =
+    s"""SELECT sw.pred_lang AS pred_sw, ng.pred_lang AS pred_ng,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN sw.pred_lang = sw.meta_lang THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sw_correct,
+       |  CAST(SUM(CASE WHEN ng.pred_lang = sw.meta_lang THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ng_correct
+       |FROM ($langIdSql) sw JOIN ($langIdNgramSql) ng
+       |  ON sw.doc_id = ng.doc_id
+       |GROUP BY 1, 2 ORDER BY pred_sw, pred_ng""".stripMargin
+
   /** Token co-occurrence: top-30 adjacent token bigrams by frequency
     * with PMI (pointwise mutual information) — the word2vec-style
     * association statistic. PMI is rounded to 6 decimals to absorb
