@@ -215,7 +215,16 @@ class ScaleStressSpec extends AnyFunSuite {
       // distinct-tokens-per-doc; posting aggregation is one
       // token-keyed shuffle with map-side combine — salted copies
       // multiply postings ~×8, never pairwise
-      ("text_invindex", d => { TextAnalysisOps.invertedIndex(spark, d).count(); () }))
+      ("text_invindex", d => { TextAnalysisOps.invertedIndex(spark, d).count(); () }),
+      // r12 additions: the basket self-join's fan-out is bounded by
+      // (items/order)² so ×8 lineitem must cost ~×8 pair rows; the
+      // skyline is per-date aggregation + a calendar-bounded window
+      // (its rejected first draft — a quadratic range frame — scored
+      // 91 s at sf0.1 and would trip this immediately); JSD runs on a
+      // fixed 100-token support whatever the corpus size
+      ("basket_lift", d => { RelationalOps.basketLift(spark, d).count(); () }),
+      ("q_skyline", d => { RelationalOps.skylineOrders(spark, d).count(); () }),
+      ("text_jsd", d => { TextAnalysisOps.textJsd(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
