@@ -68,6 +68,7 @@ object Bench {
     * recorded for a probe whose honest warm cost is ~2.6 s). Blocking
     * unpersist, so no removal I/O leaks into the next timed section. */
   def freeBlocks(spark: SparkSession): Unit = {
+    graft.ops.DedupOps.evictClusterCache() // before pairs: labels build on them
     graft.ops.GraphOps.evictPairCache()
     graft.ops.SimilarityOps.evictIvfCache()
     try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => () }

@@ -80,9 +80,12 @@ object TiffCodec {
       "not TIFF: bad byte-order mark (big-endian MM unsupported)")
     require(buf.getShort() == 42, "not TIFF: bad magic")
     val ifd = buf.getInt()
-    require(ifd >= 8 && ifd + 2 <= payload.length, s"IFD offset $ifd outside file")
+    // offset/size arithmetic in Long: an adversarial ifd near
+    // Int.MaxValue would otherwise wrap the bound checks and surface
+    // as IndexOutOfBounds instead of the documented IllegalArgument
+    require(ifd >= 8 && ifd.toLong + 2 <= payload.length, s"IFD offset $ifd outside file")
     val n = buf.getShort(ifd) & 0xffff
-    require(ifd + 2 + n * 12 + 4 <= payload.length, s"$n-entry IFD truncated")
+    require(ifd.toLong + 2 + n * 12 + 4 <= payload.length, s"$n-entry IFD truncated")
     // tag → (type, count, rawValueField)
     var tags = Map.empty[Int, (Int, Int, Int)]
     var i = 0
@@ -118,12 +121,15 @@ object TiffCodec {
     val (bTpe, bCnt, bOff) = tags.getOrElse(TagBits,
       throw new IllegalArgumentException("missing BitsPerSample"))
     require(bTpe == 3 && bCnt == 3, s"BitsPerSample type=$bTpe count=$bCnt unsupported")
-    require(bOff >= 0 && bOff + 6 <= payload.length, "BitsPerSample values outside file")
+    require(bOff >= 0 && bOff.toLong + 6 <= payload.length, "BitsPerSample values outside file")
     val bits = (0 until 3).map(k => buf.getShort(bOff + 2 * k) & 0xffff)
     require(bits.forall(_ == 8), s"BitsPerSample $bits unsupported (want 8,8,8)")
     val stripOff = shortOrLong(TagStripOffsets)
     val stripBytes = shortOrLong(TagStripByteCounts)
-    require(stripBytes == width * height * 3,
+    // Long product: LONG(4)-typed dims up to Int.MaxValue pass the
+    // width>0/height>0 checks, and the Int product can wrap to match
+    // a crafted stripBytes — "successful" decode with wrong geometry
+    require(stripBytes.toLong == width.toLong * height * 3,
       s"strip bytes $stripBytes != ${width}x$height*3")
     require(stripOff >= 8 && stripOff.toLong + stripBytes <= payload.length,
       s"strip [$stripOff, ${stripOff.toLong + stripBytes}) outside ${payload.length}-byte file")

@@ -302,28 +302,53 @@ object DedupOps {
     (labels, iter)
   }
 
+  /** Session cache of the CC label table (doc_id, cluster_id — every
+    * document, no-edge docs labelled with themselves): the cluster
+    * assignment is a build-once artifact probed by several queries
+    * ([[dedupClusters]], [[clusterSizes]]), exactly like the near-dup
+    * pair graph in [[graft.ops.GraphOps.cachedPairs]] — same keying,
+    * same blocking-eviction hook. The pair build itself routes
+    * through GraphOps' shared pair cache, so a session that runs the
+    * graph queries AND the cluster queries builds the minhash
+    * pipeline once, the CC fixpoint once, and every later probe is a
+    * re-aggregation of the persisted |corpus|-row label table. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[ops] def cachedClusterLabels(spark: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((System.identityHashCode(spark), d), {
+      val (labels, _) = connectedComponents(GraphOps.cachedPairs(spark, d))
+      // stitch the untouched majority back in: no-edge docs keep
+      // themselves as cluster id
+      Tables.documents(spark, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .persist()
+    })
+
+  /** Unpersist every cached label table (all sessions). BLOCKING for
+    * the same reason as [[GraphOps.evictPairCache]]: the bench evicts
+    * between timed passes, and a lazy unpersist would bill the
+    * removal I/O to whatever query runs next. */
+  def evictClusterCache(): Unit = {
+    clusterCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
+    clusterCache.clear()
+  }
+
   /** Near-duplicate clustering: connected components over the MinHash
     * pair graph ([[connectedComponents]] — pointer-jumping min-label
     * propagation, O(log diameter) rounds). Output: every document with
     * its cluster id (= min doc_id reachable through near-dup edges)
     * and whether it's the cluster's kept representative. The oracle
-    * recomputes the same closure with a recursive CTE. */
-  def dedupClusters(spark: SparkSession, d: String): DataFrame = {
-    // checkpoint the PAIRS before mirroring: union(pairs, pairs.swap)
-    // in one plan would evaluate the whole MinHash pipeline twice
-    val pairs = dedupMinhash(spark, d).select(col("d1"), col("d2"))
-      .localCheckpoint(false)
-    val (labels, _) = connectedComponents(pairs)
-    // stitch the untouched majority back in: no-edge docs keep
-    // themselves as cluster id
-    Tables.documents(spark, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    * recomputes the same closure with a recursive CTE. Reads the
+    * session-cached label table ([[cachedClusterLabels]]); the CC
+    * build prices into whichever cluster/graph query runs first. */
+  def dedupClusters(spark: SparkSession, d: String): DataFrame =
+    cachedClusterLabels(spark, d)
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_kept"))
       .orderBy("doc_id")
-  }
 
   def dedupClustersSql: String = {
     val minhashPairs = dedupMinhashSql.replace("ORDER BY d1, d2", "")
@@ -343,10 +368,10 @@ object DedupOps {
     * how many documents they hold, and what fraction of each size
     * class survives (always exactly one representative per cluster,
     * which the removable-fraction column makes auditable at a
-    * glance). Two tiny re-aggregations on top of the existing CC
-    * plan: cluster→size, then size→(count, docs). */
+    * glance). Two tiny re-aggregations on top of the session-cached
+    * CC label table: cluster→size, then size→(count, docs). */
   def clusterSizes(spark: SparkSession, d: String): DataFrame =
-    dedupClusters(spark, d)
+    cachedClusterLabels(spark, d)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_clusters"),

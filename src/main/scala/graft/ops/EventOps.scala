@@ -586,7 +586,13 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_exact"),
         BloomAgg.bloom_bits(col("user_id").cast("string")).as("bits_set"))
       .select(col("event_type"), col("n_exact"), col("bits_set"),
-        round(lit(-m / BloomAgg.K) * log(lit(1.0) - fill), 6).as("est_n"),
+        // saturation guard (identical in the oracle): at bits_set = M
+        // the fill inversion is ln(0) and the estimate is unbounded —
+        // NULL, not an engine-specific -Inf/error (M is sized so this
+        // never fires on a sane corpus; see BloomAgg.M)
+        when(col("bits_set") === lit(BloomAgg.M.toLong), lit(null).cast("double"))
+          .otherwise(round(lit(-m / BloomAgg.K) * log(lit(1.0) - fill), 6))
+          .as("est_n"),
         round(fill * fill * fill, 9).as("fpp"))
       .orderBy("event_type")
   }
@@ -603,7 +609,9 @@ object EventOps {
        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1)
        |SELECT b.event_type, CAST(ex.n AS BIGINT) AS n_exact,
        |  CAST(b.bits AS BIGINT) AS bits_set,
-       |  round(-($m.0 / $k) * ln(1.0 - CAST(b.bits AS DOUBLE) / $m), 6) AS est_n,
+       |  CASE WHEN b.bits = $m THEN CAST(NULL AS DOUBLE)
+       |       ELSE round(-($m.0 / $k) * ln(1.0 - CAST(b.bits AS DOUBLE) / $m), 6)
+       |  END AS est_n,
        |  round((CAST(b.bits AS DOUBLE) / $m) * (CAST(b.bits AS DOUBLE) / $m)
        |    * (CAST(b.bits AS DOUBLE) / $m), 9) AS fpp
        |FROM b JOIN ex ON b.event_type = ex.event_type
@@ -937,13 +945,19 @@ object EventOps {
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
     val tot = c.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    // zero-count guards (identical in the oracle): P=0 contributes 0
+    // to D_KL by the 0·ln(0)=0 convention, and a type absent from the
+    // second half has an infinite term — emitted as NULL, not +Inf,
+    // so the hash gate never compares engine-specific Inf/NaN prints
     c.crossJoin(broadcast(tot))
       .select(col("event_type"), col("n1"), col("n2"),
         round(col("n1").cast("double") / col("t1"), 9).as("p1"),
         round(col("n2").cast("double") / col("t2"), 9).as("p2"),
-        round((col("n1").cast("double") / col("t1")) *
-          log((col("n1").cast("double") / col("t1")) /
-            (col("n2").cast("double") / col("t2"))), 9).as("kl_term"))
+        when(col("n1") === 0, lit(0.0))
+          .when(col("n2") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n1").cast("double") / col("t1")) *
+            log((col("n1").cast("double") / col("t1")) /
+              (col("n2").cast("double") / col("t2"))), 9)).as("kl_term"))
       .orderBy("event_type")
   }
 
@@ -963,8 +977,11 @@ object EventOps {
       |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |  round(CAST(n1 AS DOUBLE) / t1, 9) AS p1,
       |  round(CAST(n2 AS DOUBLE) / t2, 9) AS p2,
-      |  round((CAST(n1 AS DOUBLE) / t1) *
-      |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9) AS kl_term
+      |  CASE WHEN n1 = 0 THEN CAST(0.0 AS DOUBLE)
+      |       WHEN n2 = 0 THEN CAST(NULL AS DOUBLE)
+      |       ELSE round((CAST(n1 AS DOUBLE) / t1) *
+      |         ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)), 9)
+      |  END AS kl_term
       |FROM c, tot ORDER BY event_type""".stripMargin
 
   /** CUSUM changepoint score of the daily event count — the

@@ -169,7 +169,22 @@ object GraphOps {
   private val BfsEnc = 1024L // dist field width; dist ≤ BfsRounds ≪ 1024
 
   private[ops] def bfsOnPairs(pairs: DataFrame, rounds: Int = BfsRounds,
-      broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame = {
+      broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame =
+    bfsOnPairsCounted(pairs, rounds, broadcastVertexLimit)._1
+
+  /** BFS with the rounds-actually-run count exposed (GraphSpec pins
+    * early convergence on a crafted 2-hop graph). Early exit: once a
+    * round improves NO label, every further round is the identity, so
+    * stopping is invisible to the declared capped-horizon semantics
+    * and to the [[BfsRounds]]-unrolled oracle — near-dup components
+    * are near-cliques that converge in 2–3 of the 8 budgeted rounds.
+    * Convergence rides the round's own aggregate (the
+    * [[DedupOps.connectedComponents]] pattern): each old label is
+    * tagged with itself, propagated candidates with +∞, so
+    * min(old) recovers the previous label and ONE 1-row count per
+    * round crosses the driver — no extra old-vs-new join. */
+  private[ops] def bfsOnPairsCounted(pairs: DataFrame, rounds: Int = BfsRounds,
+      broadcastVertexLimit: Long = BroadcastVertexLimit): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(false)
@@ -179,22 +194,31 @@ object GraphOps {
     val smallV = best.count() <= broadcastVertexLimit
     val edgesBySrc =
       if (smallV) edges else edges.repartition(col("src")).localCheckpoint(false)
-    for (t <- 1 to rounds) {
+    var t = 0
+    var changed = 1L
+    while (changed > 0 && t < rounds) {
+      t += 1
       val prop =
         (if (smallV) edgesBySrc.join(broadcast(best), col("id") === col("src"))
          else edgesBySrc.join(best.hint("shuffle_hash"), col("id") === col("src")))
-          .select(col("dst").as("id"), (col("enc") + lit(1L)).as("enc"))
-      best = best.union(prop).groupBy(col("id")).agg(min(col("enc")).as("enc"))
-      // tighter cut than pagerank's 5: a bfs round nests union+agg+join
-      // (three operators to pagerank's two), so uncut segments cost
-      // more analysis per round — every-3 measured faster at 8 rounds
-      if (t % 3 == 0 && t < rounds)
-        best = best.localCheckpoint(false)
+          .select(col("dst").as("id"), (col("enc") + lit(1L)).as("enc"),
+            lit(Long.MaxValue).as("old"))
+      // every id appears exactly once in best (the vertex set is
+      // fixed), so min(old) over the group IS the previous label
+      val next = best.select(col("id"), col("enc"), col("enc").as("old"))
+        .union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("enc")).as("enc"), min(col("old")).as("old"))
+        .localCheckpoint(false) // lazy; the count below materializes it
+      changed = next
+        .agg(coalesce(sum((col("enc") < col("old")).cast("long")), lit(0L)))
+        .head().getLong(0)
+      best = next.drop("old")
     }
-    best.select(col("id").as("doc_id"),
+    (best.select(col("id").as("doc_id"),
         expr(s"enc div $BfsEnc").as("root"),
         (col("enc") % lit(BfsEnc)).as("dist"))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), t)
   }
 
   /** DuckDB mirror: the shared minhash pair CTEs, then [[BfsRounds]]

@@ -85,6 +85,24 @@ class GraphSpec extends AnyFunSuite {
     assert(repart === rows)
   }
 
+  test("bfs early-exits once a round improves nothing, and still matches the full run") {
+    // a 3-node path 0-1-2: labels settle after round 2 (node 2 takes
+    // root 0 via two hops), round 3 proves the fixpoint → 3 rounds run
+    // of the 8 budgeted. The star+cycle settles in round 1, so round
+    // 2 itself is the fixpoint proof. Early exit must be invisible in
+    // the output (converged rounds are identity), which the
+    // exhaustive-run comparison pins.
+    val path2 = Seq((0L, 1L), (1L, 2L)).toDF("d1", "d2")
+    val (df2, rounds2) = GraphOps.bfsOnPairsCounted(path2)
+    assert(rounds2 === 3, s"2-hop path should settle in 3 rounds, ran $rounds2")
+    val rows2 = df2.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows2 === Map(0L -> ((0L, 0L)), 1L -> ((0L, 1L)), 2L -> ((0L, 2L))))
+    val (dfs, roundsS) = GraphOps.bfsOnPairsCounted(starPairs)
+    assert(roundsS === 2, s"star/cycle should settle in 2 rounds, ran $roundsS")
+    assert(dfs.collect().map(_.toSeq) ===
+      GraphOps.bfsOnPairs(starPairs, rounds = 8).collect().map(_.toSeq))
+  }
+
   test("pair-graph cache: one persisted table per dir, shared, evictable, stable") {
     // exact getPersistentRDDs counts are flaky here: the pipeline's
     // transient localCheckpoint RDDs register there too and the
@@ -106,6 +124,33 @@ class GraphSpec extends AnyFunSuite {
     assert(!(p2 eq p1), "eviction must drop the cached instance")
     assert(GraphOps.triangles(spark, sf).collect().toSeq === second,
       "post-evict probes rebuild and still agree")
+    GraphOps.evictPairCache()
+  }
+
+  test("cluster-label cache: shared across the cluster queries, evictable, stable") {
+    // same contract as the pair cache one test up: dedup_clusters and
+    // dedup_cluster_sizes must probe ONE persisted CC label table per
+    // (session, dir) — the r12 verdict's double-rebuild fix — and
+    // eviction must force a fresh, identical rebuild.
+    val sf = "/root/testdata/sf0.001"
+    DedupOps.evictClusterCache()
+    GraphOps.evictPairCache()
+    val clusters = DedupOps.dedupClusters(spark, sf).collect().toSeq
+    val l1 = DedupOps.cachedClusterLabels(spark, sf)
+    assert(l1.storageLevel.useMemory, "label table must be persisted")
+    assert(DedupOps.cachedClusterLabels(spark, sf) eq l1,
+      "dedup_clusters and dedup_cluster_sizes must share ONE label table per dir")
+    val sizes = DedupOps.clusterSizes(spark, sf).collect().toSeq
+    // cross-check: histogram mass equals the corpus size
+    assert(sizes.map(r => r.getLong(2)).sum === clusters.size.toLong,
+      "cluster-size histogram must cover every document exactly once")
+    DedupOps.evictClusterCache()
+    GraphOps.evictPairCache()
+    val l2 = DedupOps.cachedClusterLabels(spark, sf)
+    assert(!(l2 eq l1), "eviction must drop the cached instance")
+    assert(DedupOps.dedupClusters(spark, sf).collect().toSeq === clusters,
+      "post-evict probes rebuild and still agree")
+    DedupOps.evictClusterCache()
     GraphOps.evictPairCache()
   }
 
