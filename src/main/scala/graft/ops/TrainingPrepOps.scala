@@ -317,6 +317,68 @@ object TrainingPrepOps {
        |ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // merge_upsert: update-else-insert (SCD-1) daily ingest
+  // ---------------------------------------------------------------
+
+  /** MERGE/upsert core on any (key, lang, n_chars)-shaped pair of
+    * frames: full-outer on the key, source wins where present
+    * (SCD type 1), and every row is tagged with what the merge did —
+    * `insert` (source-only), `update` (matched, value changed),
+    * `noop` (matched, identical), `carry` (target-only, kept as-is).
+    * This is the one relational shape a daily pipeline runs that the
+    * r12 surface lacked: `dedup_incremental` covers append-only
+    * ingest; this covers update-else-insert. Scale shape: ONE hash
+    * shuffle per side on the merge key (or none if both are already
+    * bucketed by key — [[graft.ops.ScaleOps]]' layout); a
+    * storage-layer MERGE INTO (Delta/Iceberg) would execute the same
+    * join, so the declared plan IS the 100 TB plan. */
+  private[ops] def mergeUpsertOn(tgt: DataFrame, src: DataFrame): DataFrame =
+    tgt.select(col("doc_id"), col("lang").as("t_lang"), col("n_chars").as("t_chars"))
+      .join(src.select(col("doc_id"), col("lang").as("s_lang"),
+        col("n_chars").as("s_chars")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("s_lang"), col("t_lang")).as("lang"),
+        coalesce(col("s_chars"), col("t_chars")).as("n_chars"),
+        when(col("t_chars").isNull, lit("insert"))
+          .when(col("s_chars").isNull, lit("carry"))
+          .when(col("s_chars") =!= col("t_chars"), lit("update"))
+          .otherwise(lit("noop")).as("action"))
+
+  /** Declared upsert over `documents`: the even-id half of the corpus
+    * is the ingested store, every third document arrives in today's
+    * feed (doc_id%12==0 rows re-scored, +7 chars — so the matched set
+    * splits into genuine updates and no-ops), odd multiples of 3 are
+    * brand-new. Deterministic key routing, all four merge actions
+    * exercised on the real corpus. */
+  def mergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tgt = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") +
+          when(col("doc_id") % 12 === 0, lit(7L)).otherwise(lit(0L))).as("n_chars"))
+    mergeUpsertOn(tgt, src).orderBy("doc_id")
+  }
+
+  def mergeUpsertSql: String =
+    """WITH tgt AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |src AS (
+      |  SELECT doc_id, lang,
+      |    n_chars + CASE WHEN doc_id % 12 = 0 THEN 7 ELSE 0 END AS n_chars
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+      |  COALESCE(s.lang, t.lang) AS lang,
+      |  CAST(COALESCE(s.n_chars, t.n_chars) AS BIGINT) AS n_chars,
+      |  CASE WHEN t.doc_id IS NULL THEN 'insert'
+      |       WHEN s.doc_id IS NULL THEN 'carry'
+      |       WHEN s.n_chars <> t.n_chars THEN 'update'
+      |       ELSE 'noop' END AS action
+      |FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // emb_centroid: per-label embedding centroids
   // ---------------------------------------------------------------
 
