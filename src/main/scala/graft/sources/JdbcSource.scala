@@ -40,13 +40,18 @@ import org.apache.spark.sql.functions._
   * is fine on local[32] where all executor threads share the JVM; on a
   * real cluster the identical reader options point at a network
   * `jdbc:postgresql://...`-style URL and nothing else changes. A
-  * network-server dress rehearsal (Derby's `derbynet` server +
-  * `derbyclient` driver) was scoped for r12 but is not testable in
-  * this environment: the Spark distribution ships only
-  * derby/derbyshared/derbytools jars — no server, no client driver —
-  * and the build allows no added dependencies (zero egress). The
-  * partitioned-read path itself has no same-JVM assumption: every
-  * option it sets is wire-protocol-side.
+  * literal network-server boot (Derby's `derbynet` + `derbyclient`)
+  * is not possible in this environment — the Spark distribution ships
+  * only derby/derbyshared/derbytools jars (the bundled `ClientDriver`
+  * classes are empty stubs) and the build allows no added dependencies
+  * (zero egress). The no-same-JVM-assumption property is PROVEN
+  * instead by interposition: JdbcSourceSpec's dress rehearsal re-reads
+  * the staged DB through a recording proxy driver
+  * ([[graft.sources.RecordingJdbcDriver]], test scope) and asserts the
+  * complete protocol — one independent connection per partition, each
+  * preparing exactly one range-bounded SELECT, rows identical to the
+  * declared reader's. Everything the scan does crosses the
+  * `java.sql` client surface; nothing reaches into engine state.
   *
   * Reference scope: the EECS 485 framework ingests only text files
   * (mapreduce/manager/__main__.py partitions input directories);
@@ -75,6 +80,13 @@ object JdbcSource {
       val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       (url, maxKey)
     })
+
+  /** The staged DB's (url, max key) — exposed for JdbcSourceSpec's
+    * network-path dress rehearsal (a recording proxy driver re-reads
+    * the same DB through an independent-connection-per-partition
+    * client path). */
+  private[sources] def stagedDb(spark: SparkSession, d: String): (String, Long) =
+    stage(spark, d)
 
   /** The partitioned-parallel read-back: 8 range-bounded queries. */
   private[sources] def readOrders(spark: SparkSession, d: String): DataFrame = {

