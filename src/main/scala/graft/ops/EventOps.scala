@@ -1251,4 +1251,146 @@ object EventOps {
       |  round(n_both / sqrt(CAST(na.cnt AS DOUBLE) * nb.cnt), 9) AS cosine
       |FROM pairs JOIN n na ON na.event_type = ta JOIN n nb ON nb.event_type = tb
       |ORDER BY ta, tb""".stripMargin
+
+  /** SCD Type-2 history build — change-data-capture compaction, the
+    * interval-building half of the ingest pair ([[graft.ops
+    * .TrainingPrepOps.mergeUpsert]] is the overwrite half): each
+    * user's event stream, ordered by (ts, event_id), collapses into
+    * runs of consecutive equal event_type, emitted as validity
+    * intervals (valid_from = run start, valid_to = next run's start,
+    * open-ended + is_current on the last). This is how a warehouse
+    * derives dimension history from a raw change log. Shape: one
+    * user-partitioned shuffle carries the lag, the run segmentation
+    * (cumulative change-flag sum), the per-run aggregate, and the
+    * lead — four window/agg passes over the SAME partitioning, so
+    * Catalyst plans a single exchange; everything is exact integers
+    * and timestamps, no float anywhere. */
+  def scd2History(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seg = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("run",
+        sum(when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L)).over(w))
+    val runs = seg.groupBy(col("user_id"), col("run"))
+      .agg(max(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    // the classic end-of-time sentinel, not NULL: open intervals stay
+    // BETWEEN-queryable, and the gate never compares NULL timestamps
+    // (engines disagree on NaT equality)
+    val eot = to_timestamp(lit("9999-12-31 00:00:00"))
+    runs
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        coalesce(col("next_from"), eot).as("valid_to"), col("n_events"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  def scd2HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+      |  FROM o),
+      |runs AS (
+      |  SELECT user_id, run, MAX(event_type) AS event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM seg GROUP BY user_id, run)
+      |SELECT user_id, event_type, valid_from,
+      |  COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run),
+      |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+      |FROM runs ORDER BY user_id, valid_from""".stripMargin
+
+  /** Inter-arrival cadence per event type: the gap distribution
+    * between a user's CONSECUTIVE events of the same type ("how often
+    * does a user purchase"), summarized as exact-integer millisecond
+    * percentiles. Quantiles are the rank-statistic recipe (row_number
+    * over a (gap, user, event) TOTAL order, pick the floor-indexed
+    * rank) so both engines select the identical element — no
+    * interpolation, no float. Shape: the lag rides a (user, type)
+    * partition; everything downstream is |types|-keyed. */
+  def interarrival(spark: SparkSession, d: String): DataFrame = {
+    // microseconds, not millis: unix_micros is injective on the µs
+    // timestamps, so ordering by (us, event_id) IS (ts, event_id)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap_us").isNotNull)
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("user_id"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        // `div`, not `/`: Spark's `/` on longs is double division
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("gap_us"))).as("p50_us"),
+        max(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"), col("gap_us"))).as("p90_us"),
+        sum(col("gap_us")).as("sum_us"))
+      .select(col("event_type"), col("n_gaps"), col("p50_us"), col("p90_us"),
+        round(col("sum_us").cast("double") / col("n_gaps"), 6).as("mean_us"))
+      .orderBy("event_type")
+  }
+
+  def interarrivalSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |gg AS (SELECT event_type, gap_us, user_id, event_id
+      |  FROM g WHERE gap_us IS NOT NULL),
+      |rk AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY gap_us, user_id, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gg)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(CASE WHEN rn = (n-1)//2 + 1 THEN gap_us END) AS BIGINT) AS p50_us,
+      |  CAST(MAX(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN gap_us END) AS BIGINT) AS p90_us,
+      |  round(CAST(SUM(gap_us) AS DOUBLE) / MAX(n), 6) AS mean_us
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Power-law (Zipf-tail) exponent of per-user activity, per event
+    * type — the heavy-tail diagnostic for traffic mixes (α near 1:
+    * extremely heavy tail; α ≥ 2-3: light): the continuous MLE
+    * α = 1 + n / Σ ln(xᵤ / ½) with x_min = 1 (Clauset/Shalizi/Newman
+    * form). The per-user ln is quantized to 9 decimals and summed as
+    * DECIMAL so the Σ — the only float reduction — is order-free;
+    * both engines then divide the same two exact numbers. Shape: one
+    * (type, user) aggregate, then |types| keys. */
+  def powerlawAlpha(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        round(lit(1.0) + count(lit(1)) /
+          sum(round(log(lit(2.0) * col("x")), 9).cast("decimal(18,9)"))
+            .cast("double"), 6).as("alpha"))
+      .orderBy("event_type")
+
+  def powerlawAlphaSql: String =
+    """WITH ua AS (
+      |  SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2)
+      |SELECT event_type, COUNT(*) AS n_users,
+      |  round(1.0 + COUNT(*) /
+      |    CAST(SUM(CAST(round(ln(2.0 * x), 9) AS DECIMAL(18,9))) AS DOUBLE),
+      |    6) AS alpha
+      |FROM ua GROUP BY event_type ORDER BY event_type""".stripMargin
 }

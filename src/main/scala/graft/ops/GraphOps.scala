@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the near-duplicate pair graph —
@@ -349,6 +350,47 @@ object GraphOps {
        |       ELSE CAST(0.0 AS DOUBLE) END AS clustering
        |FROM deg d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Degree distribution of the near-dup graph + CCDF — the first
+    * thing a graph owner plots (is the pair graph the expected
+    * near-clique blobs, or did a hot band glue a hub?): per degree,
+    * node count, share, and the survival fraction P(deg ≥ k). Rides
+    * the shared pair cache; the histogram is |V|→|distinct degrees|
+    * (tiny), so the one global window runs on a frame that fits
+    * anywhere. Shares and CCDF divide exact integers, rounded 9. */
+  def degreeDist(spark: SparkSession, d: String): DataFrame =
+    degreeDistOnPairs(cachedPairs(spark, d))
+
+  private[ops] def degreeDistOnPairs(pairs: DataFrame): DataFrame = {
+    val hist = degreesOf(pairs)
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("nv"))
+    // degree-descending running sum = nodes with degree ≥ this one;
+    // the window input is the distinct-degree histogram, never |V|
+    val w = Window.orderBy(col("deg").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_ge", sum(col("n_nodes")).over(w))
+      .select(col("deg"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("nv"), 9).as("share"),
+        round(col("n_ge").cast("double") / col("nv"), 9).as("ccdf"))
+      .orderBy("deg")
+  }
+
+  def degreeDistSql: String =
+    s"""WITH ${DedupOps.minhashPairsCteSql},
+       |up AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.6),
+       |edges AS (
+       |  SELECT d1 AS src FROM up UNION ALL SELECT d2 FROM up),
+       |deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+       |hist AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg),
+       |tot AS (SELECT SUM(n_nodes) AS nv FROM hist)
+       |SELECT deg, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  round(CAST(n_nodes AS DOUBLE) / (SELECT nv FROM tot), 9) AS share,
+       |  round(CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / (SELECT nv FROM tot), 9) AS ccdf
+       |FROM hist ORDER BY deg""".stripMargin
 
   /** DuckDB mirror: the shared minhash pair CTEs, then [[Rounds]]
     * unrolled PR rounds with the identical quantize→BIGINT-sum→

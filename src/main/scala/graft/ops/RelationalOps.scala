@@ -784,6 +784,35 @@ object RelationalOps {
       |      FROM lineitem)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Log₂-bucketed (HDR-style) histogram of order totals — the
+    * long-tailed-metric profile [[histQuantity]]'s equi-width buckets
+    * can't give (prices span decades of magnitude; equi-width puts
+    * 99% of rows in bucket 0). Bucket = bit length of
+    * floor(price) — integer arithmetic end to end (Spark `conv` /
+    * DuckDB `printf('%b')` both render binary without leading
+    * zeros), so the two engines agree exactly with no float log2
+    * boundary flakiness. Same single-pass map-side-combine shape as
+    * [[histQuantity]]: ≤64 possible buckets. */
+  def logBuckets(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_totalprice").as("p"),
+        length(conv(floor(col("o_totalprice")).cast("long").cast("string"),
+          10, 2)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("p")), 2).as("lo"),
+        round(max(col("p")), 2).as("hi"),
+        dsum(col("p")).as("total"))
+      .orderBy("bucket")
+
+  def logBucketsSql: String =
+    """SELECT CAST(length(printf('%b', CAST(floor(o_totalprice) AS BIGINT))) AS BIGINT)
+      |    AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  round(MIN(o_totalprice), 2) AS lo, round(MAX(o_totalprice), 2) AS hi,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** TPC-H Q6-shape revenue forecast, expressed as PURE SQL TEXT via
     * `spark.sql` over a registered temp view — the declared-query
     * proof that the engine's SQL entry path (not just the Column API)

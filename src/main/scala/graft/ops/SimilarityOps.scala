@@ -1255,18 +1255,46 @@ object SimilarityOps {
     * matches two ≤3-row-per-query sets on (qid, nid) and aggregates
     * onto |queries| keys. Missed queries surface as recall 0, not as
     * absent rows (left join from the exact side). */
-  def annRecall(spark: SparkSession, d: String): DataFrame = {
-    val brute = bruteTopK(spark, d).where(col("rank") <= 3)
-      .select(col("qid"), col("nid"))
-    val ann = annIvf(spark, d).select(col("qid"), col("nid"))
-    val hits = brute.join(ann, Seq("qid", "nid"))
+  /** recall@3 core shared by [[annRecall]] (IVF) and [[pqRecall]]:
+    * exact top-3 joined to an index's top-3 on (qid, nid), aggregated
+    * onto |queries| keys; missed queries surface as recall 0, not as
+    * absent rows (left join from the exact side). */
+  private def recall3Of(brute: DataFrame, ann: DataFrame): DataFrame = {
+    val b = brute.select(col("qid"), col("nid"))
+    val hits = b.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"))
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-    brute.select(col("qid")).distinct()
+    b.select(col("qid")).distinct()
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
         round(coalesce(col("h"), lit(0L)).cast("double") / lit(3.0), 9).as("recall3"))
       .orderBy("qid")
   }
+
+  def annRecall(spark: SparkSession, d: String): DataFrame =
+    recall3Of(bruteTopK(spark, d).where(col("rank") <= 3), annIvf(spark, d))
+
+  /** recall@3 of the PQ index against the exact top-3 — [[annRecall]]
+    * for the OTHER approximate index: IVF approximates by pruning the
+    * candidate set, PQ by quantizing distances, and their recall
+    * profiles differ, so an index owner watches both. Same scale
+    * shape as [[annRecall]] (two existing declared plans joined on
+    * ≤3-row-per-query sets). */
+  def pqRecall(spark: SparkSession, d: String): DataFrame =
+    recall3Of(bruteTopK(spark, d).where(col("rank") <= 3), annPq(spark, d))
+
+  def pqRecallSql: String =
+    s"""WITH brute3 AS (
+       |  SELECT qid, nid FROM ($bruteTopKSql) b WHERE rank <= 3),
+       |ann AS (SELECT qid, nid FROM ($annPqSql) a),
+       |hits AS (
+       |  SELECT brute3.qid, COUNT(*) AS h
+       |  FROM brute3 JOIN ann ON brute3.qid = ann.qid AND brute3.nid = ann.nid
+       |  GROUP BY brute3.qid)
+       |SELECT q.qid, COALESCE(h, 0) AS n_hits,
+       |  round(COALESCE(h, 0) / 3.0, 9) AS recall3
+       |FROM (SELECT DISTINCT qid FROM brute3) q
+       |LEFT JOIN hits ON q.qid = hits.qid
+       |ORDER BY q.qid""".stripMargin
 
   def annRecallSql: String =
     s"""WITH brute3 AS (
@@ -1366,7 +1394,7 @@ object SimilarityOps {
       val best = kmAssign(e, cents).localCheckpoint(false)
       costs += best.agg(
         sum(round(sqrt(col("dist2")), 9).cast("decimal(18,6)"))
-          .cast("double").as("cost")).head.getDouble(0)
+          .cast("double").as("cost")).head().getDouble(0)
       cents = kmUpdate(best)
     }
     val summary = kmAssign(e, cents)

@@ -1204,4 +1204,92 @@ object TextAnalysisOps {
        |SELECT lang, COUNT(*) AS n_docs,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM hits GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document character-trigram entropy — the gibberish/boilerplate
+    * detector next to the token-level quality screens ([[gopherRules]]
+    * works on words; this catches keyboard-mash and base64 blobs whose
+    * WORDS look fine-length): H = −Σ p·ln p over the doc's trigram
+    * distribution. Low entropy = repetitive (template/boilerplate),
+    * abnormally high = near-uniform bytes (encoded junk). Per-doc work
+    * is O(chars) — the trigram explode is a map-side transform on the
+    * text the scan already read, and the two aggregates key on
+    * (doc_id, tri) then doc_id, so nothing exceeds document
+    * cardinality × distinct-trigram fan-out. The Σ quantizes each
+    * p·ln p term to 12 decimals and sums as DECIMAL (order-free —
+    * [[graft.ops.OpsUtil.dsum]] rationale), one rounded result. */
+  def charEntropy(spark: SparkSession, d: String): DataFrame = {
+    val tg = Tables.documents(spark, d)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("lt")) - 2),
+          i => col("lt").substr(i, lit(3)))).as("tri"))
+    val c = tg.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    c.join(t, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("tot")).as("n_trigrams"),
+        max(col("n_distinct")).as("n_distinct"),
+        round(-sum(round(p * log(p), 12).cast("decimal(28,12)")).cast("double"), 9)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  def charEntropySql: String =
+    """WITH tg AS (
+      |  SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS tri
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+      |        FROM documents)),
+      |c AS (SELECT doc_id, tri, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      |t AS (SELECT doc_id, SUM(c) AS tot, COUNT(*) AS n_distinct FROM c GROUP BY 1)
+      |SELECT c.doc_id, CAST(MAX(t.tot) AS BIGINT) AS n_trigrams,
+      |  CAST(MAX(t.n_distinct) AS BIGINT) AS n_distinct,
+      |  round(-CAST(SUM(CAST(round((c.c / CAST(t.tot AS DOUBLE))
+      |    * ln(c.c / CAST(t.tot AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE),
+      |    9) AS entropy
+      |FROM c JOIN t ON c.doc_id = t.doc_id
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  /** Feature hashing (the hashing trick): every token routed to one of
+    * [[HashFeatureBuckets]] buckets by the shared cross-engine hash —
+    * the classical-ML vectorizer (no vocabulary build, no OOV, fixed
+    * width at any corpus size, which is exactly why it scales: the
+    * "vocabulary" never crosses the cluster). Declared summary per
+    * document: non-zero bucket count, squared L2 norm of the count
+    * vector (exact integer), and the dominant bucket
+    * (max count, min bucket id tie-break via min_by on a sort key —
+    * deterministic). The full sparse vector is the (doc_id, bucket, c)
+    * intermediate; the summary keeps the declared output
+    * array-free. */
+  private val HashFeatureBuckets = 1024
+
+  def hashFeatures(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (xhash60(col("tok"), 7) % HashFeatureBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        min_by(col("bucket"), struct((-col("c")).as("nc"), col("bucket")))
+          .as("top_bucket"))
+      .orderBy("doc_id")
+
+  def hashFeaturesSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |b AS (
+       |  SELECT doc_id, ${xhash60Sql("tok", 7)} % $HashFeatureBuckets AS bucket,
+       |    COUNT(*) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS nnz, SUM(c*c) AS sum_sq, MAX(c) AS maxc
+       |  FROM b GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.nnz AS BIGINT) AS nnz,
+       |  CAST(s.sum_sq AS BIGINT) AS sum_sq,
+       |  CAST(MIN(b.bucket) AS BIGINT) AS top_bucket
+       |FROM s JOIN b ON b.doc_id = s.doc_id AND b.c = s.maxc
+       |GROUP BY s.doc_id, s.nnz, s.sum_sq ORDER BY s.doc_id""".stripMargin
 }
