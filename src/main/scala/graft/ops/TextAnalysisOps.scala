@@ -1214,25 +1214,27 @@ object TextAnalysisOps {
     * is O(chars) — the trigram explode is a map-side transform on the
     * text the scan already read, and the two aggregates key on
     * (doc_id, tri) then doc_id, so nothing exceeds document
-    * cardinality × distinct-trigram fan-out. The Σ quantizes each
-    * p·ln p term to 12 decimals and sums as DECIMAL (order-free —
-    * [[graft.ops.OpsUtil.dsum]] rationale), one rounded result. */
+    * cardinality × distinct-trigram fan-out. Computed via the
+    * count-form identity H = ln T − (Σ c·ln c)/T, which needs NO
+    * totals join — the two aggregations pipeline on one shuffle.
+    * Each c·ln c term quantizes to 12 decimals and sums as DECIMAL
+    * (order-free — [[graft.ops.OpsUtil.dsum]] rationale); both
+    * engines then evaluate the identical two-double expression. */
   def charEntropy(spark: SparkSession, d: String): DataFrame = {
     val tg = Tables.documents(spark, d)
       .select(col("doc_id"), lower(col("text")).as("lt"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("lt")) - 2),
           i => col("lt").substr(i, lit(3)))).as("tri"))
-    val c = tg.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-    val t = c.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_distinct"))
-    val p = col("c").cast("double") / col("tot").cast("double")
-    c.join(t, Seq("doc_id"))
+    tg.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(max(col("tot")).as("n_trigrams"),
-        max(col("n_distinct")).as("n_distinct"),
-        round(-sum(round(p * log(p), 12).cast("decimal(28,12)")).cast("double"), 9)
-          .as("entropy"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double").as("clnc"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(log(col("n_trigrams").cast("double")) -
+          col("clnc") / col("n_trigrams").cast("double"), 9).as("entropy"))
       .orderBy("doc_id")
   }
 
@@ -1242,14 +1244,15 @@ object TextAnalysisOps {
       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
       |        FROM documents)),
       |c AS (SELECT doc_id, tri, COUNT(*) AS c FROM tg GROUP BY 1, 2),
-      |t AS (SELECT doc_id, SUM(c) AS tot, COUNT(*) AS n_distinct FROM c GROUP BY 1)
-      |SELECT c.doc_id, CAST(MAX(t.tot) AS BIGINT) AS n_trigrams,
-      |  CAST(MAX(t.n_distinct) AS BIGINT) AS n_distinct,
-      |  round(-CAST(SUM(CAST(round((c.c / CAST(t.tot AS DOUBLE))
-      |    * ln(c.c / CAST(t.tot AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE),
-      |    9) AS entropy
-      |FROM c JOIN t ON c.doc_id = t.doc_id
-      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+      |t AS (
+      |  SELECT doc_id, SUM(c) AS tot, COUNT(*) AS n_distinct,
+      |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 12)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS clnc
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(tot AS BIGINT) AS n_trigrams,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  round(ln(CAST(tot AS DOUBLE)) - clnc / CAST(tot AS DOUBLE), 9) AS entropy
+      |FROM t ORDER BY doc_id""".stripMargin
 
   /** Feature hashing (the hashing trick): every token routed to one of
     * [[HashFeatureBuckets]] buckets by the shared cross-engine hash —

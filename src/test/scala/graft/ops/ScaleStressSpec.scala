@@ -90,6 +90,15 @@ class ScaleStressSpec extends AnyFunSuite {
         .withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
       .reduce(_ union _)
       .write.parquet(s"$dir/embeddings.parquet")
+    // user-salted event copies: ×mult USERS with the same per-user
+    // history, so per-user window work stays constant and an honest
+    // user-partitioned operator (evt_scd2) scales with the corpus
+    val events = spark.read.parquet(s"$sf01/events.parquet")
+    (0 until mult).map(k => events
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -224,7 +233,15 @@ class ScaleStressSpec extends AnyFunSuite {
       // fixed 100-token support whatever the corpus size
       ("basket_lift", d => { RelationalOps.basketLift(spark, d).count(); () }),
       ("q_skyline", d => { RelationalOps.skylineOrders(spark, d).count(); () }),
-      ("text_jsd", d => { TextAnalysisOps.textJsd(spark, d).count(); () }))
+      ("text_jsd", d => { TextAnalysisOps.textJsd(spark, d).count(); () }),
+      // r13 additions: SCD-2 is four window/agg passes on ONE
+      // user-partitioned exchange; the trigram entropy explode is
+      // O(chars) with (doc, tri)-keyed aggregation; feature hashing
+      // is a token explode onto a FIXED 1024-bucket space — each must
+      // track corpus size, never pairs
+      ("evt_scd2", d => { EventOps.scd2History(spark, d).count(); () }),
+      ("text_char_entropy", d => { TextAnalysisOps.charEntropy(spark, d).count(); () }),
+      ("text_hash_features", d => { TextAnalysisOps.hashFeatures(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
