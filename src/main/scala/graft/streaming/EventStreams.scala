@@ -130,6 +130,112 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value", "last_ms")
   }
 
+  /** Session gap shared by [[sessionizeFlat]] and its oracle. */
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** Completed-session emission via flatMapGroupsWithState — the
+    * 0..n-outputs-per-group stateful shape ([[userRunningTotals]] is
+    * the exactly-1 mapGroups face; this is the other half of the
+    * KeyValueGroupedDataset custom-state surface): per user, an open
+    * session accumulates in state; an arriving event more than 30
+    * minutes past the last CLOSES it — the completed session emits in
+    * that batch (possibly several per user per batch, possibly none),
+    * and a fresh session opens. Each user's final session never gains
+    * a successor and intentionally never emits: the declared result
+    * is exactly "every session proven complete by a later event",
+    * which is watermark-edge-free (no ms-truncation boundary for the
+    * oracle to chase; production would add EventTimeTimeout to flush
+    * finals, the mechanic [[userRunningTotals]] already demonstrates
+    * under the gate). Value totals accumulate as exact micro-units
+    * (round(value·10⁶) longs), so state merge order is immaterial.
+    * Per-batch per-user rows are sorted by (event time, id) before
+    * folding — batch-volume-bounded, never corpus-bounded. */
+  def sessionizeFlat(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("uid"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * lit(1000000)).cast("long").as("vm"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          // state = (startUs, lastUs, nEvents, valueMicro) of the open session
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          sorted.foreach { r =>
+            cur = cur match {
+              case Some((s, l, n, v)) if r._3 - l > SessionGapUs =>
+                closed += ((uid, s, l, n, v))
+                Some((r._3, r._3, 1L, r._5))
+              case Some((s, _, n, v)) => Some((s, r._3, n + 1, v + r._5))
+              case None => Some((r._3, r._3, 1L, r._5))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events", "value_micro")
+  }
+
+  /** [[sessionizeFlat]] under the hash gate: events staged as two
+    * time-ordered halves replayed as separate micro-batches (the
+    * [[streamUserTotals]] staging), so sessions spanning the midpoint
+    * prove state carries across batches. Append mode, parquet sink. */
+  def streamSessionizeFlat(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val ss = streamingSession(spark)
+    val ev = graft.Tables.events(ss, d)
+    val bounds = ev.agg(
+      min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-flatmap-$n")
+    ev.filter(unix_millis(col("ts")) < cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    Thread.sleep(5) // distinct mod-times: deterministic batch order
+    ev.filter(unix_millis(col("ts")) >= cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    try runToParquetSink(ss,
+      sessionizeFlat(ss, readEvents(ss, drop.toString, maxFilesPerTrigger = Some(1))),
+      "stream_flatmap_sessions", OutputMode.Append())
+      .orderBy("user_id", "start_us")
+    finally dropStaged(drop.toString)
+  }
+
+  /** Batch twin: gap-split sessions per user, minus each user's last
+    * (the one the stream correctly still holds open). */
+  def streamSessionizeFlatSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    CAST(round(value * 1000000) AS BIGINT) AS vm
+       |  FROM events),
+       |o AS (
+       |  SELECT user_id, us, event_id, vm,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM e),
+       |seg AS (
+       |  SELECT user_id, us, vm,
+       |    SUM(CASE WHEN prev IS NULL OR us - prev > $SessionGapUs
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+       |  FROM o),
+       |s AS (
+       |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+       |    COUNT(*) AS n_events, SUM(vm) AS value_micro
+       |  FROM seg GROUP BY user_id, sid),
+       |m AS (SELECT user_id, MAX(sid) AS last_sid FROM s GROUP BY user_id)
+       |SELECT s.user_id, CAST(start_us AS BIGINT) AS start_us,
+       |  CAST(end_us AS BIGINT) AS end_us,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(value_micro AS BIGINT) AS value_micro
+       |FROM s JOIN m ON s.user_id = m.user_id
+       |WHERE s.sid <> m.last_sid
+       |ORDER BY s.user_id, start_us""".stripMargin
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on
     * (event id, event time) — the streaming face of
     * DedupOps.dedupExact. The event-time column MUST be part of the

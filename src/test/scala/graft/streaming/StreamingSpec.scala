@@ -347,4 +347,40 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("user_id")).agg(count("*").as("n_events"))
     assert(res.exceptAll(want).isEmpty && want.exceptAll(res).isEmpty)
   }
+
+  test("flatMapGroupsWithState sessionizer: mid-batch closes, cross-batch carry, open last held") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val Min = 60L * 1000 * 1000 // µs
+    def ev(id: Long, uid: Long, us: Long) =
+      (id, new Timestamp(us / 1000), uid, "t", 0.25, "{}")
+    // user 1: batch 1 holds two sessions' worth (gap 40 min) — the
+    //   first closes MID-batch; the second spans into batch 2 (gap
+    //   5 min across the cut) and then a 40-min gap closes it there.
+    // user 2: one session only — must never emit.
+    val base = 1700000000L * 1000000
+    val b1 = Seq(
+      ev(1, 1, base), ev(2, 1, base + 2 * Min),          // session A
+      ev(3, 1, base + 45 * Min),                          // session B opens
+      ev(4, 2, base + 10 * Min))
+    val b2 = Seq(
+      ev(5, 1, base + 50 * Min),                          // still session B
+      ev(6, 1, base + 95 * Min))                          // closes B, opens C (stays open)
+    val dir = Files.createTempDirectory("graft-flatmap-spec")
+    b1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(5)
+    b2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val out = EventStreams.runToMemory(spark,
+      EventStreams.sessionizeFlat(spark,
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "flatmap_spec", org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, base, base + 2 * Min, 2L, 500000L),            // A: closed in batch 1
+      (1L, base + 45 * Min, base + 50 * Min, 2L, 500000L) // B: carried, closed in batch 2
+    ), s"got: ${out.mkString(", ")}") // C and user 2's session stay open: absent
+  }
 }
