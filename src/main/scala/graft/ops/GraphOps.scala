@@ -392,6 +392,74 @@ object GraphOps {
        |    / (SELECT nv FROM tot), 9) AS ccdf
        |FROM hist ORDER BY deg""".stripMargin
 
+  /** Neighbor-Jaccard link prediction: for every NON-adjacent pair at
+    * distance 2 in a similarity graph, |N(a)∩N(b)| / |N(a)∪N(b)| —
+    * the classic "these two share most of their neighborhoods but no
+    * edge" probe that surfaces pairs one missed bucket away from
+    * detection. Runs on the embedding-LSH near-dup graph
+    * ([[graft.ops.SimilarityOps.dedupEmbeddingLsh]]): plane-hash
+    * bucketing admits only same-bucket pairs, so a vector pair split
+    * across adjacent buckets is exactly what this recovers — the
+    * semantic-dedup tuner's candidate list. (The MinHash text graph
+    * is the wrong substrate here: its verified-jaccard≥0.6 components
+    * are isolated couples with no 2-paths at any threshold.) Shape:
+    * common-neighbor counting is the two-path equi-join through the
+    * middle vertex — fan-out Σ deg(b)², the standard cost of
+    * common-neighbor analytics, bounded because LSH components are
+    * cell-bounded (and a pathological hub trips the ScaleStress
+    * hot-bucket gate upstream); the adjacency exclusion is one
+    * anti-join against the edge list; the union size is
+    * inclusion–exclusion over two broadcast degree lookups — no
+    * neighbor SETS ever cross the shuffle, only counts. The score
+    * divides exact integers, rounded 9. */
+  def linkPred(spark: SparkSession, d: String): DataFrame =
+    linkPredOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
+      .select(col("v1").as("d1"), col("v2").as("d2")))
+
+  private[ops] def linkPredOnPairs(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint(false) // (d1 < d2) upstream
+    val deg = degreesOf(pairs).localCheckpoint(false)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // two-path join through the middle vertex; a < c keeps each
+    // candidate once (the undirected pair), same-vertex excluded
+    val common = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(edges.select(col("src").as("b"), col("dst").as("c")).hint("merge"), Seq("b"))
+      .where(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("n_common"))
+    val nonAdj = common.join(
+      pairs.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"), "left_anti")
+    nonAdj
+      .join(broadcast(deg.select(col("doc_id").as("a"), col("deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("doc_id").as("c"), col("deg").as("deg_c"))), Seq("c"))
+      .select(col("a").as("d1"), col("c").as("d2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("deg_a") + col("deg_c") - col("n_common")), 9).as("jaccard_n"))
+      .orderBy("d1", "d2")
+  }
+
+  def linkPredSql: String =
+    s"""WITH up AS (
+       |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql})),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM up
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM up),
+       |deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+       |common AS (
+       |  SELECT e1.src AS a, e2.dst AS c, COUNT(*) AS n_common
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE e1.src < e2.dst
+       |  GROUP BY e1.src, e2.dst),
+       |nonadj AS (
+       |  SELECT a, c, n_common FROM common
+       |  WHERE NOT EXISTS (SELECT 1 FROM up WHERE up.d1 = a AND up.d2 = c))
+       |SELECT a AS d1, c AS d2, CAST(n_common AS BIGINT) AS n_common,
+       |  round(CAST(n_common AS DOUBLE) / (da.deg + dc.deg - n_common), 9)
+       |    AS jaccard_n
+       |FROM nonadj JOIN deg da ON da.doc_id = a JOIN deg dc ON dc.doc_id = c
+       |ORDER BY d1, d2""".stripMargin
+
   /** DuckDB mirror: the shared minhash pair CTEs, then [[Rounds]]
     * unrolled PR rounds with the identical quantize→BIGINT-sum→
     * dequantize arithmetic (same association order), so the final

@@ -1295,4 +1295,84 @@ object TextAnalysisOps {
        |  CAST(MIN(b.bucket) AS BIGINT) AS top_bucket
        |FROM s JOIN b ON b.doc_id = s.doc_id AND b.c = s.maxc
        |GROUP BY s.doc_id, s.nnz, s.sum_sq ORDER BY s.doc_id""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency over the whole corpus (degree = Σ length of the
+    * phrases it appears in — co-occurrence-rich words win); a phrase
+    * scores the sum of its words' scores; declared output is the
+    * corpus top-[[RakeTopK]]. The multi-word phrase reconstruction is
+    * the dim-sorted-collect trick (positions ride the explode; no
+    * order-dependent collect). Shape: one posexplode per doc, run
+    * segmentation on the (doc, pos) window, word stats are one
+    * token-keyed aggregate (|vocab| rows, broadcast back), and the
+    * top-K cut rides a unique (score, doc, run) total order so the
+    * limit is deterministic. Per-word scores round to 9 and sum as
+    * DECIMAL — order-free. */
+  private val RakeTopK = 20
+
+  def rakeKeywords(spark: SparkSession, d: String): DataFrame = {
+    val stop = Stopwords.filter(_._1 == "en").map(_._2)
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stop))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = toks
+      .withColumn("run", sum(col("is_stop").cast("int")).over(w))
+      .where(!col("is_stop"))
+      .select(col("doc_id"), col("run"), col("pos"), col("tok"))
+      .localCheckpoint(false) // read by phrases AND word stats
+    val phrases = words.groupBy(col("doc_id"), col("run"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("phrase"),
+        count(lit(1)).as("n_words"))
+    val wordStats = words
+      .join(phrases.select(col("doc_id"), col("run"), col("n_words")),
+        Seq("doc_id", "run"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("wdeg"))
+    val scored = words
+      .join(broadcast(wordStats), Seq("tok"))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(round(sum(
+          round(col("wdeg").cast("double") / col("freq"), 9).cast("decimal(18,9)"))
+        .cast("double"), 6).as("score"))
+    phrases.join(scored, Seq("doc_id", "run"))
+      .orderBy(col("score").desc, col("doc_id"), col("run"))
+      .limit(RakeTopK)
+      .select(col("doc_id"), col("phrase"), col("n_words"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("run"))
+  }
+
+  def rakeKeywordsSql: String = {
+    val stop = Stopwords.filter(_._1 == "en").map("'" + _._2 + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, tok, tok IN ($stop) AS is_stop FROM (
+       |    SELECT doc_id,
+       |      unnest(range(0, len(${tokensSql("text")}))) AS pos,
+       |      unnest(${tokensSql("text")}) AS tok
+       |    FROM documents)),
+       |words AS (
+       |  SELECT doc_id, run, pos, tok FROM (
+       |    SELECT doc_id, pos, tok, is_stop,
+       |      SUM(CAST(is_stop AS INT)) OVER (
+       |        PARTITION BY doc_id ORDER BY pos) AS run
+       |    FROM tok) WHERE NOT is_stop),
+       |phrases AS (
+       |  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS n_words
+       |  FROM words GROUP BY doc_id, run),
+       |ws AS (
+       |  SELECT tok, COUNT(*) AS freq, SUM(n_words) AS wdeg
+       |  FROM words JOIN phrases USING (doc_id, run) GROUP BY tok),
+       |scored AS (
+       |  SELECT doc_id, run,
+       |    round(CAST(SUM(CAST(round(CAST(wdeg AS DOUBLE) / freq, 9)
+       |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+       |  FROM words JOIN ws USING (tok) GROUP BY doc_id, run)
+       |SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score
+       |FROM phrases JOIN scored USING (doc_id, run)
+       |ORDER BY score DESC, doc_id, run LIMIT $RakeTopK""".stripMargin
+  }
 }
