@@ -81,6 +81,36 @@ object BmpCodec {
     * Row padding is skipped, so a decoder that confuses stride with
     * width*3 produces a different sum and hash-mismatches against the
     * oracle's cycled-source closed form. */
+  /** Nearest-neighbor resample to a tw×th grid and sum the sampled
+    * channel bytes — the real pixel-level half of the thumbnailing
+    * pass whose geometry mm_bmp plans ([[MultimodalOps]]): source
+    * pixel (⌊x·w/tw⌋, ⌊y·h/th⌋) per target cell, stride-aware offsets
+    * into the actual file bytes. Works as up- or downsample (the
+    * floor map stays in range either way). The sum is checked against
+    * the oracle's closed-form replay of the same index arithmetic on
+    * the cycled source bytes. */
+  def thumbnailSum(payload: Array[Byte], tw: Int, th: Int): Long = {
+    val m = decode(payload)
+    require(m.bitsPerPixel == 24, s"thumbnailSum supports 24-bit, got ${m.bitsPerPixel}")
+    val dataOffset = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    var sum = 0L
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * m.height / th).toInt
+      val rowBase = dataOffset + sy * m.rowStride
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * m.width / tw).toInt
+        val off = rowBase + sx * 3
+        sum += (payload(off) & 0xff) + (payload(off + 1) & 0xff) +
+          (payload(off + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   def pixelSum(payload: Array[Byte]): Long = {
     val m = decode(payload)
     require(m.bitsPerPixel == 24, s"pixelSum supports 24-bit, got ${m.bitsPerPixel}")

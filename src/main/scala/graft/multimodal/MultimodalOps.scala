@@ -256,6 +256,58 @@ object MultimodalOps {
       |  CAST(px.psum AS BIGINT) AS pixel_sum
       |FROM geo g JOIN px ON px.doc_id = g.doc_id ORDER BY asset_id""".stripMargin
 
+  /** Target thumbnail grid for [[mmThumbnail]] — fixed, so every
+    * asset costs exactly 16×16×3 sampled bytes whatever its size. */
+  private val ThumbSide = 16
+
+  /** Declared query: REAL pixel-level thumbnailing — nearest-neighbor
+    * resample of every BMP asset to a fixed [[ThumbSide]]² grid
+    * ([[BmpCodec.thumbnailSum]]: floor-mapped source coordinates,
+    * stride-aware byte reads), summarized as the sampled-byte sum the
+    * oracle replays via the same index arithmetic on the cycled
+    * source bytes. mm_bmp plans thumbnail GEOMETRY; this executes the
+    * resample on the decoded payload — the decode → transform →
+    * summarize pipeline shape, constant per-asset output however
+    * large the image. */
+  def mmThumbnail(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    bmpAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = BmpCodec
+        rows.map { case (id, bmp) =>
+          val m = codec.decode(bmp)
+          (id, m.width.toLong, m.height.toLong,
+            codec.thumbnailSum(bmp, ThumbSide, ThumbSide))
+        }
+      }
+      .toDF("asset_id", "width", "height", "thumb_sum")
+      .orderBy("asset_id")
+  }
+
+  // Same dims arithmetic as mmBmpSql; the 768 sampled bytes replay as
+  // range(768) with i → (y, x, k) = (i div 48, (i mod 48) div 3,
+  // i mod 3), source byte index (3·(⌊y·h/16⌋·w + ⌊x·w/16⌋) + k) mod bl
+  // into the hex-encoded text — the identical floor map the codec
+  // walks through the file's stride.
+  def mmThumbnailSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 16 + (doc_id * 7) % 500 AS w, 1 + doc_id % 25 AS h,
+       |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |s AS (
+       |  SELECT doc_id, w, h,
+       |    CASE WHEN bl = 0 THEN 0 ELSE
+       |      COALESCE(list_sum(list_transform(range(${3 * ThumbSide * ThumbSide}),
+       |        i -> ('0x' || substr(hx,
+       |          ((3 * ((((i // ${3 * ThumbSide}) * h) // $ThumbSide) * w
+       |                 + (((i % ${3 * ThumbSide}) // 3) * w) // $ThumbSide)
+       |            + i % 3) % bl) * 2 + 1, 2))::BIGINT)), 0)
+       |    END AS thumb_sum
+       |  FROM dims)
+       |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height, CAST(thumb_sum AS BIGINT) AS thumb_sum
+       |FROM s ORDER BY asset_id""".stripMargin
+
   /** Real TIFF payloads — the tagged-container image format: dims
     * keyed on doc_id (different arithmetic than BMP so the two
     * decoders can't accidentally validate each other), RGB bytes

@@ -151,6 +151,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BmpCodec.pixelSum(BmpCodec.encode(1, 1, Array[Byte](-1, 0, 1))) === 256L)
   }
 
+  test("BmpCodec thumbnailSum: identity, downsample picks floor-mapped pixels, upsample repeats") {
+    // 2×2 image, pixels (row-major, 3 bytes each): p00=1,2,3 p10=4,5,6
+    // p01=7,8,9 p11=10,11,12
+    val img = BmpCodec.encode(2, 2,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    // identity 2×2 resample = plain pixel sum (stride pad excluded)
+    assert(BmpCodec.thumbnailSum(img, 2, 2) === (1 to 12).sum.toLong)
+    // 1×1 thumbnail: floor map hits ONLY p00
+    assert(BmpCodec.thumbnailSum(img, 1, 1) === 6L)
+    // 4×4 upsample: each source pixel sampled 4× (floor map repeats)
+    assert(BmpCodec.thumbnailSum(img, 4, 4) === 4L * (1 to 12).sum)
+    // 2×1: rows collapse to row 0 → p00 + p10
+    assert(BmpCodec.thumbnailSum(img, 2, 1) === (1 to 6).sum.toLong)
+  }
+
   test("BmpCodec fails loudly on non-BMP / compressed / truncated bytes") {
     intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
