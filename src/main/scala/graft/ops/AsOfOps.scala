@@ -95,4 +95,92 @@ object AsOfOps {
       |                              ORDER BY event_id DESC) = 1) p
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
+
+  /** NEAREST-neighbor temporal join — the bidirectional as-of
+    * ([[leftAsOf]] is backward-only): for every purchase, the click
+    * closest in time either direction, built as TWO as-of passes —
+    * backward as-is, forward by running the SAME union-and-carry
+    * operator on the negated time axis — then one per-row argmin.
+    * Still two shuffles and two sorts total, no range join, the
+    * 100 TB shape. Tie rules, everywhere deterministic: an
+    * exactly-simultaneous click counts backward (Δ = 0 wins the
+    * argmin); among clicks sharing a timestamp, max event_id. Deltas
+    * are exact µs integers. */
+  def nearestClick(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val b = leftAsOf(p, c, "user_id", "ts", Seq("event_id", "ts"),
+        tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("__asof.event_id").as("b_id"),
+        unix_micros(col("__asof.ts")).as("b_us"))
+    val pN = p.withColumn("nus", -unix_micros(col("ts")))
+    val cN = c.select(col("user_id"), (-unix_micros(col("ts"))).as("nus"),
+      col("event_id"), unix_micros(col("ts")).as("cus"))
+    val f = leftAsOf(pN, cN, "user_id", "nus", Seq("event_id", "cus"),
+        tieBreak = Some("event_id"))
+      .select(col("event_id"), col("__asof.event_id").as("f_id"),
+        col("__asof.cus").as("f_us"))
+    val backWins = col("us") - col("b_us") <= col("f_us") - col("us")
+    b.join(f, Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        when(col("b_id").isNull && col("f_id").isNull, lit("none"))
+          .when(col("f_id").isNull, lit("backward"))
+          .when(col("b_id").isNull, lit("forward"))
+          .when(backWins, lit("backward")).otherwise(lit("forward")).as("direction"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("long"))
+          .when(col("f_id").isNull, col("b_id"))
+          .when(col("b_id").isNull, col("f_id"))
+          .when(backWins, col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("long"))
+          .when(col("f_id").isNull, col("us") - col("b_us"))
+          .when(col("b_id").isNull, col("f_us") - col("us"))
+          .when(backWins, col("us") - col("b_us"))
+          .otherwise(col("f_us") - col("us")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  // Forward candidates are STRICT (>) here where Spark's negated-axis
+  // pass is inclusive (≥) — immaterial by construction: a Δ=0 tie
+  // always resolves backward in both engines (Δb=0 wins the ≤ argmin),
+  // so the forward pick is only ever consulted at Δf > 0.
+  def nearestClickSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT * FROM (
+      |    SELECT p.event_id, c.event_id AS rid, c.us AS rus,
+      |      row_number() OVER (PARTITION BY p.event_id
+      |        ORDER BY c.us DESC, c.event_id DESC) AS rn
+      |    FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us) WHERE rn = 1),
+      |f AS (
+      |  SELECT * FROM (
+      |    SELECT p.event_id, c.event_id AS rid, c.us AS rus,
+      |      row_number() OVER (PARTITION BY p.event_id
+      |        ORDER BY c.us ASC, c.event_id DESC) AS rn
+      |    FROM p JOIN c ON c.user_id = p.user_id AND c.us > p.us) WHERE rn = 1)
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN b.rid IS NULL AND f.rid IS NULL THEN 'none'
+      |       WHEN f.rid IS NULL THEN 'backward'
+      |       WHEN b.rid IS NULL THEN 'forward'
+      |       WHEN p.us - b.rus <= f.rus - p.us THEN 'backward'
+      |       ELSE 'forward' END AS direction,
+      |  CAST(CASE WHEN b.rid IS NULL AND f.rid IS NULL THEN NULL
+      |       WHEN f.rid IS NULL THEN b.rid
+      |       WHEN b.rid IS NULL THEN f.rid
+      |       WHEN p.us - b.rus <= f.rus - p.us THEN b.rid
+      |       ELSE f.rid END AS BIGINT) AS click_id,
+      |  CAST(CASE WHEN b.rid IS NULL AND f.rid IS NULL THEN NULL
+      |       WHEN f.rid IS NULL THEN p.us - b.rus
+      |       WHEN b.rid IS NULL THEN f.rus - p.us
+      |       WHEN p.us - b.rus <= f.rus - p.us THEN p.us - b.rus
+      |       ELSE f.rus - p.us END AS BIGINT) AS delta_us
+      |FROM p LEFT JOIN b ON b.event_id = p.event_id
+      |       LEFT JOIN f ON f.event_id = p.event_id
+      |ORDER BY p.event_id""".stripMargin
 }

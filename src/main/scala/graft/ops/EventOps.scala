@@ -1252,6 +1252,45 @@ object EventOps {
       |FROM pairs JOIN n na ON na.event_type = ta JOIN n nb ON nb.event_type = tb
       |ORDER BY ta, tb""".stripMargin
 
+  /** Rolling 7-day distinct users (WAU) per day, with same-day DAU and
+    * the DAU/WAU stickiness ratio — the engagement dashboard's
+    * headline trio. Distinct-over-a-sliding-window can't ride a plain
+    * window frame (COUNT(DISTINCT) isn't frame-able), so the scale
+    * shape is: dedupe once to (day, user) — the only event-sized
+    * pass — then a 7-day calendar-range join against the
+    * days-of-history-sized day list (broadcast), re-dedupe onto
+    * (day, user), count. Everything after the first dedupe is
+    * (days × active-users)-sized, never event-sized. */
+  def wauRolling(spark: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("aday"), col("user_id")).distinct()
+      .localCheckpoint(false) // read three times (days, window, dau)
+    val days = du.select(col("aday").as("day")).distinct()
+    val wau = du.join(broadcast(days),
+        col("aday").between(date_sub(col("day"), 6), col("day")))
+      .select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = du.groupBy(col("aday").as("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 9).as("stickiness"))
+      .orderBy("day")
+  }
+
+  def wauRollingSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |win AS (
+      |  SELECT d.day, du.user_id
+      |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day, du.user_id),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM win GROUP BY day),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+      |SELECT d.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+      |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS stickiness
+      |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   /** SCD Type-2 history build — change-data-capture compaction, the
     * interval-building half of the ingest pair ([[graft.ops
     * .TrainingPrepOps.mergeUpsert]] is the overwrite half): each

@@ -1197,7 +1197,11 @@ object SimilarityOps {
     * those exact operands, and the matvec re-sums rounded terms
     * through decimal. Declared face: per-dimension variance (the cov
     * diagonal) and the v₁ component. */
-  def embPower(spark: SparkSession, d: String): DataFrame = {
+  /** The embedding covariance as a distributed (di, dj, c) table —
+    * shared by [[embPower]] and [[embPowerIter]]. Per-vector
+    * outer-product explode → (di, dj) partial aggregation onto dims²
+    * keys, map-side combined; never a driver-side matrix. */
+  private def covOf(spark: SparkSession, d: String): DataFrame = {
     val ex = Tables.embeddings(spark, d)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
@@ -1209,11 +1213,15 @@ object SimilarityOps {
       .groupBy(col("di"), col("dj"))
       .agg(sum((col("xi") * col("xj")).cast("decimal(28,12)"))
         .cast("double").as("sxy"))
-    val cov = xx
+    xx
       .join(broadcast(m.select(col("d").as("di"), col("mu").as("mi"), col("n"))), Seq("di"))
       .join(broadcast(m.select(col("d").as("dj"), col("mu").as("mj"))), Seq("dj"))
       .select(col("di"), col("dj"),
         (col("sxy") / col("n") - col("mi") * col("mj")).as("c"))
+  }
+
+  def embPower(spark: SparkSession, d: String): DataFrame = {
+    val cov = covOf(spark, d)
     val v1 = cov.groupBy(col("di").as("vd"))
       .agg(sum(round(col("c") * lit(0.125), 9).cast("decimal(28,12)"))
         .cast("double").as("v1"))
@@ -1223,6 +1231,80 @@ object SimilarityOps {
         round(col("c"), 9).as("var_d"), round(col("v1"), 9).as("v1"))
       .orderBy("dim")
   }
+
+  /** Three power-iteration rounds toward the covariance's dominant
+    * eigenvector, plus the Rayleigh-quotient eigenvalue estimate —
+    * [[embPower]]'s single step iterated (the `emb_kmeans_loop`
+    * pattern applied to linear algebra). Each matvec is one
+    * dims²-row join + dims-key aggregate with the vector BROADCAST
+    * (dims ≪ corpus; the matrix never moves). No normalization
+    * between rounds: cross-engine equality needs identically
+    * quantized terms, not unit scale, so each product rounds at a
+    * per-round precision matched to the shrinking magnitudes
+    * (λ ≈ .02 here) and sums through DECIMAL — order-free,
+    * bit-identical. Rayleigh = ⟨v₃,v₂⟩/⟨v₂,v₂⟩ through the same
+    * quantized-sum recipe; NULL if v₂ vanished. */
+  def embPowerIter(spark: SparkSession, d: String): DataFrame = {
+    val cov = covOf(spark, d).localCheckpoint(false) // read by 3 matvecs
+    val v1 = cov.groupBy(col("di").as("d"))
+      .agg(sum(round(col("c") * lit(0.125), 9).cast("decimal(28,12)"))
+        .cast("double").as("x"))
+    def matvec(v: DataFrame, digits: Int) =
+      cov.join(broadcast(v), cov("dj") === v("d"))
+        .groupBy(cov("di").as("d"))
+        .agg(sum(round(col("c") * col("x"), digits).cast(s"decimal(38,$digits)"))
+          .cast("double").as("x"))
+    val v2 = matvec(v1, 12)
+    val v3 = matvec(v2, 14)
+    val vv = v2.select(col("d"), col("x").as("v2"))
+      .join(v3.select(col("d"), col("x").as("v3")), Seq("d"))
+    val rq = vv.agg(
+      sum(round(col("v3") * col("v2"), 18).cast("decimal(38,18)"))
+        .cast("double").as("num"),
+      sum(round(col("v2") * col("v2"), 18).cast("decimal(38,18)"))
+        .cast("double").as("den"))
+    vv.crossJoin(broadcast(rq))
+      .select(col("d").cast("long").as("dim"), col("v2"), col("v3"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num") / col("den"), 9)).as("rayleigh"))
+      .orderBy("dim")
+  }
+
+  def embPowerIterSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e),
+      |m AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS mu,
+      |       COUNT(*) AS n FROM ex GROUP BY d),
+      |xx AS (
+      |  SELECT a.d AS di, b.d AS dj,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+      |cov AS MATERIALIZED (
+      |  SELECT di, dj, sxy / ma.n - ma.mu * mb.mu AS c
+      |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj),
+      |v1 AS (
+      |  SELECT di AS d,
+      |    CAST(SUM(CAST(round(c * 0.125, 9) AS DECIMAL(28,12))) AS DOUBLE) AS x
+      |  FROM cov GROUP BY di),
+      |v2 AS (
+      |  SELECT cov.di AS d,
+      |    CAST(SUM(CAST(round(cov.c * v1.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS x
+      |  FROM cov JOIN v1 ON v1.d = cov.dj GROUP BY cov.di),
+      |v3 AS (
+      |  SELECT cov.di AS d,
+      |    CAST(SUM(CAST(round(cov.c * v2.x, 14) AS DECIMAL(38,14))) AS DOUBLE) AS x
+      |  FROM cov JOIN v2 ON v2.d = cov.dj GROUP BY cov.di),
+      |vv AS (
+      |  SELECT v2.d, v2.x AS v2, v3.x AS v3 FROM v2 JOIN v3 ON v3.d = v2.d),
+      |rq AS (
+      |  SELECT
+      |    CAST(SUM(CAST(round(v3 * v2, 18) AS DECIMAL(38,18))) AS DOUBLE) AS num,
+      |    CAST(SUM(CAST(round(v2 * v2, 18) AS DECIMAL(38,18))) AS DOUBLE) AS den
+      |  FROM vv)
+      |SELECT CAST(d AS BIGINT) AS dim, v2, v3,
+      |  CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+      |       ELSE round(num / den, 9) END AS rayleigh
+      |FROM vv, rq ORDER BY dim""".stripMargin
 
   def embPowerSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
