@@ -924,6 +924,70 @@ object EventOps {
       |  ON d2.day BETWEEN d1.day - 19 AND d1.day
       |GROUP BY d1.day ORDER BY d1.day""".stripMargin
 
+  /** Brown's DOUBLE exponential smoothing (trend-adjusted) of the
+    * daily event count — [[ewmaDaily]]'s level tracker lags a
+    * trending series by construction; smoothing the smooth (s2) and
+    * extrapolating 2·s1 − s2 removes that lag. Exactness is the same
+    * dyadic trick applied TWICE: s1 stays a scaled BIGINT
+    * (weights 2^(15−j), denominator 2^16) rather than a double, so
+    * the second pass can weight those integers again — s2's scaled
+    * sum is still an exact BIGINT with denominator 2^32, and s1, s2,
+    * and the trend are all exact dyadic doubles, bit-identical
+    * cross-engine with no rounding crutch. The 16-day truncation's
+    * discarded tail is < 2^-16 of the kernel. Overflow headroom:
+    * s2_scaled ≤ 16 · n_max · 2^32 — safe in BIGINT until ~10^8
+    * events/day (documented bound, loud past it via [[OpsUtil]]
+    * conventions). Scale shape: two cascaded calendar-bounded range
+    * self-joins over the days-of-history-sized daily aggregate —
+    * event cardinality is touched exactly once, in the first
+    * map-side-combined groupBy. */
+  def demaDaily(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val hist = daily.select(col("day").as("day2"), col("n").as("n2"))
+    val s1 = daily.join(hist,
+        col("day2").between(date_sub(col("day"), 15), col("day")))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 15 - datediff(day, day2)) * n2"))
+          .as("s1_scaled"))
+    val s1hist = s1.select(col("day").as("day2"), col("s1_scaled").as("s1b"))
+    s1.join(s1hist,
+        col("day2").between(date_sub(col("day"), 15), col("day")))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n"), max(col("s1_scaled")).as("s1_scaled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 15 - datediff(day, day2)) * s1b"))
+          .as("s2_scaled"))
+      .select(col("day"), col("n"),
+        (col("s1_scaled") / lit(65536.0)).as("s1"),
+        (col("s2_scaled") / lit(4294967296.0)).as("s2"),
+        (lit(2) * (col("s1_scaled") / lit(65536.0))
+          - col("s2_scaled") / lit(4294967296.0)).as("trend"))
+      .orderBy("day")
+  }
+
+  def demaDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      |s1 AS (
+      |  SELECT d1.day, MAX(d1.n) AS n,
+      |    CAST(SUM(d2.n * (CAST(1 AS BIGINT)
+      |      << (15 - datediff('day', d2.day, d1.day)))) AS BIGINT) AS s1_scaled
+      |  FROM daily d1 JOIN daily d2 ON d2.day BETWEEN d1.day - 15 AND d1.day
+      |  GROUP BY d1.day),
+      |s2 AS (
+      |  SELECT a.day, MAX(a.n) AS n, MAX(a.s1_scaled) AS s1_scaled,
+      |    CAST(SUM(b.s1_scaled * (CAST(1 AS BIGINT)
+      |      << (15 - datediff('day', b.day, a.day)))) AS BIGINT) AS s2_scaled
+      |  FROM s1 a JOIN s1 b ON b.day BETWEEN a.day - 15 AND a.day
+      |  GROUP BY a.day)
+      |SELECT day, n,
+      |  s1_scaled / 65536.0 AS s1,
+      |  s2_scaled / 4294967296.0 AS s2,
+      |  2 * (s1_scaled / 65536.0) - s2_scaled / 4294967296.0 AS trend
+      |FROM s2 ORDER BY day""".stripMargin
+
   /** Distribution drift between the corpus's first and second time
     * halves: per-event-type counts, probabilities, and the per-type
     * KL-divergence contribution P·ln(P/Q) — the monitoring primitive

@@ -1679,4 +1679,89 @@ object RelationalOps {
       |    (CAST(fa.n AS DOUBLE) * fb.n), 9) AS lift
       |FROM pairs JOIN freq fa ON fa.l_partkey = pa JOIN freq fb ON fb.l_partkey = pb
       |ORDER BY n_both DESC, pa, pb LIMIT 20""".stripMargin
+
+  /** RANGE-interval window frame — the VALUE-based frame the rest of
+    * the window family ([[windowOrderRank]] / [[windowNtile]] /
+    * [[windowLagGap]] — all ROWS or running frames) doesn't cover:
+    * for every order, the same customer's order count and revenue
+    * within ±30 CALENDAR days, regardless of how many rows that
+    * spans. The date is projected to an integer day number because a
+    * RANGE frame needs a numeric ordering key with numeric bounds
+    * (both engines agree on the 1992-01-01 epoch). The 1996 output
+    * filter is applied AFTER the window so frames still reach into
+    * neighboring years — filter-after-window semantics, not a
+    * pushed-down scan filter. Revenue sums through DECIMAL(18,6)
+    * (the dsum recipe) so frame sums are order-independent. Scale:
+    * one shuffle on o_custkey; each frame is bounded by a customer's
+    * 61-day order density, never by table size. */
+  def windowRangeDays(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, 30)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).as("d"),
+        col("o_totalprice"))
+      .withColumn("win_cnt", count(lit(1)).over(w))
+      .withColumn("win_rev",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .where(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_custkey"), col("win_cnt"), col("win_rev"))
+      .orderBy("o_orderkey")
+  }
+
+  def windowRangeDaysSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+      |    o_totalprice
+      |  FROM orders),
+      |win AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    COUNT(*) OVER w AS win_cnt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS win_rev
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+      |               RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING))
+      |SELECT o_orderkey, o_custkey, win_cnt, win_rev
+      |FROM win WHERE year(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
+
+  /** Moving ORDER-STATISTIC window — a 7-day trailing median of daily
+    * revenue. Spark has no native `median` window function, so the
+    * frame's values ride `collect_list` → `sort_array` →
+    * `element_at`, entirely codegen'd builtins (no UDF): an odd frame
+    * takes the middle element exactly, an even frame averages the two
+    * middles — which is precisely DuckDB's interpolating median at
+    * the 0.5 quantile, and (a+b)/2 over doubles is the same double in
+    * both engines. Daily revenue itself goes through the dsum decimal
+    * recipe first, so the values being ranked are already exact.
+    * Scale: the windowed relation is days-of-history-sized (the daily
+    * pre-aggregation did the data-sized work map-side); the single
+    * unpartitioned window task holds only that calendar-sized frame,
+    * the [[EventOps.ewmaDaily]] stance. */
+  def windowMovingMedian(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("vals", sort_array(collect_list(col("rev")).over(w)))
+      .select(col("day"), col("rev"),
+        expr("""CASE WHEN size(vals) % 2 = 1
+                |  THEN element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))
+                |  ELSE (element_at(vals, CAST(size(vals) DIV 2 AS INT))
+                |      + element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))) / 2
+                |END""".stripMargin).as("med7"))
+      .orderBy("day")
+  }
+
+  def windowMovingMedianSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, rev,
+      |  median(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM daily ORDER BY day""".stripMargin
 }
