@@ -1496,4 +1496,149 @@ object EventOps {
       |    CAST(SUM(CAST(round(ln(2.0 * x), 9) AS DECIMAL(18,9))) AS DOUBLE),
       |    6) AS alpha
       |FROM ua GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gini coefficient of per-user activity, per event type — the
+    * inequality audit behind [[powerLawAlpha]]'s tail exponent: one
+    * number for "how concentrated is this event stream on its
+    * heaviest users". Computed from the classic rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * per-user counts — but WITHOUT ranking users: equal counts form a
+    * tie block whose rank-sum is closed-form (c·prev + c(c+1)/2, an
+    * exact integer since c(c+1) is even), so the window runs over
+    * DISTINCT activity levels per type (bounded by the max per-user
+    * count — thousands at any corpus size), never over the users
+    * themselves. A per-row ROW_NUMBER over 10⁹ users in one window
+    * partition is exactly the plan this avoids. Everything up to the
+    * final division is BIGINT-exact in both engines (documented
+    * bound: Σ i·xᵢ < 2⁶³, i.e. n·Σx < 9.2e18 — ANSI mode faults
+    * loudly past it); the single double division of exact integers is
+    * bit-identical cross-engine with no rounding crutch. */
+  def giniActivity(spark: SparkSession, d: String): DataFrame =
+    giniOnCounts(Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The tie-block rank-sum core over (event_type, user_id, x) —
+    * testable on crafted count tables. */
+  private[ops] def giniOnCounts(perUser: DataFrame): DataFrame = {
+    val blocks = perUser
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("prev", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_users"),
+        sum(col("x") * col("c")).as("total_events"),
+        sum(col("x") * (col("c") * col("prev") + expr("c * (c + 1) div 2"))).as("s"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        ((lit(2L) * col("s") - (col("n_users") + lit(1L)) * col("total_events")).cast("double")
+          / (col("n_users") * col("total_events")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  def giniActivitySql: String =
+    """WITH per_user AS (
+      |  SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2),
+      |blocks AS (
+      |  SELECT event_type, x, COUNT(*) AS c FROM per_user GROUP BY 1, 2),
+      |pref AS (
+      |  SELECT event_type, x, c,
+      |    CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+      |  FROM blocks)
+      |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_users,
+      |  CAST(SUM(x * c) AS BIGINT) AS total_events,
+      |  CAST(2 * SUM(x * (c * prev + c * (c + 1) // 2))
+      |       - (SUM(c) + 1) * SUM(x * c) AS DOUBLE)
+      |    / CAST(SUM(c) * SUM(x * c) AS DOUBLE) AS gini
+      |FROM pref GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Peak session concurrency per day — the capacity-planning sweep
+    * line: sessions ([[sessions]]' 30-minute gap rule) become
+    * ±1 boundary deltas (closed intervals: the −1 lands at
+    * end_ms + 1, and same-millisecond starts order before ends via
+    * `delta DESC`, so a session starting exactly when another ends
+    * counts as concurrent), and the running sum of deltas at each
+    * boundary is the live-session count. The prefix sum is TWO-LEVEL
+    * so no window ever spans the data: deltas aggregate per hour
+    * (map-side combined), the carry-in prefix runs over the
+    * HOURS-sized relation (calendar-sized, the [[ewmaDaily]] stance
+    * on its single partition), and the within-hour running sum is an
+    * ordinary hour-partitioned window — the textbook distributed
+    * scan decomposition. The hour→carry lookup broadcasts (hours of
+    * history, not data). All-integer arithmetic end to end; the
+    * per-day max is order-independent across equal-(ms,delta) ties
+    * because their partial-sum multiset is permutation-invariant. */
+  def concurrencyDaily(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sess = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+    concurrencyOnSessions(sess)
+  }
+
+  /** The two-level sweep-line core over (start_ms, end_ms) intervals —
+    * testable on crafted session tables. */
+  private[ops] def concurrencyOnSessions(sess: DataFrame): DataFrame = {
+    // boundary deltas feed three consumers (hourly sums + the runs
+    // join) — materialize once, not three session builds
+    val deltas = sess.select(col("start_ms").as("ms"), lit(1L).as("delta"))
+      .union(sess.select((col("end_ms") + 1L).as("ms"), lit(-1L).as("delta")))
+      .localCheckpoint(false)
+    val carry = deltas.groupBy(expr("ms div 3600000").as("hr"))
+      .agg(sum(col("delta")).as("dsumh"))
+      .withColumn("carry_in", coalesce(sum(col("dsumh")).over(
+        Window.orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hr"), col("carry_in"))
+    deltas
+      .join(broadcast(carry), expr("(ms div 3600000) = hr"))
+      .withColumn("conc", col("carry_in") + sum(col("delta")).over(
+        Window.partitionBy(col("hr")).orderBy(col("ms").asc, col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(to_date(timestamp_millis(col("ms"))).as("day"))
+      .agg(max(col("conc")).as("max_concurrent"))
+      .orderBy("day")
+  }
+
+  def concurrencyDailySql: String =
+    """WITH evs AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 30*60*1000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM evs),
+      |tagged AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+      |  FROM tagged GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT start_ms AS ms, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT end_ms + 1 AS ms, -1 AS delta FROM sess),
+      |carry AS (
+      |  SELECT hr, CAST(COALESCE(SUM(dsumh) OVER (ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in
+      |  FROM (SELECT ms // 3600000 AS hr, SUM(delta) AS dsumh FROM deltas GROUP BY 1)),
+      |runs AS (
+      |  SELECT d.ms, c.carry_in + SUM(d.delta) OVER (
+      |      PARTITION BY d.ms // 3600000 ORDER BY d.ms ASC, d.delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM deltas d JOIN carry c ON c.hr = d.ms // 3600000)
+      |SELECT CAST(make_timestamp(ms * 1000) AS DATE) AS day,
+      |  CAST(MAX(conc) AS BIGINT) AS max_concurrent
+      |FROM runs GROUP BY 1 ORDER BY day""".stripMargin
 }

@@ -483,4 +483,106 @@ object GraphOps {
        |$round1
        |SELECT id AS doc_id, r AS rank FROM r$Rounds ORDER BY doc_id""".stripMargin
   }
+
+  private val LpaRounds = 4
+
+  /** Synchronous label propagation (community detection) over the
+    * embedding-LSH similarity graph — the majority-vote complement to
+    * [[DedupOps.dedupClusters]]' connectivity-only components: a
+    * vertex adopts the most frequent label among its neighbors AND
+    * its own current label (ties → smallest label), so a weakly
+    * attached bridge vertex joins the side that dominates its
+    * neighborhood rather than whatever happens to be connected. The
+    * self-vote is load-bearing for determinism: without it,
+    * synchronous updates on a 2-vertex component swap labels forever;
+    * with it the pair ties and the min label wins in one round.
+    * Substrate is [[SimilarityOps.dedupEmbeddingLsh]] (the
+    * [[linkPred]] choice, same rationale — the MinHash graph's
+    * components are isolated couples with no majority structure).
+    *
+    * Rounds are CAPPED at [[LpaRounds]] as declared semantics (the
+    * oracle unrolls exactly that count) with the [[bfsOnPairsCounted]]
+    * early exit: a round that changes no label is a fixpoint — every
+    * later round recomputes the identity, so stopping is invisible.
+    * Per-round plan: one equi-join (labels × edges, broadcast under
+    * the [[BroadcastVertexLimit]] vertex gate, frontier-only shuffle
+    * past it), one (vertex,label) count aggregate, and a per-vertex
+    * winner pick via a ROW_NUMBER window partitioned by vertex —
+    * candidate lists per vertex are degree-bounded, so the window
+    * sort is per-neighborhood work, never data-sized. All-integer
+    * counts; winner selection is a total order (cnt DESC, label ASC)
+    * — bit-identical cross-engine. */
+  def labelProp(spark: SparkSession, d: String): DataFrame =
+    labelPropOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
+      .select(col("v1").as("d1"), col("v2").as("d2")))
+
+  private[ops] def labelPropOnPairs(pairs: DataFrame, rounds: Int = LpaRounds,
+      broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame =
+    labelPropOnPairsCounted(pairs, rounds, broadcastVertexLimit)._1
+
+  private[ops] def labelPropOnPairsCounted(pairs: DataFrame, rounds: Int = LpaRounds,
+      broadcastVertexLimit: Long = BroadcastVertexLimit): (DataFrame, Int) = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
+    val smallV = labels.count() <= broadcastVertexLimit
+    val edgesBySrc =
+      if (smallV) edges else edges.repartition(col("src")).localCheckpoint(false)
+    var t = 0
+    var changed = 1L
+    while (changed > 0 && t < rounds) {
+      t += 1
+      val votes =
+        (if (smallV) edgesBySrc.join(broadcast(labels), col("id") === col("src"))
+         else edgesBySrc.join(labels.hint("shuffle_hash"), col("id") === col("src")))
+          .select(col("dst").as("vid"), col("label"))
+          .union(labels.select(col("id").as("vid"), col("label"))) // self-vote
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val next = votes.groupBy(col("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vid").as("id"), col("label"))
+        .localCheckpoint(false) // lazy; the count below materializes it
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .agg(coalesce(sum((col("label") =!= col("old")).cast("long")), lit(0L)))
+        .head().getLong(0)
+      labels = next
+    }
+    (labels.select(col("id").as("vec_id"), col("label")).orderBy("vec_id"), t)
+  }
+
+  /** DuckDB mirror: the embedding-LSH pair build as a subquery, then
+    * [[LpaRounds]] unrolled majority-vote rounds with the identical
+    * self-vote union and (cnt DESC, label ASC) winner order. AS
+    * MATERIALIZED per round for the same reason as [[bfsSql]]. */
+  def labelPropSql: String = {
+    val roundCtes = (1 to LpaRounds).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT vid, label, COUNT(*) AS cnt FROM (
+         |    SELECT e.dst AS vid, l.label FROM l${t - 1} l JOIN edges e ON e.src = l.id
+         |    UNION ALL
+         |    SELECT id AS vid, label FROM l${t - 1}) v
+         |  GROUP BY vid, label),
+         |l$t AS MATERIALIZED (
+         |  SELECT vid AS id, label FROM (
+         |    SELECT vid, label,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$t) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH up AS MATERIALIZED (
+       |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql})),
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM up
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst FROM up),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$roundCtes
+       |SELECT id AS vec_id, label FROM l$LpaRounds ORDER BY vec_id""".stripMargin
+  }
 }

@@ -110,4 +110,36 @@ class EventWindowSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"interval join degenerated to a product plan:\n$plan")
   }
+
+  test("evt_gini: perfect equality is 0, a known unequal split matches the hand formula") {
+    import spark.implicits._
+    // type "eq": four users × 5 events each → G = 0 exactly.
+    // type "uneq": counts (1, 1, 2, 8): sorted ranks 1..4, Σx = 12,
+    // Σ i·xᵢ = 1 + 2 + 6 + 32 = 41 → G = (82 − 60) / 48 = 11/24.
+    val counts = Seq(
+      ("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L), ("eq", 4L, 5L),
+      ("uneq", 1L, 1L), ("uneq", 2L, 1L), ("uneq", 3L, 2L), ("uneq", 4L, 8L))
+      .toDF("event_type", "user_id", "x")
+    val out = EventOps.giniOnCounts(counts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("eq") === ((4L, 20L, 0.0)))
+    assert(out("uneq") === ((4L, 12L, 11.0 / 24.0)))
+  }
+
+  test("evt_concurrency: two-level prefix equals the known sweep, across hour and day edges") {
+    import spark.implicits._
+    val H = 3600000L
+    // Day 1: A [0, 2h], B [1h, 1.5h] (peak 2 inside hour 1),
+    // C starts EXACTLY when A ends (closed intervals: concurrent → 2).
+    // B2 [23.5h, 24.5h] spans midnight: day 2 opens with it live, and
+    // D [24.2h, 24.3h] overlaps it → day-2 peak 2 carried across the
+    // day boundary (the carry_in path, not an intra-day window).
+    val sess = Seq(
+      (1L, 1L, 0L, 2 * H), (2L, 1L, H, H + H / 2), (3L, 1L, 2 * H, 3 * H),
+      (4L, 1L, 47 * H / 2, 49 * H / 2), (5L, 1L, 121 * H / 5, 607 * H / 25))
+      .toDF("user_id", "session_seq", "start_ms", "end_ms")
+    val out = EventOps.concurrencyOnSessions(sess).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out === Map("1970-01-01" -> 2L, "1970-01-02" -> 2L))
+  }
 }

@@ -223,6 +223,35 @@ class GraphSpec extends AnyFunSuite {
       s"small-|V| mode must keep the broadcast plan: [$fpSmall]")
   }
 
+  test("labelprop: the self-vote breaks the 2-cycle oscillation in one round") {
+    // without the self-vote, synchronous updates on a couple swap
+    // labels forever; with it both tie and adopt the min in round 1,
+    // and round 2 is the no-change fixpoint probe
+    val couple = Seq((10L, 11L)).toDF("d1", "d2")
+    val (df, rounds) = GraphOps.labelPropOnPairsCounted(couple)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((10L, 10L), (11L, 10L)))
+    assert(rounds === 2, s"couple must fix in round 1 + 1 probe round, ran $rounds")
+  }
+
+  test("labelprop: a bridge vertex joins its MAJORITY side, not the min label") {
+    // two triangles A={1,2,3} (→ label 1) and B={4,5,6} (→ label 4);
+    // bridge 100 sees three B neighbors and one A neighbor. Round 1
+    // gives it the min (1); once B converges, the 3-vote majority
+    // must overturn that smaller label — the behavior that separates
+    // LPA from connected-components min-flooding.
+    val tri = (g: Seq[Long]) => Seq((g(0), g(1)), (g(1), g(2)), (g(0), g(2)))
+    val pairs = (tri(Seq(1L, 2L, 3L)) ++ tri(Seq(4L, 5L, 6L)) ++
+      Seq((1L, 100L), (4L, 100L), (5L, 100L), (6L, 100L))).toDF("d1", "d2")
+    val (df, rounds) = GraphOps.labelPropOnPairsCounted(pairs)
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L), s"A side: $labels")
+    assert(Seq(4L, 5L, 6L).forall(labels(_) == 4L), s"B side: $labels")
+    assert(labels(100L) === 4L, s"bridge must follow the 3-vote majority: $labels")
+    assert(rounds <= GraphOps.labelPropOnPairsCounted(pairs, rounds = 8)._2,
+      "capped rounds never exceed the budget")
+  }
+
   test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
     val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
