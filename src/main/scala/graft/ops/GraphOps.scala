@@ -585,4 +585,93 @@ object GraphOps {
        |$roundCtes
        |SELECT id AS vec_id, label FROM l$LpaRounds ORDER BY vec_id""".stripMargin
   }
+
+  private val KcoreMaxK = 3
+  private val KcoreRounds = 4
+
+  /** k-core decomposition (coreness, capped at [[KcoreMaxK]]) of the
+    * embedding-LSH similarity graph — the density stratification the
+    * flat [[trianglesOnPairs]] coefficient can't give: coreness 1 is
+    * a vertex peeled away with the trees and pendants, coreness 2
+    * survives the cycle-preserving peel, coreness ≥ 3 sits in the
+    * densely-interconnected heart a semantic-dedup pass should treat
+    * as one redundancy cluster. Peeling at each level runs AT MOST
+    * [[KcoreRounds]] rounds as declared capped semantics (the
+    * [[bfs]] horizon stance — the oracle unrolls exactly the same
+    * count, and the early exit below is invisible because a round
+    * that removes nothing is a fixpoint and every later round is the
+    * identity). Per-round plan: one map-side-combined degree
+    * aggregate + two semi-joins against the survivor set, all keyed
+    * on vertex id; the edge set shrinks monotonically, so round cost
+    * is non-increasing; the only driver traffic is the 1-row edge
+    * count that doubles as the checkpoint materialization action
+    * (the [[DedupOps.connectedComponents]] pattern). */
+  def kcore(spark: SparkSession, d: String): DataFrame =
+    kcoreOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
+      .select(col("v1").as("d1"), col("v2").as("d2")))
+
+  private[ops] def kcoreOnPairs(pairs: DataFrame, maxK: Int = KcoreMaxK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(false)
+    val verts = edges0.select(col("src").as("id")).distinct().localCheckpoint(false)
+    var coreness = verts.select(col("id"), lit(1L).as("coreness"))
+    var live = edges0
+    var liveCount = live.count()
+    for (k <- 2 to maxK) {
+      var r = 0
+      var changed = true
+      while (changed && r < rounds && liveCount > 0) {
+        r += 1
+        val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("src").as("kid"))
+        val next = live
+          .join(keep, col("src") === col("kid"), "left_semi")
+          .join(keep, col("dst") === col("kid"), "left_semi")
+          .localCheckpoint(false) // lazy; the count below materializes it
+        val nextCount = next.count()
+        // peeling strictly shrinks the edge set whenever any vertex
+        // fell below k, so an unchanged count IS the fixpoint
+        changed = nextCount != liveCount
+        live = next
+        liveCount = nextCount
+      }
+      val inCore = live.select(col("src").as("id")).distinct()
+      coreness = coreness
+        .join(inCore.withColumn("hit", lit(1L)), Seq("id"), "left_outer")
+        .select(col("id"), (col("coreness") + coalesce(col("hit"), lit(0L))).as("coreness"))
+    }
+    coreness.select(col("id").as("vec_id"), col("coreness")).orderBy("vec_id")
+  }
+
+  /** DuckDB mirror: [[KcoreRounds]] unrolled peel rounds per level
+    * k = 2..[[KcoreMaxK]], each MATERIALIZED ([[bfsSql]] rationale),
+    * then coreness = 1 + level-membership indicators. */
+  def kcoreSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""up AS MATERIALIZED (
+         |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql}))""".stripMargin,
+      """e_1 AS MATERIALIZED (
+        |  SELECT d1 AS src, d2 AS dst FROM up UNION ALL SELECT d2, d1 FROM up)""".stripMargin,
+      "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM e_1)")
+    var prev = "e_1"
+    val coreCols = (2 to KcoreMaxK).map { k =>
+      (1 to KcoreRounds).foreach { r =>
+        ctes += s"""keep_${k}_$r AS MATERIALIZED (
+                   |  SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= $k)""".stripMargin
+        ctes += s"""e_${k}_$r AS MATERIALIZED (
+                   |  SELECT e.src, e.dst FROM $prev e
+                   |  WHERE EXISTS (SELECT 1 FROM keep_${k}_$r s WHERE s.src = e.src)
+                   |    AND EXISTS (SELECT 1 FROM keep_${k}_$r t WHERE t.src = e.dst))""".stripMargin
+        prev = s"e_${k}_$r"
+      }
+      ctes += s"core_$k AS MATERIALIZED (SELECT DISTINCT src AS id FROM $prev)"
+      s"(CASE WHEN EXISTS (SELECT 1 FROM core_$k c WHERE c.id = v.id) THEN 1 ELSE 0 END)"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT v.id AS vec_id,
+       |  CAST(1 + ${coreCols.mkString("\n       + ")} AS BIGINT) AS coreness
+       |FROM verts v ORDER BY vec_id""".stripMargin
+  }
 }

@@ -1756,6 +1756,72 @@ object RelationalOps {
       .orderBy("day")
   }
 
+  /** Higher statistical moments — population variance, skewness, and
+    * Pearson (non-excess) kurtosis of l_quantity per return flag —
+    * from EXACT integer power sums: l_quantity is whole-valued (cast
+    * to BIGINT faults loudly if that ever breaks under ANSI), so
+    * Σx, Σx², Σx³, Σx⁴ accumulate in DECIMAL(38,0) with zero rounding
+    * at ANY corpus size (x ≤ 50 ⇒ x⁴ ≤ 6.25e6; 10³¹ rows of headroom)
+    * and in any aggregation order — the one-pass,
+    * shuffle-light alternative to a sort-based two-pass moment
+    * computation. Each exact sum is cast to double ONCE (both engines
+    * round-to-nearest the same integer, hence identical bits) and the
+    * moment formulas are written in the identical association order
+    * cross-engine, rounded to 9. Plan: one map-side-combined
+    * aggregate — no second pass, no window, no join. */
+  def aggMoments(spark: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(spark, d)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("x"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s4"))
+    ps.select(col("flag"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        (col("s2").cast("double") / col("n")).as("m2r"),
+        (col("s3").cast("double") / col("n")).as("m3r"),
+        (col("s4").cast("double") / col("n")).as("m4r"))
+      .select(col("flag"), col("n"),
+        round(col("mean"), 9).as("mean"),
+        round(col("m2r") - col("mean") * col("mean"), 9).as("variance"),
+        round((col("m3r") - lit(3.0) * col("mean") * col("m2r")
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          / pow(col("m2r") - col("mean") * col("mean"), 1.5), 9).as("skewness"),
+        round((col("m4r") - lit(4.0) * col("mean") * col("m3r")
+            + lit(6.0) * col("mean") * col("mean") * col("m2r")
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          / pow(col("m2r") - col("mean") * col("mean"), 2.0), 9).as("kurtosis"))
+      .orderBy("flag")
+  }
+
+  def aggMomentsSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |ps AS (
+      |  SELECT flag, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+      |    SUM(CAST(x*x AS DECIMAL(38,0))) AS s2,
+      |    SUM(CAST(x*x*x AS DECIMAL(38,0))) AS s3,
+      |    SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS s4
+      |  FROM base GROUP BY flag),
+      |m AS (
+      |  SELECT flag, n,
+      |    CAST(s1 AS DOUBLE) / n AS mean,
+      |    CAST(s2 AS DOUBLE) / n AS m2r,
+      |    CAST(s3 AS DOUBLE) / n AS m3r,
+      |    CAST(s4 AS DOUBLE) / n AS m4r
+      |  FROM ps)
+      |SELECT flag, n, round(mean, 9) AS mean,
+      |  round(m2r - mean * mean, 9) AS variance,
+      |  round((m3r - 3.0 * mean * m2r + 2.0 * mean * mean * mean)
+      |    / pow(m2r - mean * mean, 1.5), 9) AS skewness,
+      |  round((m4r - 4.0 * mean * m3r + 6.0 * mean * mean * m2r
+      |      - 3.0 * mean * mean * mean * mean)
+      |    / pow(m2r - mean * mean, 2.0), 9) AS kurtosis
+      |FROM m ORDER BY flag""".stripMargin
+
   def windowMovingMedianSql: String =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -291,6 +291,86 @@ object TextAnalysisOps {
        |JOIN c2 ON c12.w2 = c2.w2
        |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 30""".stripMargin
 
+  /** Dunning log-likelihood-ratio collocations over the same top-30
+    * bigrams as [[topBigramsPmi]] — the statistic that fixes PMI's
+    * known failure mode: PMI rewards RARITY (a hapax pair scores
+    * higher than a frequent genuine collocation), while the G² LLR
+    * scores the full 2×2 contingency table (k11=c12, k12=c1−c12,
+    * k21=c2−c12, k22=N−c1−c2+c12) so evidence scales with support.
+    * Computed in the entropy form G² = 2·(Σ xlx(k) − Σ xlx(margins) +
+    * xlx(N)) with xlx(0) ≡ 0 guarded by an explicit CASE in BOTH
+    * engines (0·ln 0 would otherwise be NaN — any cell or margin can
+    * be zero for a word that only ever appears in one slot). Counts
+    * cast to double BEFORE any arithmetic (the [[topBigramsPmi]]
+    * overflow stance); the addition chain is written in the same
+    * left-to-right order in both engines and rounded to 6 decimals to
+    * absorb libm differences. Plan shape is [[topBigramsPmi]]'s: three
+    * count aggregates + a 1-row broadcast total, no new shuffles. */
+  def topBigramsLlr(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bigrams = toks.select(explode(transform(
+      sequence(lit(1), size(col("tk")) - 1),
+      i => struct(element_at(col("tk"), i).as("w1"),
+        element_at(col("tk"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val total = bigrams.agg(count("*").as("total"))
+    val w1c = bigrams.groupBy("w1").agg(count("*").as("c1"))
+    val w2c = bigrams.groupBy("w2").agg(count("*").as("c2"))
+    val cells = bigrams.groupBy("w1", "w2").agg(count("*").as("c12"))
+      .join(w1c, Seq("w1")).join(w2c, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        col("c12").cast("double").as("k11"),
+        (col("c1") - col("c12")).cast("double").as("k12"),
+        (col("c2") - col("c12")).cast("double").as("k21"),
+        (col("total") - col("c1") - col("c2") + col("c12")).cast("double").as("k22"),
+        col("c1").cast("double").as("r1"),
+        (col("total") - col("c1")).cast("double").as("r2"),
+        col("c2").cast("double").as("cm1"),
+        (col("total") - col("c2")).cast("double").as("cm2"),
+        col("total").cast("double").as("nn"))
+    def xlx(c: String) = expr(s"CASE WHEN $c > 0 THEN $c * ln($c) ELSE 0.0 END")
+    cells.select(col("w1"), col("w2"), col("c12"),
+      round(lit(2.0) * (xlx("k11") + xlx("k12") + xlx("k21") + xlx("k22")
+        - xlx("r1") - xlx("r2") - xlx("cm1") - xlx("cm2") + xlx("nn")), 6).as("llr"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  def topBigramsLlrSql: String = {
+    def xlx(c: String) = s"(CASE WHEN $c > 0 THEN $c * ln($c) ELSE 0.0 END)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |bigrams AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS r
+       |  FROM toks WHERE len(tk) >= 2),
+       |flat AS (SELECT r.w1 AS w1, r.w2 AS w2 FROM bigrams),
+       |n AS (SELECT COUNT(*) AS total FROM flat),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+       |c2 AS (SELECT w2, COUNT(*) AS c2 FROM flat GROUP BY w2),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat GROUP BY w1, w2),
+       |cells AS (
+       |  SELECT c12.w1, c12.w2, c12.c12,
+       |    CAST(c12.c12 AS DOUBLE) AS k11,
+       |    CAST(c1.c1 - c12.c12 AS DOUBLE) AS k12,
+       |    CAST(c2.c2 - c12.c12 AS DOUBLE) AS k21,
+       |    CAST(n.total - c1.c1 - c2.c2 + c12.c12 AS DOUBLE) AS k22,
+       |    CAST(c1.c1 AS DOUBLE) AS r1, CAST(n.total - c1.c1 AS DOUBLE) AS r2,
+       |    CAST(c2.c2 AS DOUBLE) AS cm1, CAST(n.total - c2.c2 AS DOUBLE) AS cm2,
+       |    CAST(n.total AS DOUBLE) AS nn
+       |  FROM c12, n
+       |  JOIN c1 ON c12.w1 = c1.w1
+       |  JOIN c2 ON c12.w2 = c2.w2)
+       |SELECT w1, w2, c12,
+       |  round(2.0 * (${xlx("k11")} + ${xlx("k12")} + ${xlx("k21")} + ${xlx("k22")}
+       |    - ${xlx("r1")} - ${xlx("r2")} - ${xlx("cm1")} - ${xlx("cm2")} + ${xlx("nn")}), 6) AS llr
+       |FROM cells
+       |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin
+  }
+
   /** Corpus-level summary: one row of global stats. */
   def corpusStats(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

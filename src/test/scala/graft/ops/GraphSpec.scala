@@ -252,6 +252,22 @@ class GraphSpec extends AnyFunSuite {
       "capped rounds never exceed the budget")
   }
 
+  test("kcore: K4 heart, cycle shell, and pendant chain stratify as 3/2/1") {
+    // K4 on 1..4 (3-core), a 4-cycle 5-6-7-8 hanging off vertex 1 via
+    // edge (1,5) (2-core but not 3), and a pendant chain 20-21-22
+    // (peels entirely at k=2 → coreness 1). The chain needs TWO
+    // peel rounds at k=2 (22 falls first, then 21) — exercising the
+    // iterated peel, not just the first degree filter.
+    val pairs = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (1L, 5L)) ++
+      Seq((20L, 21L), (21L, 22L))).toDF("d1", "d2")
+    val out = GraphOps.kcoreOnPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 3L), s"K4 is the 3-core: $out")
+    assert(Seq(5L, 6L, 7L, 8L).forall(out(_) == 2L), s"cycle is 2-core only: $out")
+    assert(Seq(20L, 21L, 22L).forall(out(_) == 1L), s"chain peels at k=2: $out")
+  }
+
   test("declared graph_pagerank runs on the sf0.001 corpus (edge-induced nodes only)") {
     val df = GraphOps.pagerank(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
