@@ -285,10 +285,11 @@ object Bench {
     // the probe recomputed the whole minhash build (24.99 s).
     val cacheCoupled = Seq(
       "dedup_semantic", "dedup_semantic2", "graph_bfs", "graph_pagerank",
-      "graph_triangles", "sim_ann_ivf", "sim_ann_ivf2")
+      "graph_triangles", "graph_linkpred", "graph_labelprop", "graph_kcore",
+      "sim_ann_ivf", "sim_ann_ivf2")
       .filter(n => ordered.exists(_._1 == n))
     freeBlocks(spark)
-    Seq("dedup_semantic", "graph_bfs").foreach { builder =>
+    Seq("dedup_semantic", "graph_bfs", "graph_kcore").foreach { builder =>
       SparkEntry.queries.get(builder).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
@@ -299,6 +300,7 @@ object Bench {
     // (fullyCached counts RDDs with every partition resident — the
     // thing the r8 probe silently lost).
     val warmEntries = (graft.ops.GraphOps.pairCacheSnapshot ++
+      graft.ops.GraphOps.lshPairCacheSnapshot ++
       graft.ops.SimilarityOps.ivfCacheSnapshot).size
     val storageInfo = spark.sparkContext.getRDDStorageInfo
     val fullyCached = storageInfo.count(i =>

@@ -68,7 +68,29 @@ object GraphOps {
   def evictPairCache(): Unit = {
     pairCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
     pairCache.clear()
+    lshPairCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
+    lshPairCache.clear()
   }
+
+  // The embedding-LSH similarity graph is the same build-once shape
+  // on the other substrate: linkPred, labelProp, and kcore all probe
+  // it, and without a shared entry each rebuilt the full
+  // bucket-join + verify pipeline per query (the r12
+  // dedup_clusters/cluster_sizes redundancy, third instance).
+  // `dedup_embedding_lsh` itself stays a fresh pipeline (it IS the
+  // build). Evicted by [[evictPairCache]] — one hook for every pair
+  // graph, so the bench's between-pass sweep and the specs keep a
+  // single call site.
+  private val lshPairCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[ops] def cachedLshPairs(spark: SparkSession, d: String): DataFrame =
+    lshPairCache.getOrElseUpdate((System.identityHashCode(spark), d),
+      SimilarityOps.dedupEmbeddingLsh(spark, d)
+        .select(col("v1").as("d1"), col("v2").as("d2")).persist())
+
+  /** Test/bench hook: live LSH-graph cache entries. */
+  private[graft] def lshPairCacheSnapshot: Seq[DataFrame] = lshPairCache.values.toSeq
 
   /** Test/bench hook: live cache entries (the [[SimilarityOps.ivfCacheSnapshot]]
     * pattern) — warmth assertions must target these DataFrames. */
@@ -413,8 +435,7 @@ object GraphOps {
     * neighbor SETS ever cross the shuffle, only counts. The score
     * divides exact integers, rounded 9. */
   def linkPred(spark: SparkSession, d: String): DataFrame =
-    linkPredOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
-      .select(col("v1").as("d1"), col("v2").as("d2")))
+    linkPredOnPairs(cachedLshPairs(spark, d))
 
   private[ops] def linkPredOnPairs(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs.localCheckpoint(false) // (d1 < d2) upstream
@@ -513,8 +534,7 @@ object GraphOps {
     * counts; winner selection is a total order (cnt DESC, label ASC)
     * — bit-identical cross-engine. */
   def labelProp(spark: SparkSession, d: String): DataFrame =
-    labelPropOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
-      .select(col("v1").as("d1"), col("v2").as("d2")))
+    labelPropOnPairs(cachedLshPairs(spark, d))
 
   private[ops] def labelPropOnPairs(pairs: DataFrame, rounds: Int = LpaRounds,
       broadcastVertexLimit: Long = BroadcastVertexLimit): DataFrame =
@@ -607,8 +627,7 @@ object GraphOps {
     * count that doubles as the checkpoint materialization action
     * (the [[DedupOps.connectedComponents]] pattern). */
   def kcore(spark: SparkSession, d: String): DataFrame =
-    kcoreOnPairs(SimilarityOps.dedupEmbeddingLsh(spark, d)
-      .select(col("v1").as("d1"), col("v2").as("d2")))
+    kcoreOnPairs(cachedLshPairs(spark, d))
 
   private[ops] def kcoreOnPairs(pairs: DataFrame, maxK: Int = KcoreMaxK,
       rounds: Int = KcoreRounds): DataFrame = {

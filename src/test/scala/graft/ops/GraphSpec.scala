@@ -127,6 +127,27 @@ class GraphSpec extends AnyFunSuite {
     GraphOps.evictPairCache()
   }
 
+  test("LSH pair cache: linkpred, labelprop, and kcore share one build, evictable, stable") {
+    // third instance of the build-once contract: the embedding-LSH
+    // graph is probed by three declared queries and must be built once
+    val sf = "/root/testdata/sf0.001"
+    GraphOps.evictPairCache()
+    val pred = GraphOps.linkPred(spark, sf).collect().toSeq
+    val l1 = GraphOps.cachedLshPairs(spark, sf)
+    assert(l1.storageLevel.useMemory, "LSH pair table must be persisted")
+    assert(GraphOps.cachedLshPairs(spark, sf) eq l1,
+      "linkpred, labelprop, kcore must share ONE cached LSH pair table per dir")
+    val cores = GraphOps.kcore(spark, sf).collect().toSeq
+    val labels = GraphOps.labelProp(spark, sf).collect().toSeq
+    GraphOps.evictPairCache()
+    assert(!(GraphOps.cachedLshPairs(spark, sf) eq l1),
+      "eviction must drop the cached instance")
+    assert(GraphOps.linkPred(spark, sf).collect().toSeq === pred)
+    assert(GraphOps.kcore(spark, sf).collect().toSeq === cores)
+    assert(GraphOps.labelProp(spark, sf).collect().toSeq === labels)
+    GraphOps.evictPairCache()
+  }
+
   test("cluster-label cache: shared across the cluster queries, evictable, stable") {
     // same contract as the pair cache one test up: dedup_clusters and
     // dedup_cluster_sizes must probe ONE persisted CC label table per
