@@ -1641,4 +1641,59 @@ object EventOps {
       |SELECT CAST(make_timestamp(ms * 1000) AS DATE) AS day,
       |  CAST(MAX(conc) AS BIGINT) AS max_concurrent
       |FROM runs GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Time-constrained conversion funnel — `evt_funnel` counts users
+    * who EVER progressed view→click→purchase; real funnels bound each
+    * step by a window (here 24 h): first view, first click within
+    * 24 h AFTER it, first purchase within 24 h after THAT click.
+    * Emits one row per stage with the surviving-user count.
+    *
+    * Scale shape: each stage is a per-user min-aggregation — events
+    * filter by type at the SCAN (predicate pushed to parquet), shuffle
+    * once on user_id, and the stage tables that flow forward are
+    * USER-sized, not event-sized; the three user_id shuffles share one
+    * partitioning so the joins after stage 1 co-locate without
+    * exchange. No windows over raw events, no per-user event arrays —
+    * state per user is a single timestamp. Counts are exact integers;
+    * timestamps compare exactly (micros). */
+  def funnelWindow(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def typed(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val s1 = typed("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = typed("click").join(s1, Seq("user_id"))
+      .where(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = typed("purchase").join(s2, Seq("user_id"))
+      .where(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val one = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage"), lit("view").as("step"), col("n_users"))
+    val two = s2.agg(count(lit(1)).as("n_users"))
+      .select(lit(2).as("stage"), lit("click_24h").as("step"), col("n_users"))
+    val three = s3.agg(count(lit(1)).as("n_users"))
+      .select(lit(3).as("stage"), lit("purchase_24h").as("step"), col("n_users"))
+    one.unionAll(two).unionAll(three).orderBy(col("stage"))
+  }
+
+  def funnelWindowSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click_24h', COUNT(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase_24h', COUNT(*) FROM s3
+      |ORDER BY stage""".stripMargin
 }

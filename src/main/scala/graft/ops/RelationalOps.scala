@@ -1830,4 +1830,64 @@ object RelationalOps {
       |SELECT day, rev,
       |  median(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
       |FROM daily ORDER BY day""".stripMargin
+
+  /** Granule width for the interval-join bucket decomposition: a power
+    * of two so granule assignment is exact double math, sized so each
+    * band spans 3 granules over the TPC-H price domain (~900..105000). */
+  private val RangeGranule = 8192L
+  private val RangeBands   = 13
+
+  /** Interval (range) join via bucket decomposition — the inequality
+    * join the relational suite lacked. Joins every lineitem to each
+    * OVERLAPPING price band `[k·8192, (k+3)·8192)` (bands overlap 3×,
+    * so this is a genuine interval join, not a bucketing CASE) and
+    * aggregates count + revenue per band.
+    *
+    * Scale shape: a naive `lo <= p AND p < hi` theta-join is a
+    * BroadcastNestedLoopJoin — every probe row tests every interval,
+    * which dies when the interval table outgrows a broadcast. Instead
+    * the value domain is granulated at [[RangeGranule]]: each row maps
+    * to `floor(price / W)`, each band explodes into the 3 granules it
+    * covers, and the join becomes a hash EQUI-join on the granule key
+    * with a residual containment filter — shuffle-partitionable on
+    * both sides at any interval-table size (the standard decomposition
+    * Flink/Trino apply to event-interval joins). PlanSpec pins the
+    * absence of a nested-loop join. Revenue sums through DECIMAL
+    * ([[OpsUtil.dsum]]); band bounds are exact integer-valued doubles. */
+  def rangeJoinRevenue(spark: SparkSession, d: String): DataFrame = {
+    val w = RangeGranule
+    val bands = spark.range(0, RangeBands.toLong)
+      .select(col("id").cast("int").as("band_id"),
+        (col("id") * w).cast("double").as("lo"),
+        ((col("id") + 3) * w).cast("double").as("hi"))
+    // granules covered by band k: k, k+1, k+2
+    val bandGranules = bands.select(col("band_id"), col("lo"), col("hi"),
+      explode(sequence(col("band_id").cast("long"),
+        col("band_id").cast("long") + 2)).as("granule"))
+    val items = Tables.lineitem(spark, d)
+      .select(col("l_extendedprice"), col("l_discount"),
+        floor(col("l_extendedprice") / w).cast("long").as("granule"))
+    items.join(bandGranules, Seq("granule"))
+      .where(col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_items"),
+        OpsUtil.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("band_id"))
+  }
+
+  def rangeJoinRevenueSql: String =
+    s"""WITH bands AS (
+       |  SELECT CAST(k AS INT) AS band_id,
+       |    CAST(k * $RangeGranule AS DOUBLE) AS lo,
+       |    CAST((k + 3) * $RangeGranule AS DOUBLE) AS hi
+       |  FROM range(0, $RangeBands) t(k))
+       |SELECT band_id, lo, hi,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS revenue
+       |FROM lineitem l JOIN bands b
+       |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+       |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin
 }

@@ -111,6 +111,31 @@ class EventWindowSpec extends AnyFunSuite {
       s"interval join degenerated to a product plan:\n$plan")
   }
 
+  test("evt_funnel_window: each stage's 24 h bound is closed at +24h and drops late steps") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    var id = 0L
+    def ev(u: Long, t: Timestamp, typ: String) = { id += 1; (id, t, u, typ, 1.0, "{}") }
+    val rows = Seq(
+      // user 10: full in-window path → survives all 3 stages
+      ev(10L, ts(1, 9), "view"), ev(10L, ts(1, 10), "click"), ev(10L, ts(1, 11), "purchase"),
+      // user 11: click 25 h after first view → stops at stage 1
+      ev(11L, ts(1, 9), "view"), ev(11L, ts(2, 10), "click"),
+      // user 12: in-window click, purchase 25 h after it → stops at stage 2
+      ev(12L, ts(1, 9), "view"), ev(12L, ts(1, 10), "click"), ev(12L, ts(2, 11), "purchase"),
+      // user 13: click with NO view → appears in no stage
+      ev(13L, ts(1, 10), "click"),
+      // user 14: click at EXACTLY +24 h → inclusive bound keeps it
+      ev(14L, ts(1, 9), "view"), ev(14L, ts(2, 9), "click"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funwin").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.funnelWindow(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 4L, 2 -> 3L, 3 -> 1L), out.toString)
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_gini: perfect equality is 0, a known unequal split matches the hand formula") {
     import spark.implicits._
     // type "eq": four users × 5 events each → G = 0 exactly.

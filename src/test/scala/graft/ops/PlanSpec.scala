@@ -257,6 +257,19 @@ class PlanSpec extends AnyFunSuite {
       s"tf stage not reused — corpus would tokenize twice:\n$plan")
   }
 
+  test("join_range decomposes to a granule EQUI-join: no nested-loop, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the naive lo <= p < hi theta-join plans as BNLJ (every probe row
+    // tests every interval); the granule decomposition must keep it a
+    // hash-partitionable equi-join at any interval-table size
+    val plan = RelationalOps.rangeJoinRevenue(spark, sf).queryExecution.executedPlan
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"interval join fell back to ${bad.map(_.nodeName)}")
+  }
+
   test("two-phase skyline is partitioning-invariant and correct on a crafted frontier") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

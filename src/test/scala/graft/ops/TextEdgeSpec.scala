@@ -184,4 +184,25 @@ class TextEdgeSpec extends AnyFunSuite {
     // "server <IP> leaked id <NUM> twice: <NUM>"
     assert(rows(2L).getInt(4) === "server <IP> leaked id <NUM> twice: <NUM>".length)
   }
+
+  test("text_bm25: higher-tf doc outranks at equal length, term-free docs are absent") {
+    import spark.implicits._
+    // equal doc length (10 tokens) isolates the tf term: doc 1 has
+    // hash×2 + join + stream, doc 2 only hash×1 → doc 1 strictly
+    // higher; doc 3 has no query terms and must not appear at all
+    val pad = Seq.fill(6)("filler").mkString(" ")
+    val docs = Seq(
+      (1L, s"hash hash join stream $pad", "en", "edge", 40L),
+      (2L, s"hash filler filler filler $pad", "en", "edge", 40L),
+      (3L, "filler filler filler", "en", "edge", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysisOps.bm25Rank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), out.mkString(","))
+    assert(out(0)._2 > out(1)._2, "doc 1 must outscore doc 2")
+    assert(out.map(_._3).toSeq === Seq(1, 2))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
 }
