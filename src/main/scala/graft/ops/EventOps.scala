@@ -1696,4 +1696,43 @@ object EventOps {
       |UNION ALL SELECT 2, 'click_24h', COUNT(*) FROM s2
       |UNION ALL SELECT 3, 'purchase_24h', COUNT(*) FROM s3
       |ORDER BY stage""".stripMargin
+
+  /** Longest consecutive-day activity streak per user, reported as a
+    * distribution (`streak_len` → how many users peak at exactly that
+    * streak) — the gaps-and-islands idiom the analytics suite lacked:
+    * `day − row_number()` is constant within a consecutive run, so one
+    * window + one groupBy finds every island with no self-join.
+    *
+    * Scale shape: the raw event stream reduces to DISTINCT
+    * (user, day) FIRST — everything after is bounded by users ×
+    * calendar days, not by events. The window partitions by user_id
+    * (no global sort, reuses the distinct's hash partitioning), and
+    * the final histogram is day-count-sized. Integers end-to-end. */
+  def streaks(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val isl = days.withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .select(col("user_id"), expr("date_sub(day, rn)").as("grp"))
+    val best = isl.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("best_streak"))
+    best.groupBy(col("best_streak").as("streak_len"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("streak_len"))
+  }
+
+  def streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      |  FROM days),
+      |best AS (
+      |  SELECT user_id, MAX(len) AS best_streak
+      |  FROM (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT best_streak AS streak_len, COUNT(*) AS n_users
+      |FROM best GROUP BY 1 ORDER BY streak_len""".stripMargin
 }

@@ -1890,4 +1890,47 @@ object RelationalOps {
        |FROM lineitem l JOIN bands b
        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin
+
+  /** Columns profiled by `profile_columns` — pinned so the Spark agg,
+    * the long-format stack, and the DuckDB oracle enumerate the same
+    * list in the same declaration order. */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Deequ-style column profiler — the data-quality pass a pipeline
+    * runs before trusting a new drop: per column of `orders`, row
+    * count, null count, and EXACT distinct count, in long format.
+    *
+    * Scale shape: ONE scan and one aggregation node for all six
+    * columns — the multi-`count(DISTINCT …)` agg plans as a single
+    * Expand (rows × 6) through one shuffle, not six scans (the oracle
+    * unions six SELECTs; Spark must not). The long format comes from
+    * exploding the 1-row wide aggregate, driver-free. At 100 TB the
+    * exact distincts on key-like columns are the honest cost of a
+    * profile; the sketch variant (HLL, `agg_hll_merge`) is the
+    * documented swap-in when ±2 % suffices. */
+  def profileColumns(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val aggs = count(lit(1)).as("n_rows") +:
+      ProfileCols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+      }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val entries = ProfileCols.map { c =>
+      struct(lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.n_rows"), col("e.n_null"),
+        col("e.n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  def profileColumnsSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 }

@@ -1531,4 +1531,47 @@ object TextAnalysisOps {
        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |FROM scored QUALIFY rank <= $Bm25TopK ORDER BY rank""".stripMargin
   }
+
+  /** Boilerplate detection thresholds: a 3-gram counts as boilerplate
+    * when it appears in at least [[BoilerMinDocs]] distinct docs. */
+  private val BoilerMinDocs = 3
+  private val BoilerTopK    = 20
+
+  /** Cross-document boilerplate detection — the C4/RefinedWeb curation
+    * pass that strips navigation chrome and legal footers: 3-gram
+    * shingles counted by DISTINCT-document frequency; the top
+    * [[BoilerTopK]] shingles present in ≥ [[BoilerMinDocs]] docs are
+    * the removal candidates. (Within-doc repetition is `text_gopher_rules`;
+    * this is the ACROSS-doc signal.)
+    *
+    * Scale shape: the corpus tokenizes once; `array_distinct` dedups
+    * shingles PER DOC map-side (no (doc, shingle) shuffle just to
+    * dedup), so the single shuffle carries doc-frequency partials with
+    * map-side combine. Top-K is TakeOrdered — distributed heap-select,
+    * no global sort. Counts are exact integers. */
+  def boilerplate(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    tok.select(explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+        .as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= BoilerMinDocs)
+      .orderBy(col("n_docs").desc, col("shingle")).limit(BoilerTopK)
+  }
+
+  def boilerplateSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |  FROM tok WHERE len(tk) >= 3)
+       |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
+       |HAVING COUNT(*) >= $BoilerMinDocs
+       |ORDER BY n_docs DESC, shingle LIMIT $BoilerTopK""".stripMargin
 }

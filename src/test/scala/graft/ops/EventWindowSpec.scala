@@ -136,6 +136,27 @@ class EventWindowSpec extends AnyFunSuite {
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
+  test("evt_streaks: gaps split islands, multi-visit days don't inflate, singletons count") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    var id = 0L
+    def ev(u: Long, day: Int, h: Int) = { id += 1; (id, ts(day, h), u, "click", 1.0, "{}") }
+    val rows = Seq(
+      // user 1: days 1,2,3 then 5,6 → best streak 3 (gap at day 4 splits)
+      ev(1L, 1, 9), ev(1L, 2, 9), ev(1L, 3, 9), ev(1L, 5, 9), ev(1L, 6, 9),
+      // user 2: day 1 twice (same day, two events) + day 3 → best 1
+      ev(2L, 1, 9), ev(2L, 1, 15), ev(2L, 3, 9),
+      // user 3: days 7,8 → best 2
+      ev(3L, 7, 9), ev(3L, 8, 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft-streak").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), out.toString)
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_gini: perfect equality is 0, a known unequal split matches the hand formula") {
     import spark.implicits._
     // type "eq": four users × 5 events each → G = 0 exactly.

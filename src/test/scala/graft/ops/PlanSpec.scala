@@ -270,6 +270,13 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"interval join fell back to ${bad.map(_.nodeName)}")
   }
 
+  test("profile_columns reads orders ONCE: six distincts through a single Expand scan") {
+    // the oracle unions six SELECTs; the Spark plan must not — one
+    // FileSourceScan, the multi-count(DISTINCT) folded into one agg
+    val n = scans(RelationalOps.profileColumns(spark, sf)).size
+    assert(n === 1, s"profiler re-scanned the table: $n scans")
+  }
+
   test("two-phase skyline is partitioning-invariant and correct on a crafted frontier") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
