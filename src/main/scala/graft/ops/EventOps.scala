@@ -1735,4 +1735,99 @@ object EventOps {
       |  GROUP BY 1)
       |SELECT best_streak AS streak_len, COUNT(*) AS n_users
       |FROM best GROUP BY 1 ORDER BY streak_len""".stripMargin
+
+  /** Theil–Sen robust trend slope over the daily event counts — the
+    * outlier-proof alternative to least squares (one corrupted day
+    * moves OLS arbitrarily; the median pairwise slope has a 29 %
+    * breakdown point). Median by EXACT rank selection (rows
+    * ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋, decimal-averaged), not an interpolating
+    * percentile whose tie-breaking differs across engines.
+    *
+    * Scale shape: events reduce to one row per DAY first, so the
+    * all-pairs slope join and the rank window run on a calendar-
+    * bounded table (30 days → 435 pairs) at ANY data scale — the
+    * quadratic stage and the single-partition window are day-sized by
+    * construction, never event-sized. Slopes divide exact integers
+    * (IEEE-identical cross-engine), rounded 9. */
+  def theilSen(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+    val pr = daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
+      .select(round((col("b.c") - col("a.c")).cast("double") /
+        datediff(col("b.day"), col("a.day")), 9).as("slope"))
+    val rk = pr
+      .withColumn("r", row_number().over(Window.orderBy(col("slope"))))
+      .crossJoin(broadcast(pr.agg(count(lit(1)).as("n"))))
+    val med = rk
+      .where(col("r") === (col("n") + 1) / 2 || col("r") === (col("n") + 2) / 2)
+      .agg(max(col("n")).as("n_pairs"),
+        round(sum(col("slope").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).as("slope_med"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    med.crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_pairs"), col("slope_med"))
+  }
+
+  def theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      |pr AS (
+      |  SELECT round(CAST(b.c - a.c AS DOUBLE) / (b.day - a.day), 9) AS slope
+      |  FROM daily a JOIN daily b ON b.day > a.day),
+      |rk AS (SELECT slope, row_number() OVER (ORDER BY slope) AS r,
+      |    COUNT(*) OVER () AS n FROM pr)
+      |SELECT (SELECT COUNT(*) FROM daily) AS n_days, MAX(n) AS n_pairs,
+      |  round(CAST(SUM(CAST(slope AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+      |    AS slope_med
+      |FROM rk WHERE r = (n + 1) // 2 OR r = (n + 2) // 2""".stripMargin
+
+  /** Additive seasonal decomposition (STL-lite) of the daily event
+    * series: trend = centered 7-day moving average (emitted only
+    * where the full window exists), seasonal = day-of-week mean of
+    * the detrended series, residual = the rest. The classic
+    * trend/seasonality/noise split `evt_dema`/`evt_dow_profile` each
+    * show one axis of.
+    *
+    * Scale shape: one event-scale aggregation to daily counts, then
+    * every window/join is calendar-sized. Day-of-week comes from
+    * epoch-day arithmetic (datediff mod 7 against a pinned Monday
+    * anchor), not locale-dependent dayofweek(); trend divides an
+    * exact integer 7-day sum, seasonal means go through
+    * DECIMAL(18,9), every emitted double rounds at 9. */
+  def seasonalDecompose(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("trend", when(count(lit(1)).over(w) === 7,
+        round(sum(col("c")).over(w).cast("double") / 7, 9)))
+      .where(col("trend").isNotNull)
+      .withColumn("detr", round(col("c") - col("trend"), 9))
+      .withColumn("dow", datediff(col("day"), lit("2000-01-03")) % 7)
+    val sidx = tr.groupBy(col("dow"))
+      .agg(round(sum(col("detr").cast("decimal(18,9)")).cast("double") /
+        count(lit(1)), 9).as("seasonal"))
+    tr.join(broadcast(sidx), Seq("dow"))
+      .select(col("day"), col("c").as("n_events"), col("trend"),
+        col("seasonal"), round(col("detr") - col("seasonal"), 9).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  def seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      |tr AS (SELECT day, c,
+      |    CASE WHEN COUNT(*) OVER w = 7
+      |      THEN round(CAST(SUM(c) OVER w AS DOUBLE) / 7, 9) END AS trend
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT day, c, trend, round(c - trend, 9) AS detr,
+      |    CAST(day - DATE '2000-01-03' AS INT) % 7 AS dow
+      |  FROM tr WHERE trend IS NOT NULL),
+      |sidx AS (SELECT dow,
+      |    round(CAST(SUM(CAST(detr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+      |      AS seasonal
+      |  FROM dt GROUP BY 1)
+      |SELECT day, c AS n_events, trend, seasonal,
+      |  round(detr - seasonal, 9) AS resid
+      |FROM dt JOIN sidx USING (dow) ORDER BY day""".stripMargin
 }

@@ -1580,4 +1580,75 @@ object SimilarityOps {
        |  round(CAST(SUM(CAST(round(sqrt(dist2), 9) AS DECIMAL(18,6))) AS DOUBLE)
        |    / COUNT(*), 6) AS mean_dist
        |FROM best WHERE rk = 1 GROUP BY cid ORDER BY centroid""".stripMargin
+
+  /** Simplified (centroid) silhouette of the k-means partition — the
+    * clustering-quality readout next to [[embKmeans]]: per vector,
+    * a = distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a) / max(a, b); reported as the
+    * per-cluster mean. The full silhouette's pairwise a/b is O(n²);
+    * the centroid form is the standard O(n·k) large-scale substitute
+    * (one broadcast pass, same cost as the assignment itself).
+    *
+    * Scale shape: identical to [[embKmeans]] — k-row broadcast of
+    * seeds, one map-side scoring pass, a per-vector rank window on
+    * k=8 rows each, then a k-key aggregate. a and b fall out of the
+    * SAME rank window (rk 1 and 2) — no second distance pass.
+    * Distances round at 9, s rounds at 9, means go through
+    * DECIMAL(18,9): bit-identical cross-engine. */
+  def embSilhouette(spark: SparkSession, d: String): DataFrame = {
+    val e = kmVectors(spark, d)
+    val scored = e.crossJoin(broadcast(kmSeeds(e)))
+      .select(col("vec_id"), col("cid"),
+        round(norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c"))
+          + norm2(col("c")), 9).as("dist2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+      .where(col("rk") <= 2)
+    val a = scored.where(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), round(sqrt(col("dist2")), 9).as("da"))
+    val b = scored.where(col("rk") === 2)
+      .select(col("vec_id"), round(sqrt(col("dist2")), 9).as("db"))
+    a.join(b, Seq("vec_id"))
+      .select(col("cid"),
+        when(greatest(col("da"), col("db")) > 0,
+          round((col("db") - col("da")) / greatest(col("da"), col("db")), 9))
+          .otherwise(lit(0.0)).as("s"))
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("s").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB mirror of [[embSilhouette]] — the [[embKmeansSql]] CTE
+    * chain with the rank window kept to rk ≤ 2 and pivoted into
+    * (a, b) before the silhouette formula. */
+  def embSilhouetteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sr AS (SELECT vec_id, v, row_number() OVER (
+       |  ORDER BY ${xhash60Sql("CAST(vec_id AS VARCHAR)", 99)}, vec_id) AS r FROM e),
+       |seeds AS (SELECT r AS cid, v AS c FROM sr WHERE r <= 8),
+       |scored AS (
+       |  SELECT e.vec_id, s.cid,
+       |    round(list_sum(list_transform(e.v, x -> x*x))
+       |      - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> e.v[i] * s.c[i]))
+       |      + list_sum(list_transform(s.c, x -> x*x)), 9) AS dist2
+       |  FROM e CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, cid, dist2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+       |  FROM scored),
+       |aa AS (SELECT vec_id, cid, round(sqrt(dist2), 9) AS da FROM best WHERE rk = 1),
+       |bb AS (SELECT vec_id, round(sqrt(dist2), 9) AS db FROM best WHERE rk = 2),
+       |sil AS (SELECT aa.cid,
+       |    CASE WHEN greatest(da, db) > 0
+       |         THEN round((db - da) / greatest(da, db), 9)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS s
+       |  FROM aa JOIN bb USING (vec_id))
+       |SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+       |  round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+       |    AS mean_sil
+       |FROM sil GROUP BY cid ORDER BY cluster""".stripMargin
 }

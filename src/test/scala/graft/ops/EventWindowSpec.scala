@@ -157,6 +157,49 @@ class EventWindowSpec extends AnyFunSuite {
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
+  test("evt_theilsen: a planted outlier day doesn't move the median slope") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // counts 10,12,14,16 rise by exactly 2/day; day 5 spikes to 58.
+    // 6 of the 10 pairwise slopes are 2 → median 2.0 (OLS would be ~10)
+    val counts = Seq(10, 12, 14, 16, 58)
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map { k => id += 1; (id, ts(i + 1, 9 + k / 60, k % 60), 1L, "click", 1.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-theil").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.theilSen(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((5L, 10L, 2.0)))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
+  test("evt_seasonal: a pure weekly signal decomposes to flat trend and zero residual") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // 14 days of c = 100 + s[dow] with zero-sum s: every full 7-day
+    // window sums to 700 → trend exactly 100, detrended = s, resid = 0
+    val s = Array(7, -7, 0, 0, 0, 0, 0) // Jan 1 2024 is a Monday → dow 0
+    var id = 0L
+    val rows = (1 to 14).flatMap { day =>
+      val c = 100 + s((day - 1) % 7)
+      (0 until c).map { k => id += 1; (id, ts(day, 9 + k / 60, k % 60), 1L, "click", 1.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-seas").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.seasonalDecompose(spark, dir).collect()
+    assert(out.length === 8) // days 4..11 have the full centered window
+    out.foreach { r =>
+      val day = r.getDate(0).toLocalDate.getDayOfMonth
+      assert(r.getDouble(2) === 100.0, s"trend day $day")
+      assert(r.getDouble(3) === s((day - 1) % 7).toDouble, s"seasonal day $day")
+      assert(r.getDouble(4) === 0.0, s"resid day $day")
+    }
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_gini: perfect equality is 0, a known unequal split matches the hand formula") {
     import spark.implicits._
     // type "eq": four users × 5 events each → G = 0 exactly.
