@@ -1759,7 +1759,8 @@ object EventOps {
       .withColumn("r", row_number().over(Window.orderBy(col("slope"))))
       .crossJoin(broadcast(pr.agg(count(lit(1)).as("n"))))
     val med = rk
-      .where(col("r") === (col("n") + 1) / 2 || col("r") === (col("n") + 2) / 2)
+      .where(col("r") === expr("(n + 1) div 2") ||
+        col("r") === expr("(n + 2) div 2"))
       .agg(max(col("n")).as("n_pairs"),
         round(sum(col("slope").cast("decimal(18,9)")).cast("double") /
           count(lit(1)), 9).as("slope_med"))
@@ -1780,6 +1781,105 @@ object EventOps {
       |  round(CAST(SUM(CAST(slope AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
       |    AS slope_med
       |FROM rk WHERE r = (n + 1) // 2 OR r = (n + 2) // 2""".stripMargin
+
+  /** Lorenz/Pareto concentration curve of user activity — the decile
+    * view behind `evt_gini`'s single number: users ranked by event
+    * count (heaviest first), split into 10 equal-population deciles,
+    * each reported with its user count, event total, and share. The
+    * "do 10 % of users generate 80 % of traffic" readout.
+    *
+    * Scale shape: events reduce to one row per USER first; the global
+    * rank window runs on the user-count table (never events), and the
+    * decile assignment is pure integer arithmetic ((r−1)·10 ÷ n) so
+    * both engines bucket identically — no ntile(), whose remainder
+    * distribution is engine-defined. Shares divide exact integers. */
+  def paretoUsers(spark: SparkSession, d: String): DataFrame = {
+    val uc = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val tot = uc.agg(count(lit(1)).as("nu"), sum(col("c")).as("tot"))
+    val rk = uc.withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
+      .crossJoin(broadcast(tot))
+    rk.select(expr("(r - 1) * 10 div nu").as("decile"), col("c"), col("tot"))
+      .withColumn("decile", (col("decile") + 1).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        round(sum(col("c")).cast("double") / max(col("tot")), 9).as("share"))
+      .orderBy(col("decile"))
+  }
+
+  def paretoUsersSql: String =
+    """WITH uc AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS r,
+      |    COUNT(*) OVER () AS nu, SUM(c) OVER () AS tot FROM uc)
+      |SELECT CAST(((r - 1) * 10) // nu + 1 AS INT) AS decile,
+      |  COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS n_events,
+      |  round(CAST(SUM(c) AS DOUBLE) / MAX(tot), 9) AS share
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** MAD-based robust anomaly screen over the daily series — the
+    * outlier-proof twin of `evt_anomaly` (whose mean ± 2σ gate a
+    * single extreme day corrupts): score = (c − median) /
+    * (1.4826·MAD), flagged at |score| > 3. Both medians use the
+    * exact-rank selection recipe (`evt_theilsen`): rows ⌊(n+1)/2⌋ and
+    * ⌊(n+2)/2⌋ of the ordered set, integer-sum-averaged — never an
+    * interpolating percentile.
+    *
+    * Scale shape: one event-scale aggregation to daily counts; both
+    * median selections and the scoring run on the calendar-bounded
+    * day table (two 1-row broadcast scalars). Deviations are exact
+    * (integer c, median ends in .0/.5 — exact doubles); scores round
+    * at 9 and the flag compares the ROUNDED score, so both engines
+    * gate identically. */
+  def anomalyMad(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+    def medianOf(df: DataFrame, v: String, tieCol: String): DataFrame = {
+      val rk = df.withColumn("r",
+          row_number().over(Window.orderBy(col(v), col(tieCol))))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      // `div`, not `/`: column `/` is FLOAT division, and (n+1)/2 at
+      // even n (15.5) matches no integer rank — half the median pair
+      // would silently drop
+      rk.where(col("r") === expr("(n + 1) div 2") ||
+          col("r") === expr("(n + 2) div 2"))
+        .agg((sum(col(v)).cast("double") / count(lit(1))).as("med"))
+    }
+    val medc = medianOf(daily, "c", "day")
+    val dev = daily.crossJoin(broadcast(medc))
+      .withColumn("ad", abs(col("c") - col("med")))
+    val madv = medianOf(dev.select(col("ad"), col("day")), "ad", "day")
+      .select(col("med").as("mad"))
+    dev.crossJoin(broadcast(madv))
+      .select(col("day"), col("c"), round(col("med"), 9).as("med"),
+        round(col("mad"), 9).as("mad"),
+        when(col("mad") > 0,
+          round((col("c") - col("med")) / (lit(1.4826) * col("mad")), 9))
+          .as("score"))
+      .withColumn("is_anomaly",
+        when(col("score").isNotNull, abs(col("score")) > 3.0))
+      .orderBy(col("day"))
+  }
+
+  def anomalyMadSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      |medc AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS med FROM (
+      |    SELECT c, row_number() OVER (ORDER BY c, day) AS r,
+      |      COUNT(*) OVER () AS n FROM daily)
+      |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2),
+      |dev AS (SELECT day, c, med, abs(c - med) AS ad FROM daily, medc),
+      |madv AS (SELECT CAST(SUM(ad) AS DOUBLE) / COUNT(*) AS mad FROM (
+      |    SELECT ad, row_number() OVER (ORDER BY ad, day) AS r,
+      |      COUNT(*) OVER () AS n FROM dev)
+      |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2)
+      |SELECT day, c, round(med, 9) AS med, round(mad, 9) AS mad,
+      |  CASE WHEN mad > 0
+      |       THEN round((c - med) / (1.4826 * mad), 9) END AS score,
+      |  CASE WHEN mad > 0
+      |       THEN abs(round((c - med) / (1.4826 * mad), 9)) > 3.0 END AS is_anomaly
+      |FROM dev, madv ORDER BY day""".stripMargin
 
   /** Additive seasonal decomposition (STL-lite) of the daily event
     * series: trend = centered 7-day moving average (emitted only

@@ -1927,6 +1927,57 @@ object RelationalOps {
       .orderBy(col("column_name"))
   }
 
+  /** Item-item collaborative filtering over the customer × part
+    * purchase incidence — "customers who bought X also bought Y",
+    * scored by cosine over binary customer vectors
+    * (co / √(n₁·n₂)); top 20 pairs with co-support ≥ 2. Customer-
+    * level incidence (not order-level like `basket_lift`): the CF
+    * signal is WHO buys, not what ships together in one box.
+    *
+    * Scale shape: the incidence distincts to (customer, part) FIRST,
+    * then the pair join is a self-equi-join on customer — bounded by
+    * (parts per customer)² per key, the same budget argument as
+    * `basket_lift`, with the HAVING-≥2 prune applied at the pair
+    * aggregate before any join. Marginals are part-catalog-sized and
+    * deliberately NOT broadcast-hinted (the `basket_lift` precedent —
+    * a catalog is not a dimension at 100 TB). Final top-20 is
+    * TakeOrdered. Cosine divides exact integers, rounded 9. */
+  def itemCosine(spark: SparkSession, d: String): DataFrame = {
+    val inc = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val marg = inc.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val co = inc.as("a")
+      .join(inc.as("b"),
+        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+    co.join(marg.select(col("part").as("p1"), col("n").as("n1")), Seq("p1"))
+      .join(marg.select(col("part").as("p2"), col("n").as("n2")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("co"),
+        round(col("co") / sqrt(col("n1").cast("double") * col("n2")), 9)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("p1"), col("p2")).limit(20)
+  }
+
+  def itemCosineSql: String =
+    """WITH inc AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |marg AS (SELECT part, COUNT(*) AS n FROM inc GROUP BY 1),
+      |co AS (
+      |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS co
+      |  FROM inc a JOIN inc b ON a.cust = b.cust AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p1, p2, co,
+      |  round(co / sqrt(CAST(m1.n AS DOUBLE) * m2.n), 9) AS cosine
+      |FROM co JOIN marg m1 ON m1.part = co.p1 JOIN marg m2 ON m2.part = co.p2
+      |ORDER BY cosine DESC, p1, p2 LIMIT 20""".stripMargin
+
   def profileColumnsSql: String =
     ProfileCols.map { c =>
       s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

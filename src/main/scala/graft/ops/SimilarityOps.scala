@@ -1201,24 +1201,88 @@ object SimilarityOps {
     * shared by [[embPower]] and [[embPowerIter]]. Per-vector
     * outer-product explode → (di, dj) partial aggregation onto dims²
     * keys, map-side combined; never a driver-side matrix. */
+  /** Covariance of the embedding corpus via per-partition fixed-point
+    * Gram accumulation — the distributed-BLAS block pattern. Each
+    * coordinate quantizes ONCE to a 1e-6-grid long (`round(x·10⁶)`,
+    * the declared cross-engine recipe); every partition then folds its
+    * rows into ONE dims×dims Array[Long] (exact integer arithmetic,
+    * order-free by commutativity of +), and only dims² partial rows
+    * per partition reach the exchange, where a DECIMAL(38,0) sum
+    * merges them exactly at any corpus size. The declarative forms —
+    * a self-join on vec_id, or a per-row dims² explode — shuffle or
+    * interpret |corpus|·dims² product terms (higher-order-function
+    * lambdas are not codegen'd): measured 10× slower at sf0.1 and
+    * corpus-proportional at the exchange. mapPartitions is justified
+    * here because the kernel is genuinely per-partition imperative
+    * state (the accumulator matrix) that no Catalyst operator
+    * expresses. Long-overflow is guarded loudly: |q| ≤ 2.1·10⁶ per
+    * coordinate and ≤ 2·10⁶ rows per partition bound |acc| below
+    * 2⁶³; the cross-partition merge is decimal, so total corpus size
+    * is unbounded. */
   private def covOf(spark: SparkSession, d: String): DataFrame = {
-    val ex = Tables.embeddings(spark, d)
-      .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
-    val m = ex.groupBy(col("d"))
-      .agg(graft.ops.OpsUtil.davg(col("x")).as("mu"), count(lit(1)).as("n"))
-    val a = ex.select(col("vec_id"), col("d").as("di"), col("x").as("xi"))
-    val b = ex.select(col("vec_id"), col("d").as("dj"), col("x").as("xj"))
-    val xx = a.join(b, Seq("vec_id"))
-      .groupBy(col("di"), col("dj"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(28,12)"))
-        .cast("double").as("sxy"))
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("q"))
+    val m = e.select(posexplode(col("q")).as(Seq("d", "xq")))
+      .groupBy(col("d"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)) / 1e6).as("mu"),
+        count(lit(1)).as("n"))
+    val parts = e.select(col("q")).as[Array[Long]].mapPartitions { it =>
+      var dims = -1
+      var acc: Array[Long] = null
+      var nRows = 0L
+      while (it.hasNext) {
+        val q = it.next()
+        if (acc == null) { dims = q.length; acc = new Array[Long](dims * dims) }
+        require(q.length == dims, s"ragged embedding: ${q.length} vs $dims dims")
+        nRows += 1
+        require(nRows <= 2000000L, "partition too large for long Gram accumulation")
+        var i = 0
+        while (i < dims) {
+          require(math.abs(q(i)) <= 2100000L, s"coordinate exceeds fixed-point range: ${q(i)}")
+          i += 1
+        }
+        i = 0
+        while (i < dims) {
+          val qi = q(i); val base = i * dims
+          var j = 0
+          while (j < dims) { acc(base + j) += qi * q(j); j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else (0 until dims).iterator.flatMap(i =>
+        (0 until dims).iterator.map(j => (i, j, acc(i * dims + j))))
+    }.toDF("di", "dj", "s")
+    val xx = parts.groupBy(col("di"), col("dj"))
+      .agg(sum(col("s").cast("decimal(38,0)")).cast("double").as("sxy"))
     xx
       .join(broadcast(m.select(col("d").as("di"), col("mu").as("mi"), col("n"))), Seq("di"))
       .join(broadcast(m.select(col("d").as("dj"), col("mu").as("mj"))), Seq("dj"))
       .select(col("di"), col("dj"),
-        (col("sxy") / col("n") - col("mi") * col("mj")).as("c"))
+        (col("sxy") / lit(1e12) / col("n") - col("mi") * col("mj")).as("c"))
   }
+
+  /** DuckDB mirror of [[covOf]]'s quantized pipeline — shared CTE
+    * prefix of [[embPowerSql]] and [[embPowerIterSql]]. The engines
+    * sum the SAME exact integers (longs there, HUGEINT here), so cov
+    * is bit-identical without any partitioning assumption. */
+  private val covCteSql: String =
+    """e AS (SELECT vec_id,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(range(0, len(q))) AS d, unnest(q) AS xq FROM e),
+      |m AS (SELECT d, CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS mu,
+      |       COUNT(*) AS n FROM ex GROUP BY d),
+      |xx AS (
+      |  SELECT a.d AS di, b.d AS dj, SUM(a.xq * b.xq) AS sxy
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+      |cov AS MATERIALIZED (
+      |  SELECT di, dj,
+      |    CAST(sxy AS DOUBLE) / 1000000000000.0 / ma.n - ma.mu * mb.mu AS c
+      |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj)""".stripMargin
 
   def embPower(spark: SparkSession, d: String): DataFrame = {
     val cov = covOf(spark, d)
@@ -1271,17 +1335,7 @@ object SimilarityOps {
   }
 
   def embPowerIterSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |ex AS (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e),
-      |m AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS mu,
-      |       COUNT(*) AS n FROM ex GROUP BY d),
-      |xx AS (
-      |  SELECT a.d AS di, b.d AS dj,
-      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy
-      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
-      |cov AS MATERIALIZED (
-      |  SELECT di, dj, sxy / ma.n - ma.mu * mb.mu AS c
-      |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj),
+    s"""WITH $covCteSql,
       |v1 AS (
       |  SELECT di AS d,
       |    CAST(SUM(CAST(round(c * 0.125, 9) AS DECIMAL(28,12))) AS DOUBLE) AS x
@@ -1307,17 +1361,7 @@ object SimilarityOps {
       |FROM vv, rq ORDER BY dim""".stripMargin
 
   def embPowerSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |ex AS (SELECT vec_id, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e),
-      |m AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS mu,
-      |       COUNT(*) AS n FROM ex GROUP BY d),
-      |xx AS (
-      |  SELECT a.d AS di, b.d AS dj,
-      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy
-      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
-      |cov AS (
-      |  SELECT di, dj, sxy / ma.n - ma.mu * mb.mu AS c
-      |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj),
+    s"""WITH $covCteSql,
       |v1 AS (
       |  SELECT di AS vd,
       |    CAST(SUM(CAST(round(c * 0.125, 9) AS DECIMAL(28,12))) AS DOUBLE) AS v1

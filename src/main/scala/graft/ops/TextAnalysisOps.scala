@@ -1563,6 +1563,64 @@ object TextAnalysisOps {
       .orderBy(col("n_docs").desc, col("shingle")).limit(BoilerTopK)
   }
 
+  /** Add-one-smoothed bigram language model, trained on the corpus
+    * and scored back over every document — the LM-filter shape
+    * (cc_net/KenLM-style) next to `score_ppl`'s hashed-unigram model:
+    * per doc, mean of ln((c(w₁w₂)+1)/(c(w₁)+V)) over its bigrams.
+    *
+    * Scale shape: the corpus tokenizes ONCE into a (doc, w₁, bigram)
+    * stream; counts aggregate onto bigram-vocabulary keys; the scored
+    * model (per-bigram log-prob) is assembled model-side and the doc
+    * stream joins it ONCE on the bigram key — vocabulary-sized tables
+    * shuffle-join (never broadcast: a 100 TB corpus's bigram vocab is
+    * not a dimension), V is a 1-row broadcast scalar. Log terms round
+    * at 6 (ulp guard), sum through DECIMAL(18,9), mean rounds at 6. */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val bg = tok.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)).as("b")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.b").as("b"))
+    val cb = bg.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("c12"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tok.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = cb.join(cu, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("b"),
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6).as("lp"))
+    bg.join(model, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramLmSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+       |    unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS b
+       |  FROM tok WHERE len(tk) >= 2),
+       |cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY 1),
+       |cu AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT t) AS v
+       |  FROM (SELECT unnest(tk) AS t FROM tok)),
+       |sc AS (SELECT bg.doc_id,
+       |    round(ln((cb.c12 + 1.0) / (cu.c1 + vocab.v)), 6) AS lp
+       |  FROM bg JOIN cb USING (b) JOIN cu USING (w1), vocab)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_logp
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def boilerplateSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),

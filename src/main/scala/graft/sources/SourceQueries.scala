@@ -126,6 +126,50 @@ object SourceQueries {
     docStats(WarcFormat.readWarcGz(spark, s"$dir/data"))
   }
 
+  /** Fixed-width layout for `src_fixed_width`: column offsets are the
+    * CONTRACT (declared, never inferred — the defining property of the
+    * format). doc_id, lang, source, n_chars are space-right-padded to
+    * these widths; `text` is the unpadded tail field, so arbitrary
+    * trailing content (including spaces) survives exactly. */
+  private val FwWidths = Seq("doc_id" -> 12, "lang" -> 8, "source" -> 16, "n_chars" -> 12)
+
+  /** Declared query `src_fixed_width`: the fingerprint over a
+    * fixed-width text round trip — the mainframe/SAP-extract layout
+    * Spark has no built-in reader for, parsed the way a library user
+    * would: `spark.read.text` (newline-framed → splittable at any
+    * size, like JSONL) + substring slicing at the declared offsets.
+    * The write asserts no field overflows its width (fail loudly, not
+    * silently truncate) and that `text` carries no newline (the one
+    * thing the framing cannot represent). */
+  private[sources] def writeFixedWidth(df: DataFrame, out: String): Unit = {
+    val padded = FwWidths.map { case (c, w) =>
+      val s = col(c).cast("string")
+      // overflow would silently corrupt every later offset
+      when(length(s) > w, raise_error(concat(lit(s"fixed-width overflow in $c: "), s)))
+        .otherwise(rpad(s, w, " ")).as(c)
+    }
+    df.select(concat(
+        (padded :+ when(col("text").contains("\n"),
+          raise_error(lit("newline in text"))).otherwise(col("text"))): _*)
+      .as("value"))
+      .write.mode("overwrite").text(out)
+  }
+
+  private[sources] def readFixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val offs = FwWidths.scanLeft(1) { case (o, (_, w)) => o + w }
+    spark.read.text(dir).select(
+      trim(substring(col("value"), offs(0), FwWidths(0)._2)).cast("long").as("doc_id"),
+      col("value").substr(lit(offs(4)), length(col("value"))).as("text"),
+      trim(substring(col("value"), offs(1), FwWidths(1)._2)).as("lang"),
+      trim(substring(col("value"), offs(2), FwWidths(2)._2)).as("source"),
+      trim(substring(col("value"), offs(3), FwWidths(3)._2)).cast("long").as("n_chars"))
+  }
+
+  def fixedWidthDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "fw")(writeFixedWidth)
+    docStats(readFixedWidth(spark, dir))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers

@@ -637,6 +637,81 @@ object EventStreams {
     """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_ms(ts)) AS last_ms
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** CDC apply / streaming SCD-1: each event is an UPSERT to its
+    * user's row (latest-wins by (event time, event_id)), maintained
+    * as mapGroupsWithState state — the materialized-view-maintenance
+    * shape whose batch twin is `merge_upsert`. State per key is ONE
+    * row (last-write tuple + update counter), the minimal CDC state;
+    * last-wins folds compare (µs, id) pairs so replay order within a
+    * batch is immaterial. Values carry as exact micro-units (the
+    * [[sessionizeFlat]] long convention) — no float accumulation. */
+  def cdcApply(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("uid"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), round(col("value") * lit(1000000)).cast("long").as("vm"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String, Long, Long)]) =>
+          // state = (lastUs, lastId, lastType, lastVm, nUpdates)
+          val prev = state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L, 0L))
+          val next = rows.foldLeft(prev) {
+            case ((lus, lid, lty, lvm, n), (_, _, us, id, ty, vm)) =>
+              if (us > lus || (us == lus && id > lid)) (us, id, ty, vm, n + 1)
+              else (lus, lid, lty, lvm, n + 1)
+          }
+          state.update(next)
+          (uid, next._5, next._3, next._4)
+      }
+      .toDF("user_id", "n_updates", "last_type", "last_vm")
+  }
+
+  /** [[cdcApply]] under the hash gate: the same two-half time-ordered
+    * staging as [[streamUserTotals]] (state must carry across
+    * batches), Update-mode parquet sink, final state row selected by
+    * the monotone update counter. */
+  def streamCdc(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val ss = streamingSession(spark)
+    val ev = graft.Tables.events(ss, d)
+    val bounds = ev.agg(
+      min(unix_millis(col("ts"))).as("lo"),
+      max(unix_millis(col("ts"))).as("hi")).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val drop = java.nio.file.Files.createTempDirectory(s"graft-stream-cdc-$n")
+    ev.filter(unix_millis(col("ts")) < cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    Thread.sleep(5) // distinct mod-times: deterministic batch order
+    ev.filter(unix_millis(col("ts")) >= cut)
+      .coalesce(1).write.mode("append").parquet(drop.toString)
+    try {
+      val applied = cdcApply(ss,
+        readEvents(ss, drop.toString, maxFilesPerTrigger = Some(1)))
+      val raw = runToParquetSink(ss, applied.toDF(),
+        "stream_cdc", OutputMode.Update())
+      raw.groupBy(col("user_id"))
+        .agg(max(struct(col("n_updates"), col("last_type"), col("last_vm"))).as("p"))
+        .select(col("user_id"), col("p.n_updates").as("n_updates"),
+          col("p.last_type").as("last_type"), col("p.last_vm").as("last_vm"))
+        .orderBy("user_id")
+    } finally dropStaged(drop.toString)
+  }
+
+  def streamCdcSql: String =
+    """WITH rk AS (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_updates, event_type AS last_type,
+      |  CAST(round(value * 1000000) AS BIGINT) AS last_vm
+      |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** The stream-stream [[attribution]] join under the hash gate:
     * click→purchase matching with event-time range bounds and
     * watermarks on both sides (the state-expiry contract that keeps a

@@ -157,6 +157,48 @@ class EventWindowSpec extends AnyFunSuite {
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
+  test("evt_pareto_users: integer-arithmetic deciles match the hand bucketing") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // 5 users, counts 6,1,1,1,1 (user 1 heaviest): ranks 1..5 →
+    // deciles (r−1)·10 div 5 + 1 = 1,3,5,7,9; user 1 owns 60 % share
+    var id = 0L
+    val rows = Seq((1L, 6), (2L, 1), (3L, 1), (4L, 1), (5L, 1)).flatMap {
+      case (u, c) => (0 until c).map { k => id += 1; (id, ts(9 + k, u.toInt), u, "click", 1.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pareto").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.paretoUsers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 1L, 6L, 0.6), (3, 1L, 1L, 0.1), (5, 1L, 1L, 0.1),
+      (7, 1L, 1L, 0.1), (9, 1L, 1L, 0.1)), out.mkString(","))
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
+  test("evt_anomaly_mad: even-count medians average BOTH middle ranks; spike flags") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // counts 10,12,16,100 → med = (12+16)/2 = 14, deviations 4,2,2,86
+    // → MAD = (2+4)/2 = 3 (DISTINCT middle ranks: selecting only one
+    // of them — the float-division (n+1)/2 bug — would give 2 or 4)
+    val counts = Seq(10, 12, 16, 100)
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map { k => id += 1; (id, ts(i + 1, 9 + k / 60, k % 60), 1L, "click", 1.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.anomalyMad(spark, dir).collect()
+      .map(r => r.getDate(0).toLocalDate.getDayOfMonth ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(5)))).toMap
+    assert(out(1) === ((14.0, 3.0, false)))
+    assert(out(4)._3 === true, "the spike day must flag")
+    assert(!out(2)._3 && !out(3)._3)
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_theilsen: a planted outlier day doesn't move the median slope") {
     import spark.implicits._
     def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")

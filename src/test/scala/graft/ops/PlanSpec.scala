@@ -270,6 +270,16 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"interval join fell back to ${bad.map(_.nodeName)}")
   }
 
+  test("rec_item_cosine: top-20 is TakeOrdered, co-prune sits under the marginal joins") {
+    val plan = RelationalOps.itemCosine(spark, sf).queryExecution.executedPlan.toString
+    // heap-select, not a global sort of the pair table
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    // the catalog-sized marginals must not be broadcast-hinted (the
+    // basket_lift precedent); a broadcast of `marg` would appear as a
+    // BroadcastHashJoin whose build side aggregates inc
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("profile_columns reads orders ONCE: six distincts through a single Expand scan") {
     // the oracle unions six SELECTs; the Spark plan must not — one
     // FileSourceScan, the multi-count(DISTINCT) folded into one agg

@@ -19,6 +19,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("fixed-width round-trip preserves documents incl. edge texts; overflow fails loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en", "src1", 10L),
+      (2L, "  leading and trailing  ", "de", "src2", 24L),  // tail field keeps spaces
+      (3L, "", "fr", "src3", 0L),                           // empty text
+      (4L, "ends with pad-char   ", "zh", "src4", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-fw").toString
+    SourceQueries.writeFixedWidth(docs, dir)
+    val back = SourceQueries.readFixedWidth(spark, dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // a value wider than its declared column must fail, never truncate
+    val wide = Seq((5L, "t", "en", "a-source-name-longer-than-sixteen", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir2 = Files.createTempDirectory("graft-fw2").toString
+    val ex = intercept[Exception] { SourceQueries.writeFixedWidth(wide, dir2) }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("overflow"), msgs.take(500))
+  }
+
   test("JSONL round-trip preserves orders") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Formats.writeJsonl(orders, dir)
