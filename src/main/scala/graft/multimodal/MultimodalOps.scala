@@ -177,6 +177,70 @@ object MultimodalOps {
       .orderBy("asset_id")
   }
 
+  /** Declared query `mm_resample`: a real DSP pass over the audio
+    * modality — decode every WAV, DECIMATE by 4 (keep every 4th
+    * frame, all channels), re-encode at sr÷4, and prove the output
+    * container by decoding it again for the emitted stats (the
+    * `mm_thumbnail` pattern applied to audio). Everything after the
+    * stride is read back off the RE-ENCODED bytes, so a resampler
+    * that corrupts framing, header fields, or channel interleave
+    * hash-mismatches. (Straight decimation aliases, a low-pass would
+    * precede it in production — the container/stride plumbing is the
+    * Spark-side contract here.) Per-asset work is frame-linear in
+    * executors; no shuffle beyond the output ordering. */
+  def mmResample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = wavAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec // per-partition codec handle
+        rows.map { case (id, wav) =>
+          val (m, smp) = codec.samples(wav)
+          val ch = m.channels
+          val nf = m.nFrames.toInt
+          val out = new Array[Short]((nf + 3) / 4 * ch)
+          var f = 0; var o = 0
+          while (f < nf) {
+            var c = 0
+            while (c < ch) { out(o) = smp(f * ch + c); o += 1; c += 1 }
+            f += 4
+          }
+          val outWav = codec.encode(m.sampleRate / 4, ch, out)
+          val om = codec.decode(outWav)
+          val (sumAbs, peakAbs) = codec.pcmStats(outWav)
+          (id, m.sampleRate.toLong, om.sampleRate.toLong, m.nFrames,
+            om.nFrames, outWav.length.toLong, sumAbs, peakAbs)
+        }
+      }
+    decoded.toDF("asset_id", "in_sr", "out_sr", "in_frames", "out_frames",
+      "out_bytes", "sum_abs", "peak_abs")
+      .orderBy("asset_id")
+  }
+
+  /** Oracle: replays the decimation arithmetic off the generation
+    * parameters — frame f of asset id is text byte f, so the strided
+    * sum/peak are byte-table expressions; out_bytes is the canonical
+    * 44-byte RIFF header plus 2·ch per kept frame. */
+  def mmResampleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS bl,
+      |    hex(encode(text)) AS hx, 1 + doc_id % 2 AS ch,
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |                    WHEN 2 THEN 16000 ELSE 22050 END AS sr
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, bl, ch, sr, (bl + 3) // 4 AS nf_out,
+      |    COALESCE(list_sum(list_transform(range((bl + 3) // 4),
+      |      f -> abs(('0x' || substr(hx, (4*f)*2 + 1, 2))::BIGINT - 128) * 256 * ch)), 0) AS sabs,
+      |    COALESCE(list_max(list_transform(range((bl + 3) // 4),
+      |      f -> abs(('0x' || substr(hx, (4*f)*2 + 1, 2))::BIGINT - 128) * 256)), 0) AS pk
+      |  FROM a)
+      |SELECT doc_id AS asset_id, CAST(sr AS BIGINT) AS in_sr,
+      |  CAST(sr // 4 AS BIGINT) AS out_sr,
+      |  CAST(bl AS BIGINT) AS in_frames, CAST(nf_out AS BIGINT) AS out_frames,
+      |  CAST(44 + nf_out * 2 * ch AS BIGINT) AS out_bytes,
+      |  CAST(sabs AS BIGINT) AS sum_abs, CAST(pk AS BIGINT) AS peak_abs
+      |FROM s ORDER BY asset_id""".stripMargin
+
   /** Real BMP payloads for the corpus's image assets: dimensions keyed
     * on doc_id (widths up to 515 so the resize math genuinely scales),
     * pixel bytes cycled from the document text. */

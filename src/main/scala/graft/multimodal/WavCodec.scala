@@ -131,4 +131,30 @@ object WavCodec {
     require(sawData, "no data chunk")
     (sumAbs, peakAbs)
   }
+
+  /** Full PCM extraction: container meta + the interleaved 16-bit
+    * sample array — the input face of a DSP pass (mm_resample's
+    * decimator). Same chunk walk and bounds discipline as
+    * [[pcmStats]]; 16-bit PCM only. */
+  def samples(payload: Array[Byte]): (WavMeta, Array[Short]) = {
+    val meta = decode(payload)
+    require(meta.bitsPerSample == 16,
+      s"samples supports 16-bit PCM, got ${meta.bitsPerSample}")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    fourCC(buf); buf.getInt; fourCC(buf)
+    while (true) {
+      val id = fourCC(buf)
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining,
+        s"chunk '$id' claims $size bytes, ${buf.remaining} remain")
+      if (id == "data") {
+        val out = new Array[Short](size / 2)
+        var i = 0
+        while (i < out.length) { out(i) = buf.getShort; i += 1 }
+        return (meta, out)
+      }
+      buf.position(buf.position() + size + (size & 1))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -166,6 +166,121 @@ object DedupOps {
     pairs.where(col("jaccard") >= 0.6).orderBy("d1", "d2")
   }
 
+  /** Band-configuration sweep for `dedup_lsh_sweep` — every (bands ×
+    * rows) factorization of the 12 signatures, with the implied S-curve
+    * threshold (1/b)^(1/r) computed ONCE in Scala and injected as the
+    * same literal into both engines (libm pow is not a cross-engine
+    * contract). */
+  private val SweepConfigs: Seq[(Int, Int, Double)] =
+    Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+      (b, r, math.rint(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6)
+    }
+
+  /** LSH banding sweep — the index-tuning readout an engineer runs
+    * before fixing a near-dup config: the SAME 12-hash signature
+    * table banded four ways (2×6 … 6×2), each config reporting its
+    * candidate-pair count and how many of those candidates survive
+    * exact jaccard ≥ 0.6 (precision), against the union-of-configs
+    * truth set. The production 4×3 config's numbers sit in context:
+    * looser bandings (6×2, threshold .41) admit false candidates that
+    * cost verify CPU; tighter ones (2×6, .56) may miss borderline
+    * pairs.
+    *
+    * Scale shape: shingle + hash ONCE (checkpointed — the corpus is
+    * never re-tokenized per config), signatures once; each config
+    * adds only its band-key explode and bucket self-join (candidate-
+    * bounded). The truth verify runs on the UNION of candidates
+    * (each pair's shingle join-back happens once, not per config).
+    * Counts are exact integers; thresholds are injected literals. */
+  def lshSweep(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingled(spark, d)
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => xhash60(s, 0) % P).as("hx"))
+      .localCheckpoint(false) // read by the sig build AND the truth verify
+    val sig = sh.select(
+      (col("doc_id") +:
+        (0 until NumHashes).map(j =>
+          array_min(transform(col("hx"), x => (lit(As(j)) * x + lit(Bs(j))) % P)).as(s"h$j"))): _*)
+      .localCheckpoint(false) // read by all four bandings
+    def candsOf(b: Int, r: Int): DataFrame = {
+      val banded = sig.select(
+        col("doc_id"),
+        posexplode(array((0 until b).map { bi =>
+          md5(concat((0 until r).flatMap(ri =>
+            Seq(col(s"h${bi * r + ri}").cast("string"), lit(","))).dropRight(1): _*))
+        }: _*)).as(Seq("band_idx", "band_key")))
+      banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d1"))
+        .join(banded.select(col("band_idx"), col("band_key"), col("doc_id").as("d2")),
+          Seq("band_idx", "band_key"))
+        .where(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+    }
+    val cands = SweepConfigs.map { case (b, r, t) =>
+      (b, r, t, candsOf(b, r).localCheckpoint(false))
+    }
+    val allc = cands.map(_._4).reduce(_ unionAll _).distinct()
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val truth = allc
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .where(inter.cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - inter) >= 0.6)
+      .select("d1", "d2").localCheckpoint(false)
+    cands.map { case (b, r, t, c) =>
+      c.agg(count(lit(1)).as("n_cands")).crossJoin(
+        c.join(truth, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(t).as("threshold"), col("n_cands"), col("n_true"))
+    }.reduce(_ unionAll _).orderBy("bands")
+  }
+
+  def lshSweepSql: String = {
+    val sigCols = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(hx, x -> (${As(j)} * x + ${Bs(j)}) % $P)) AS h$j")
+      .mkString(",\n    ")
+    def bandedSql(b: Int, r: Int): String = (0 until b).map { bi =>
+      val key = (0 until r).map(ri => s"h${bi * r + ri}").mkString(" || ',' || ")
+      s"SELECT doc_id, $bi AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n    UNION ALL\n    ")
+    val candCtes = SweepConfigs.map { case (b, r, _) =>
+      s"""c${b}x$r AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM (${bandedSql(b, r)}) a JOIN (${bandedSql(b, r)}) b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unionAllCands = SweepConfigs
+      .map { case (b, r, _) => s"SELECT * FROM c${b}x$r" }.mkString(" UNION ALL ")
+    val perConfig = SweepConfigs.map { case (b, r, t) =>
+      val tLit = String.format(java.util.Locale.ROOT, "%.6f", Double.box(t))
+      s"""SELECT $b AS bands, $r AS rows_per_band, $tLit AS threshold,
+         |  (SELECT COUNT(*) FROM c${b}x$r) AS n_cands,
+         |  (SELECT COUNT(*) FROM c${b}x$r JOIN truth USING (d1, d2)) AS n_true""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingledSql,
+       |hashed AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${xhash60Sql("s", 0)} % $P) AS hx
+       |  FROM shingled),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    $sigCols
+       |  FROM hashed),
+       |$candCtes,
+       |allc AS MATERIALIZED (SELECT DISTINCT d1, d2 FROM ($unionAllCands)),
+       |truth AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2,
+       |      CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+       |        / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS j
+       |    FROM allc
+       |    JOIN shingled s1 ON s1.doc_id = d1
+       |    JOIN shingled s2 ON s2.doc_id = d2)
+       |  WHERE j >= 0.6)
+       |$perConfig
+       |ORDER BY bands""".stripMargin
+  }
+
   /** The full signature→band→candidate→jaccard CTE chain, ending in
     * `pairs` (d1 < d2, jaccard) — shared by [[dedupMinhashSql]] and
     * the graph oracles that build on the verified pair graph

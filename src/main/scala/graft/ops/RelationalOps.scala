@@ -1897,6 +1897,45 @@ object RelationalOps {
   private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** Top-3 suppliers per nation by lineitem revenue — the rank-per-
+    * group idiom (`row_number` + `rnk <= K` filter) that every
+    * reporting layer runs; the global-top-N face is `top_orders`,
+    * this is the grouped face.
+    *
+    * Scale shape: revenue aggregates FIRST (lineitem-scale shuffle
+    * onto (nation, supplier) keys — supplier-catalog-sized output),
+    * so the rank window runs on the aggregate, partitioned by nation
+    * (never a global sort). Catalyst's WindowGroupLimit rewrites the
+    * rank-filter to keep only K rows per partition BEFORE the window
+    * exchange (the `sample_stratified` plan guard covers the same
+    * mechanism). Revenue through DECIMAL; ranks break ties by
+    * supplier id. */
+  def topPerGroup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, d)
+      .join(Tables.supplier(spark, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_suppkey").as("supp"))
+      .agg(OpsUtil.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    rev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("nation")).orderBy(col("revenue").desc, col("supp"))))
+      .where(col("rnk") <= 3)
+      .orderBy(col("nation"), col("rnk"))
+  }
+
+  def topPerGroupSql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS revenue
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT nation, supp, revenue, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY nation
+      |    ORDER BY revenue DESC, supp) AS rnk FROM rev)
+      |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin
+
   /** Deequ-style column profiler — the data-quality pass a pipeline
     * runs before trusting a new drop: per column of `orders`, row
     * count, null count, and EXACT distinct count, in long format.

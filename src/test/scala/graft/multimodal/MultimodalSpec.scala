@@ -89,6 +89,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sum2 === 12L && peak2 === 7L)
   }
 
+  test("WavCodec.samples extracts the exact interleaved PCM; decimation by 4 keeps frames 0,4,8…") {
+    val src = Array[Short](10, -10, 20, -20, 30, -30, 40, -40, 50, -50) // 5 stereo frames
+    val (m, got) = WavCodec.samples(WavCodec.encode(22050, 2, src))
+    assert(m.channels === 2 && m.nFrames === 5L)
+    assert(got.toSeq === src.toSeq)
+    // the mm_resample stride: frames 0 and 4 survive, both channels
+    val kept = (0 until 5 by 4).flatMap(f => Seq(got(f * 2), got(f * 2 + 1)))
+    assert(kept === Seq[Short](10, -10, 50, -50))
+    val rm = WavCodec.decode(WavCodec.encode(22050 / 4, 2, kept.toArray))
+    assert(rm.sampleRate === 5512 && rm.nFrames === 2L)
+  }
+
   test("WavCodec fails loudly on non-WAV bytes") {
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
