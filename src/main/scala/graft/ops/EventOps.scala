@@ -1818,6 +1818,68 @@ object EventOps {
       |  round(CAST(SUM(c) AS DOUBLE) / MAX(tot), 9) AS share
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Holt linear-trend smoothing + 7-day forecast over the daily
+    * series with dyadic α = β = ½ — the forecasting face next to
+    * `evt_dema`'s smoothing (level AND explicit trend state, plus the
+    * h-step-ahead readout ŷ = ℓ + h·b a capacity planner consumes).
+    *
+    * Scale shape: events reduce to daily counts, then the ENTIRE
+    * recursion runs as one `aggregate` fold over the 30-element
+    * day array on a single row — day-bounded by construction, the
+    * right home for inherently sequential state (no per-round jobs,
+    * no driver loop). Each step rounds ℓ and b at 9, so both engines
+    * fold bit-identical values (the emb_kmeans_loop stance without
+    * the unrolled CTE — DuckDB replays the same fold via
+    * list_reduce). Init: ℓ₀ = x₂, b₀ = x₂ − x₁. */
+  def holtForecast(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+    val ser = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("s"))
+      .select(transform(col("s"), e => e.getField("c").cast("double")).as("xs"))
+      .where(size(col("xs")) >= 3)
+    def fld(a: org.apache.spark.sql.Column, f: String) = a.getField(f)
+    val st = ser.select(size(col("xs")).cast("long").as("n_days"),
+      aggregate(
+        slice(col("xs"), lit(3), size(col("xs")) - 2),
+        struct(element_at(col("xs"), 2).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+        // b' in the algebraically expanded form (x − ℓ + 3b)/4, NOT
+        // via ℓ' reuse: DuckDB's list_reduce overwrites acc fields
+        // in place as struct fields evaluate, so any cross-engine
+        // fold must keep each field a pure function of the OLD state
+        (acc, x) => struct(
+          round((x + fld(acc, "l") + fld(acc, "b")) / 2, 9).as("l"),
+          round((x - fld(acc, "l") + lit(3) * fld(acc, "b")) / 4, 9).as("b"))).as("st"))
+    st.select(col("n_days"), col("st.l").as("l"), col("st.b").as("b"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .select(col("h").cast("int").as("h"),
+        round(col("l") + col("h") * col("b"), 9).as("forecast"),
+        round(col("l"), 9).as("level"), round(col("b"), 9).as("trend"),
+        col("n_days"))
+      .orderBy("h")
+  }
+
+  def holtForecastSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+      |ser AS (SELECT list(c ORDER BY day) AS xs, COUNT(*) AS nd FROM daily),
+      |fold AS (
+      |  -- list (not struct) accumulator: DuckDB's list_reduce
+      |  -- mutates a struct acc field-by-field mid-lambda; the list
+      |  -- constructor builds fresh state from the OLD acc
+      |  SELECT nd,
+      |    list_reduce(
+      |      list_prepend(CAST([xs[2], xs[2] - xs[1]] AS DOUBLE[]),
+      |        list_transform(xs[3:], v -> CAST([v, 0.0] AS DOUBLE[]))),
+      |      (acc, e) -> [round((e[1] + acc[1] + acc[2]) / 2, 9),
+      |                   round((e[1] - acc[1] + 3 * acc[2]) / 4, 9)]) AS st
+      |  FROM ser WHERE nd >= 3)
+      |SELECT CAST(h AS INT) AS h, round(st[1] + h * st[2], 9) AS forecast,
+      |  round(st[1], 9) AS level, round(st[2], 9) AS trend,
+      |  CAST(nd AS BIGINT) AS n_days
+      |FROM fold, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(h) ORDER BY h""".stripMargin
+
   /** MAD-based robust anomaly screen over the daily series — the
     * outlier-proof twin of `evt_anomaly` (whose mean ± 2σ gate a
     * single extreme day corrupts): score = (c − median) /

@@ -581,7 +581,9 @@ object GraphOps {
     * [[LpaRounds]] unrolled majority-vote rounds with the identical
     * self-vote union and (cnt DESC, label ASC) winner order. AS
     * MATERIALIZED per round for the same reason as [[bfsSql]]. */
-  def labelPropSql: String = {
+  /** The up/edges/l0/round CTE chain ending in `l{LpaRounds}` —
+    * shared by [[labelPropSql]] and [[modularitySql]]. */
+  private def labelPropCtesSql: String = {
     val roundCtes = (1 to LpaRounds).map { t =>
       s"""c$t AS MATERIALIZED (
          |  SELECT vid, label, COUNT(*) AS cnt FROM (
@@ -595,16 +597,76 @@ object GraphOps {
          |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn
          |    FROM c$t) x WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH up AS MATERIALIZED (
+    s"""up AS MATERIALIZED (
        |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql})),
        |edges AS MATERIALIZED (
        |  SELECT d1 AS src, d2 AS dst FROM up
        |  UNION ALL
        |  SELECT d2 AS src, d1 AS dst FROM up),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-       |$roundCtes
-       |SELECT id AS vec_id, label FROM l$LpaRounds ORDER BY vec_id""".stripMargin
+       |$roundCtes""".stripMargin
   }
+
+  def labelPropSql: String =
+    s"""WITH $labelPropCtesSql
+       |SELECT id AS vec_id, label FROM l$LpaRounds ORDER BY vec_id""".stripMargin
+
+  /** Newman modularity Q of the [[labelProp]] partition — the
+    * partition-quality self-eval (`sim_ann_recall` stance applied to
+    * community detection): Q = Σ_c (e_c/m − (d_c/2m)²) over the
+    * label-propagation communities on the embedding-LSH graph. A
+    * community structure that matches the edge structure scores near
+    * 1; random labels score near 0 — the one number a clustering
+    * owner tracks per corpus drop.
+    *
+    * Scale shape: rides the shared LSH pair cache + the labelProp
+    * rounds (vertex-bounded); everything after is two |V|-keyed
+    * aggregates and an |E|-sized label join, reduced onto community
+    * keys. Per-community terms round at 12 and sum through
+    * DECIMAL(18,12) — community count is unbounded, so the sum must
+    * be order-free, not a float fold. */
+  def modularity(spark: SparkSession, d: String): DataFrame = {
+    val pairs = cachedLshPairs(spark, d)
+    val labels = labelPropOnPairs(pairs).localCheckpoint(false)
+    val deg = pairs.select(col("d1").as("src")).union(pairs.select(col("d2").as("src")))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val dc = deg.join(labels.select(col("vec_id").as("src"), col("label")), Seq("src"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val ec = pairs
+      .join(labels.select(col("vec_id").as("d1"), col("label").as("la")), Seq("d1"))
+      .join(labels.select(col("vec_id").as("d2"), col("label").as("lb")), Seq("d2"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val term = round(
+      coalesce(col("e_c"), lit(0L)).cast("double") / col("m") -
+        (col("d_c").cast("double") / (lit(2) * col("m"))) *
+        (col("d_c").cast("double") / (lit(2) * col("m"))), 12)
+    dc.join(ec, Seq("label"), "left_outer").crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"), max(col("m")).as("n_edges"),
+        round(sum(term.cast("decimal(18,12)")).cast("double"), 9).as("modularity"))
+  }
+
+  def modularitySql: String =
+    s"""WITH $labelPropCtesSql,
+       |labels AS MATERIALIZED (SELECT id, label FROM l$LpaRounds),
+       |m AS (SELECT COUNT(*) AS m FROM up),
+       |dc AS (
+       |  SELECT l.label, SUM(d.deg) AS d_c FROM
+       |    (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1) d
+       |  JOIN labels l ON l.id = d.src GROUP BY 1),
+       |ec AS (
+       |  SELECT la.label, COUNT(*) AS e_c
+       |  FROM up JOIN labels la ON la.id = up.d1 JOIN labels lb ON lb.id = up.d2
+       |  WHERE la.label = lb.label GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(MAX(m.m) AS BIGINT) AS n_edges,
+       |  round(CAST(SUM(CAST(round(
+       |    CAST(COALESCE(e.e_c, 0) AS DOUBLE) / m.m
+       |      - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+       |        * (CAST(d.d_c AS DOUBLE) / (2 * m.m)), 12)
+       |    AS DECIMAL(18,12))) AS DOUBLE), 9) AS modularity
+       |FROM dc d LEFT JOIN ec e USING (label), m""".stripMargin
 
   private val KcoreMaxK = 3
   private val KcoreRounds = 4

@@ -1989,8 +1989,15 @@ object RelationalOps {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
     val marg = inc.groupBy(col("part")).agg(count(lit(1)).as("n"))
-    val co = inc.as("a")
-      .join(inc.as("b"),
+    // single-buyer items can never reach co ≥ 2 — prune them BEFORE
+    // the quadratic pair stage (marginals for the cosine stay
+    // unpruned, so results are identical). On a real catalog the
+    // rare-item long tail is most of the volume; here it just trims
+    // the pair join's input.
+    val inc2 = inc.join(marg.where(col("n") >= 2).select(col("part")),
+      Seq("part"), "left_semi")
+    val co = inc2.as("a")
+      .join(inc2.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
       .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
       .agg(count(lit(1)).as("co"))

@@ -1532,6 +1532,73 @@ object TextAnalysisOps {
        |FROM scored QUALIFY rank <= $Bm25TopK ORDER BY rank""".stripMargin
   }
 
+  /** Heaps-law vocabulary growth over 3-gram shingles — the curve a
+    * tokenizer/dedup owner reads before sizing vocabulary budgets:
+    * docs split into 10 ingestion-order deciles (by doc_id), each
+    * reporting its shingle volume, NEW shingle types (first global
+    * occurrence lands in this decile), and the cumulative vocabulary.
+    * Shingle-level, not token-level: the synthetic corpus's closed
+    * word vocab saturates in decile 1, while the 3-gram space keeps
+    * growing — the curve the law describes.
+    *
+    * Scale shape: first-occurrence is ONE (shingle → min doc_id)
+    * aggregate — no cumulative distinct per prefix. The decile rank
+    * window orders the doc-ID LIST (one narrow column; at real scale
+    * ingestion deciles come from shard manifests instead — noted, and
+    * the window input is |docs|, never tokens). Cumulative sum runs
+    * on 10 rows. All exact integers. */
+  def heapsGrowth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("t"))
+    val nd = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val rk = docs.select(col("doc_id")).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        (expr("(r - 1) * 10 div n") + 1).cast("int").as("decile"))
+    val firsts = sh.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+    val newv = firsts
+      .join(rk.select(col("doc_id").as("fd"), col("decile")), Seq("fd"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val per = sh.join(rk, Seq("doc_id"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_grams"))
+    per.join(newv, Seq("decile"), "left_outer")
+      .select(col("decile"), col("n_grams"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_cum", sum(col("new_types")).over(
+        Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("decile"))
+  }
+
+  def heapsGrowthSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+       |  FROM toks WHERE len(tk) >= 3),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+       |  FROM (SELECT DISTINCT doc_id FROM documents)),
+       |dec AS (SELECT ((r - 1) * 10) // n + 1 AS decile, doc_id FROM rk, nd),
+       |firsts AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+       |newv AS (SELECT d.decile, COUNT(*) AS new_types
+       |  FROM firsts f JOIN dec d ON d.doc_id = f.fd GROUP BY 1),
+       |per AS (SELECT d.decile, COUNT(*) AS n_grams
+       |  FROM tok JOIN dec d USING (doc_id) GROUP BY 1)
+       |SELECT CAST(p.decile AS INT) AS decile,
+       |  CAST(p.n_grams AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(nv.new_types, 0) AS BIGINT) AS new_types,
+       |  CAST(SUM(COALESCE(nv.new_types, 0)) OVER (ORDER BY p.decile) AS BIGINT)
+       |    AS vocab_cum
+       |FROM per p LEFT JOIN newv nv USING (decile) ORDER BY p.decile""".stripMargin
+
   /** Boilerplate detection thresholds: a 3-gram counts as boilerplate
     * when it appears in at least [[BoilerMinDocs]] distinct docs. */
   private val BoilerMinDocs = 3

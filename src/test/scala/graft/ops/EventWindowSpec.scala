@@ -176,6 +176,29 @@ class EventWindowSpec extends AnyFunSuite {
     graft.ops.OpsUtil.deleteRecursively(dir)
   }
 
+  test("evt_holt: a pure linear series is tracked exactly, forecasts continue the line") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // c = 100 + 5·day: ℓ locks to the line (ℓ = x after one step),
+    // b stays exactly 5, forecast(h) = last + 5·h — dyadic halves keep
+    // every intermediate an exact double, so equality is exact
+    val rows = (1 to 10).flatMap { day =>
+      val c = 100 + 5 * day
+      (0 until c).map { k => (day * 1000L + k, ts(day, 9 + k / 60, k % 60), 1L, "click", 1.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.holtForecast(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    assert(out.length === 7)
+    out.foreach { case (h, (fc, level, trend)) =>
+      assert(level === 150.0 && trend === 5.0, s"h=$h")
+      assert(fc === 150.0 + 5.0 * h, s"forecast h=$h: $fc")
+    }
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("evt_anomaly_mad: even-count medians average BOTH middle ranks; spike flags") {
     import spark.implicits._
     def ts(day: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
