@@ -183,4 +183,52 @@ object AsOfOps {
       |FROM p LEFT JOIN b ON b.event_id = p.event_id
       |       LEFT JOIN f ON f.event_id = p.event_id
       |ORDER BY p.event_id""".stripMargin
+
+  /** Point-in-time (SCD-2) join — the warehouse staple `evt_scd2`
+    * builds the history FOR: every purchase joined to the user's
+    * status dimension row (runs of non-purchase activity) valid AT
+    * purchase time, then aggregated per state. The naive form is a
+    * `BETWEEN valid_from AND valid_to` inequality join; this is the
+    * same union-and-carry shape as [[eventAsOfPurchase]] — dimension
+    * starts and purchases share one per-user timeline, a running
+    * `last(ignoreNulls)` carries the active state forward, so the
+    * plan is one user-keyed shuffle + sort at ANY dimension size.
+    * Inclusive at equal timestamps (status sorts before the purchase
+    * via the kind tag); purchases before any status report 'none'. */
+  def scd2PitJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val status = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
+        col("event_type").as("status"), lit(null).cast("double").as("value"))
+    val pur = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"),
+        lit(null).cast("string").as("status"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    status.unionAll(pur)
+      .withColumn("state", last(col("status"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .groupBy(coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        OpsUtil.dsum(col("value")).as("total_value"))
+      .orderBy("state")
+  }
+
+  def scd2PitJoinSql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, 0 AS kind, event_type AS status,
+      |    CAST(NULL AS DOUBLE) AS value
+      |  FROM events WHERE event_type <> 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1, NULL, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |filled AS (
+      |  SELECT *, last_value(status IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      |  FROM tagged)
+      |SELECT COALESCE(state, 'none') AS state, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM filled WHERE kind = 1 GROUP BY 1 ORDER BY state""".stripMargin
 }

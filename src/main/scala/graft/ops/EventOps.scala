@@ -1818,6 +1818,48 @@ object EventOps {
       |  round(CAST(SUM(c) AS DOUBLE) / MAX(tot), 9) AS share
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cohort lifetime value — `evt_retention`'s monetary face: users
+    * cohorted by first-seen week, each (cohort, age-in-weeks) cell
+    * reporting active users, events, and value total. Weeks come
+    * from epoch-day arithmetic against the pinned Monday anchor
+    * (the `evt_seasonal` recipe), cohort ids normalized to 0-based.
+    *
+    * Scale shape: one per-user first-seen aggregate, one event-scale
+    * join back on user_id (both sides hash-partitioned on the same
+    * key), then a cells-bounded aggregate (cohorts × ages). Value
+    * sums through DECIMAL. */
+  def cohortLtv(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val firsts = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
+    val j = ev.join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("value"),
+        expr("datediff(d0, DATE'2000-01-03') div 7").as("cw"),
+        (expr("datediff(CAST(ts AS DATE), DATE'2000-01-03') div 7") -
+          expr("datediff(d0, DATE'2000-01-03') div 7")).as("age_week"))
+    val minCw = j.agg(min(col("cw")).as("min_cw"))
+    j.crossJoin(broadcast(minCw))
+      .groupBy((col("cw") - col("min_cw")).as("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        OpsUtil.dsum(col("value")).as("total_value"))
+      .orderBy("cohort_week", "age_week")
+  }
+
+  def cohortLtvSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT e.user_id, e.value,
+      |    CAST(f.d0 - DATE '2000-01-03' AS INT) // 7 AS cw,
+      |    (CAST(CAST(e.ts AS DATE) - DATE '2000-01-03' AS INT) // 7)
+      |      - (CAST(f.d0 - DATE '2000-01-03' AS INT) // 7) AS age_week
+      |  FROM events e JOIN firsts f USING (user_id))
+      |SELECT cw - (SELECT MIN(cw) FROM j) AS cohort_week, age_week,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM j GROUP BY 1, 2 ORDER BY cohort_week, age_week""".stripMargin
+
   /** Holt linear-trend smoothing + 7-day forecast over the daily
     * series with dyadic α = β = ½ — the forecasting face next to
     * `evt_dema`'s smoothing (level AND explicit trend state, plus the

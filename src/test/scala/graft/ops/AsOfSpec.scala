@@ -42,6 +42,28 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("join_scd2_pit: pre-status purchases are 'none'; equal-ts status applies inclusively") {
+    val rows = Seq(
+      // user 1: purchase BEFORE any status → 'none'; then view; then
+      // a purchase at EXACTLY the view's ts → inclusive → 'view'
+      (1L, ts("2024-01-01 08:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:00:00"), 1L, "purchase", 20.0, "{}"),
+      // user 2: click, then a later status change to error, purchase after each
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "purchase", 5.0, "{}"),
+      (6L, ts("2024-01-01 11:00:00"), 2L, "error", 1.0, "{}"),
+      (7L, ts("2024-01-01 12:00:00"), 2L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AsOfOps.scd2PitJoin(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map("none" -> ((1L, 10.0)), "view" -> ((1L, 20.0)),
+      "click" -> ((1L, 5.0)), "error" -> ((1L, 7.0))), out.toString)
+    graft.ops.OpsUtil.deleteRecursively(dir)
+  }
+
   test("inclusive as-of: a right row at exactly the left ts matches") {
     val left = Seq((1L, 5L, ts("2024-02-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((5L, ts("2024-02-01 00:00:00"), 50L, 9.0))
