@@ -129,4 +129,37 @@ object BmpCodec {
     }
     sum
   }
+
+  /** 64-bit perceptual average-hash of a 24-bit bitmap, split into
+    * two 32-bit longs (so downstream XOR/popcount math never touches
+    * the sign bit): luminance = (b+g+r)/3 at each of the 8×8
+    * floor-mapped sample points ([[thumbnailSum]]'s nearest-neighbor
+    * grid), bit k set iff its luminance exceeds the integer mean.
+    * All-integer — bit-identical to any reimplementation of the same
+    * arithmetic. */
+  def phash64(payload: Array[Byte]): (Long, Long) = {
+    val m = decode(payload)
+    require(m.bitsPerPixel == 24, s"phash64 supports 24-bit, got ${m.bitsPerPixel}")
+    val dataOffset =
+      ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val lums = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val sy = ((k / 8).toLong * m.height / 8).toInt
+      val sx = ((k % 8).toLong * m.width / 8).toInt
+      val off = dataOffset + sy * m.rowStride + sx * 3
+      lums(k) = ((payload(off) & 0xff) + (payload(off + 1) & 0xff) +
+        (payload(off + 2) & 0xff)) / 3
+      k += 1
+    }
+    val mean = lums.sum / 64
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 32) {
+      if (lums(i) > mean) h1 |= (1L << i)
+      if (lums(32 + i) > mean) h2 |= (1L << i)
+      i += 1
+    }
+    (h1, h2)
+  }
 }

@@ -241,6 +241,92 @@ object MultimodalOps {
       |  CAST(sabs AS BIGINT) AS sum_abs, CAST(pk AS BIGINT) AS peak_abs
       |FROM s ORDER BY asset_id""".stripMargin
 
+  /** Hamming threshold for `mm_phash_dedup` — MUST stay ≤ 15: the
+    * 16 × 4-bit banding below is pigeonhole-exact only while the
+    * threshold is below the band count. */
+  private val PhashMaxHamming = 10
+
+  /** Perceptual near-duplicate detection over the IMAGE modality —
+    * the multimodal face of the dedup family: every BMP asset decodes
+    * to a 64-bit average-hash ([[BmpCodec.phash64]] — 8×8 floor-
+    * mapped luminance vs mean), and pairs within Hamming distance
+    * [[PhashMaxHamming]] are reported with their distance.
+    *
+    * Scale shape: hashes band into 16 × 4-bit keys and candidates
+    * come from an EQUI-join on (band, value) — by pigeonhole any pair
+    * within distance 15 shares at least one exact band, so the banded
+    * candidate set provably contains every qualifying pair (the
+    * MinHash-LSH argument with an exactness guarantee instead of a
+    * probability). The |assets|² nested-loop the oracle replays never
+    * runs here: shuffle volume is 16 band rows per asset, candidates
+    * are verified with two integer XOR/popcounts. The hash is split
+    * h1/h2 (32 bits each) so no arithmetic touches the sign bit. */
+  def mmPhashDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ph = bmpAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = BmpCodec
+        rows.map { case (id, bmp) =>
+          val (h1, h2) = codec.phash64(bmp); (id, h1, h2)
+        }
+      }.toDF("asset_id", "h1", "h2")
+      .localCheckpoint(false) // read by both band sides + the verify join
+    val bandCols =
+      (0 until 8).map(b => struct(lit(b).as("bi"),
+        shiftright(col("h1"), 4 * b).bitwiseAND(lit(15L)).as("bv"))) ++
+      (0 until 8).map(b => struct(lit(b + 8).as("bi"),
+        shiftright(col("h2"), 4 * b).bitwiseAND(lit(15L)).as("bv")))
+    val bd = ph.select(col("asset_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cands = bd.as("x").join(bd.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("d1"), col("y.asset_id").as("d2"))
+      .distinct()
+    cands
+      .join(ph.select(col("asset_id").as("d1"), col("h1").as("a1"), col("h2").as("a2")), Seq("d1"))
+      .join(ph.select(col("asset_id").as("d2"), col("h1").as("b1"), col("h2").as("b2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= PhashMaxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** Oracle: replays the hash arithmetic off the generation pixel
+    * mapping (byte f of the cycled text drives pixel channels) and
+    * scores ALL pairs — the banded Spark plan must produce the exact
+    * same set (pigeonhole guarantee). Empty-text assets emulate the
+    * generator's single-zero-byte source. */
+  def mmPhashDedupSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, 16 + (doc_id * 7) % 500 AS w, 1 + doc_id % 25 AS h,
+       |    octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |lum AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bl = 0 THEN list_transform(range(64), k -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(range(64), k ->
+       |      (('0x' || substr(hx, ((3 * (((k // 8) * h // 8) * w + ((k % 8) * w // 8))) % bl) * 2 + 1, 2))::BIGINT
+       |       + ('0x' || substr(hx, ((3 * (((k // 8) * h // 8) * w + ((k % 8) * w // 8)) + 1) % bl) * 2 + 1, 2))::BIGINT
+       |       + ('0x' || substr(hx, ((3 * (((k // 8) * h // 8) * w + ((k % 8) * w // 8)) + 2) % bl) * 2 + 1, 2))::BIGINT) // 3)
+       |    END AS ls
+       |  FROM a),
+       |ph AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(32),
+       |      i -> CASE WHEN ls[i+1] > list_sum(ls) // 64 THEN 1 << i ELSE 0 END)) AS h1,
+       |    list_sum(list_transform(range(32),
+       |      i -> CASE WHEN ls[i+33] > list_sum(ls) // 64 THEN 1 << i ELSE 0 END)) AS h2
+       |  FROM lum)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT)
+       |    AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+       |  <= $PhashMaxHamming
+       |ORDER BY d1, d2""".stripMargin
+
   /** Real BMP payloads for the corpus's image assets: dimensions keyed
     * on doc_id (widths up to 515 so the resize math genuinely scales),
     * pixel bytes cycled from the document text. */

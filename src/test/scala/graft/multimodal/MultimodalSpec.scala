@@ -146,6 +146,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("BmpCodec.phash64: uniform image hashes to 0, a half-bright image sets exactly 32 bits") {
+    val uniform = BmpCodec.encode(16, 16, Array.fill[Byte](16 * 16 * 3)(10))
+    assert(BmpCodec.phash64(uniform) === ((0L, 0L)))
+    // stored rows 8..15 bright: the 8x8 floor map samples rows 0,2,..,14
+    // -> half the sample grid above the mean -> exactly 32 bits set
+    val px = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      if ((i / (16 * 3)) >= 8) 200.toByte else 10.toByte
+    }
+    val (h1, h2) = BmpCodec.phash64(BmpCodec.encode(16, 16, px))
+    assert(java.lang.Long.bitCount(h1) + java.lang.Long.bitCount(h2) === 32)
+    // identical payloads are hamming-0 (the dedup invariant)
+    assert(BmpCodec.phash64(BmpCodec.encode(16, 16, px)) === ((h1, h2)))
+  }
+
   test("BmpCodec decodes top-down (negative height) bitmaps") {
     import java.nio.{ByteBuffer, ByteOrder}
     val canonical = BmpCodec.encode(6, 4, Array.fill[Byte](6 * 4 * 3)(1))

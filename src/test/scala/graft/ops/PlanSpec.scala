@@ -280,6 +280,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("mm_phash_dedup: candidates come from the band EQUI-join, never an all-pairs product") {
+    val plan = graft.multimodal.MultimodalOps.mmPhashDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(500))
+  }
+
   test("profile_columns reads orders ONCE: six distincts through a single Expand scan") {
     // the oracle unions six SELECTs; the Spark plan must not — one
     // FileSourceScan, the multi-count(DISTINCT) folded into one agg
