@@ -241,10 +241,21 @@ object MultimodalOps {
       |  CAST(sabs AS BIGINT) AS sum_abs, CAST(pk AS BIGINT) AS peak_abs
       |FROM s ORDER BY asset_id""".stripMargin
 
-  /** Hamming threshold for `mm_phash_dedup` — MUST stay ≤ 15: the
-    * 16 × 4-bit banding below is pigeonhole-exact only while the
-    * threshold is below the band count. */
+  /** Hamming threshold for `mm_phash_dedup` — MUST stay ≤ 11: the
+    * 4 × 16-bit multi-probe banding below probes each band out to
+    * radius 2, which is pigeonhole-exact only while
+    * `threshold < bands * (radius + 1)`. */
   private val PhashMaxHamming = 10
+
+  /** Per-band probe radius and the XOR masks enumerating every 16-bit
+    * value within that radius: 1 (self) + 16 (1-bit) + 120 (2-bit)
+    * = 137 masks. */
+  private val PhashProbeMasks: Array[Long] = {
+    val one = (0 until 16).map(i => (1L << i))
+    (Seq(0L) ++ one ++ (for {
+      i <- 0 until 16; j <- i + 1 until 16
+    } yield (1L << i) | (1L << j))).toArray
+  }
 
   /** Perceptual near-duplicate detection over the IMAGE modality —
     * the multimodal face of the dedup family: every BMP asset decodes
@@ -252,15 +263,26 @@ object MultimodalOps {
     * mapped luminance vs mean), and pairs within Hamming distance
     * [[PhashMaxHamming]] are reported with their distance.
     *
-    * Scale shape: hashes band into 16 × 4-bit keys and candidates
-    * come from an EQUI-join on (band, value) — by pigeonhole any pair
-    * within distance 15 shares at least one exact band, so the banded
-    * candidate set provably contains every qualifying pair (the
-    * MinHash-LSH argument with an exactness guarantee instead of a
-    * probability). The |assets|² nested-loop the oracle replays never
-    * runs here: shuffle volume is 16 band rows per asset, candidates
-    * are verified with two integer XOR/popcounts. The hash is split
-    * h1/h2 (32 bits each) so no arithmetic touches the sign bit. */
+    * Scale shape — multi-index Hamming search (Norouzi/Punjani/Fleet,
+    * CVPR'12) on GROUPS of identical hashes:
+    *  1. assets collapse to distinct (h1,h2) groups first, so a block
+    *     of byte-identical images costs one row in the candidate join
+    *     (its clique reappears only in the final, output-bound member
+    *     expansion) — exact-dup skew cannot inflate the join;
+    *  2. the 64-bit hash splits into 4 × 16-bit bands; by pigeonhole a
+    *     pair within distance 10 agrees to within 2 bits on some band
+    *     (4 bands × 3 errors each would already be 12 > 10), so each
+    *     band value is probed at XOR radius ≤ 2 (137 masks) and
+    *     candidates come from an EQUI-join of probes against exact
+    *     band values. 16-bit keys give 65 536 buckets per band —
+    *     random collisions stay rare as the corpus grows, unlike a
+    *     4-bit banding whose 16 buckets force Θ(n²/16) accidental
+    *     candidates per band. Probe fan-out is a CONSTANT 548 rows
+    *     per distinct hash: the whole build is linear in assets.
+    * Candidates are verified with two integer XOR/popcounts; the
+    * |assets|² nested-loop the oracle replays never runs here. The
+    * hash is split h1/h2 (32 bits each) so no arithmetic touches the
+    * sign bit. */
   def mmPhashDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val ph = bmpAssets(spark, d).as[(Long, Array[Byte])]
@@ -270,27 +292,50 @@ object MultimodalOps {
           val (h1, h2) = codec.phash64(bmp); (id, h1, h2)
         }
       }.toDF("asset_id", "h1", "h2")
-      .localCheckpoint(false) // read by both band sides + the verify join
-    val bandCols =
-      (0 until 8).map(b => struct(lit(b).as("bi"),
-        shiftright(col("h1"), 4 * b).bitwiseAND(lit(15L)).as("bv"))) ++
-      (0 until 8).map(b => struct(lit(b + 8).as("bi"),
-        shiftright(col("h2"), 4 * b).bitwiseAND(lit(15L)).as("bv")))
-    val bd = ph.select(col("asset_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val cands = bd.as("x").join(bd.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.asset_id") < col("y.asset_id"))
-      .select(col("x.asset_id").as("d1"), col("y.asset_id").as("d2"))
-      .distinct()
-    cands
-      .join(ph.select(col("asset_id").as("d1"), col("h1").as("a1"), col("h2").as("a2")), Seq("d1"))
-      .join(ph.select(col("asset_id").as("d2"), col("h1").as("b1"), col("h2").as("b2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
+      .localCheckpoint(false) // read by the group build + member expansion
+    // One row per DISTINCT hash; gid = min member id (stable, join-free).
+    val grp = ph.groupBy(col("h1"), col("h2"))
+      .agg(min(col("asset_id")).as("gid"))
+      .localCheckpoint(false) // read by probes, exacts, and twice for verify
+    val masks = PhashProbeMasks
+    val probes = grp.as[(Long, Long, Long)].flatMap { case (h1, h2, gid) =>
+      val bands = Array(h1 & 0xffffL, (h1 >>> 16) & 0xffffL,
+        h2 & 0xffffL, (h2 >>> 16) & 0xffffL)
+      for { bi <- 0 until 4; m <- masks } yield (bi, bands(bi) ^ m, gid)
+    }.toDF("bi", "pv", "pg")
+    val exactBands = (0 until 4).map { bi =>
+      val src = if (bi < 2) col("h1") else col("h2")
+      struct(lit(bi).as("bi"),
+        shiftright(src, 16 * (bi % 2)).bitwiseAND(lit(0xffffL)).as("ev"))
+    }
+    val exacts = grp.select(col("gid").as("eg"),
+        explode(array(exactBands: _*)).as("b"))
+      .select(col("eg"), col("b.bi").as("bi"), col("b.ev").as("ev"))
+    val gpairs = probes.join(exacts,
+        probes("bi") === exacts("bi") && col("pv") === col("ev") &&
+          col("pg") < col("eg"))
+      .select(col("pg").as("g1"), col("eg").as("g2")).distinct()
+    // Verify on group representatives (one popcount per DISTINCT pair).
+    val near = gpairs
+      .join(grp.select(col("gid").as("g1"), col("h1").as("a1"), col("h2").as("a2")), Seq("g1"))
+      .join(grp.select(col("gid").as("g2"), col("h1").as("b1"), col("h2").as("b2")), Seq("g2"))
+      .select(col("g1"), col("g2"),
         (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")).cast("long")
           .as("hamming"))
       .where(col("hamming") <= PhashMaxHamming)
-      .orderBy("d1", "d2")
+    // Member expansion — output-bound by construction.
+    val mem = ph.join(grp, Seq("h1", "h2")).select(col("asset_id"), col("gid"))
+    val inter = near
+      .join(mem.select(col("gid").as("g1"), col("asset_id").as("a")), Seq("g1"))
+      .join(mem.select(col("gid").as("g2"), col("asset_id").as("b")), Seq("g2"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("hamming"))
+    val intra = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("d1"), col("y.asset_id").as("d2"),
+        lit(0L).as("hamming"))
+    inter.unionByName(intra).orderBy("d1", "d2")
   }
 
   /** Oracle: replays the hash arithmetic off the generation pixel

@@ -2017,6 +2017,53 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Declared query `evt_ols`: ordinary least squares of daily event
+    * volume on the day index — slope, intercept and R² of the
+    * activity trend line, the parametric sibling of [[theilSen]].
+    *
+    * Scale shape: events reduce to one row per DAY first; the normal
+    * equations then consume five exact BIGINT power sums of that
+    * day-count table (x = day offset from the corpus min, an integer
+    * in both engines), so the only floating steps are two final
+    * divisions and one multiply, written in the same operand order in
+    * the DuckDB twin. R² is composed as (num/den)·(num/deny) — two
+    * double quotients of exact integers — instead of num²/(den·deny),
+    * whose num² overflows BIGINT long before the quotients lose a
+    * ulp. */
+  def ols(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val s = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"), col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val dny = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_days"),
+      round(num.cast("double") / den, 9).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den, 9)
+        .as("intercept"),
+      round((num.cast("double") / den) * (num.cast("double") / dny), 9).as("r2"))
+  }
+
+  def olsSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(day - (SELECT MIN(day) FROM daily) AS BIGINT) AS x, y FROM daily),
+      |s AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+      |         SUM(x*x) AS sxx, SUM(y*y) AS syy FROM xy)
+      |SELECT n AS n_days,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 9) AS slope,
+      |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx), 9) AS intercept,
+      |  round((CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx))
+      |      * (CAST(n*sxy - sx*sy AS DOUBLE) / (n*syy - sy*sy)), 9) AS r2
+      |FROM s""".stripMargin
+
   def seasonalDecomposeSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),

@@ -241,7 +241,22 @@ class ScaleStressSpec extends AnyFunSuite {
       // track corpus size, never pairs
       ("evt_scd2", d => { EventOps.scd2History(spark, d).count(); () }),
       ("text_char_entropy", d => { TextAnalysisOps.charEntropy(spark, d).count(); () }),
-      ("text_hash_features", d => { TextAnalysisOps.hashFeatures(spark, d).count(); () }))
+      ("text_hash_features", d => { TextAnalysisOps.hashFeatures(spark, d).count(); () }),
+      // late-r13 additions. bm25: corpus tokenizes once, only
+      // query-term hits shuffle. item-cosine: pair fan-out bounded by
+      // (parts/customer)² — key-offset copies keep baskets constant,
+      // so ×8 data must be ~×8 pairs, never (8·parts)². boilerplate /
+      // bigram-LM: per-doc map work + vocab-keyed shuffles. phash:
+      // band equi-join must contain the 200-doc exact-dup block's hot
+      // bucket (one band value shared by every copy — the skew
+      // stimulus) without an assets² product. streaks: everything
+      // past the DISTINCT (user, day) reduction is user-bounded.
+      ("text_bm25", d => { TextAnalysisOps.bm25Rank(spark, d).count(); () }),
+      ("rec_item_cosine", d => { RelationalOps.itemCosine(spark, d).count(); () }),
+      ("text_boilerplate", d => { TextAnalysisOps.boilerplate(spark, d).count(); () }),
+      ("text_bigram_lm", d => { TextAnalysisOps.bigramLm(spark, d).count(); () }),
+      ("mm_phash_dedup", d => { graft.multimodal.MultimodalOps.mmPhashDedup(spark, d).count(); () }),
+      ("evt_streaks", d => { EventOps.streaks(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
