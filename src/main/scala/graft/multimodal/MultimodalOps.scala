@@ -804,6 +804,63 @@ object MultimodalOps {
       |  TRUE AS mae_ok, TRUE AS peak_ok, TRUE AS dc_ok
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin
 
+  /** JPEG+EXIF assets: the [[jpegAssets]] rasters with an APP1 EXIF
+    * sidecar ([[ExifCodec]]) — orientation cycling all 8 EXIF values,
+    * an EXIF-format DateTime, and the pixel dims duplicated into
+    * ExifImageWidth/Height (all keyed on doc_id). */
+  def exifAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 0) // the 'image' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val w = (8 + (id * 3) % 96).toInt
+          val h = (1 + id % 13).toInt
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val gray = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+          val dt = f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d ${id % 24}%02d:00:00"
+          val jpeg = ExifCodec.insertApp1(JpegCodec.encode(w, h, gray),
+            ExifCodec.app1((1 + id % 8).toInt, dt, w, h))
+          (id, jpeg)
+        }
+      }.toDF("asset_id", "jpeg")
+  }
+
+  /** Declared query: walk the real JPEG segment chain and the EXIF
+    * TIFF IFD inside APP1, emitting orientation / timestamp / claimed
+    * dims — the rotate-before-resize metadata every image pipeline
+    * must read before touching pixels. dims_match cross-checks the
+    * EXIF claim against the independently decoded raster dims (a
+    * scraped corpus is full of files whose EXIF lies after a naive
+    * re-encode). The oracle mirrors the generation arithmetic;
+    * nothing in it knows JPEG or TIFF. */
+  def mmExif(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    exifAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, jpeg) =>
+          val m = ExifCodec.readExif(jpeg)
+          val img = JpegCodec.decode(jpeg)
+          (id, m.orientation.toLong, m.dateTime, m.exifWidth.toLong,
+            m.exifHeight.toLong,
+            img.getWidth == m.exifWidth && img.getHeight == m.exifHeight)
+        }
+      }.toDF("asset_id", "orientation", "exif_datetime",
+        "exif_w", "exif_h", "dims_match")
+      .orderBy("asset_id")
+  }
+
+  def mmExifSql: String =
+    """SELECT doc_id AS asset_id,
+      |  1 + doc_id % 8 AS orientation,
+      |  printf('2024:%02d:%02d %02d:00:00',
+      |    1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24) AS exif_datetime,
+      |  8 + (doc_id * 3) % 96 AS exif_w,
+      |  1 + doc_id % 13 AS exif_h,
+      |  TRUE AS dims_match
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin
+
   /** Real MP3 frame sequences for the corpus's audio assets —
     * format parameters keyed on doc_id (the full MPEG-1 L3 bitrate
     * table gets exercised), frame payloads cycled from the text. */

@@ -2081,4 +2081,138 @@ object EventOps {
       |SELECT day, c AS n_events, trend, seasonal,
       |  round(detr - seasonal, 9) AS resid
       |FROM dt JOIN sidx USING (dow) ORDER BY day""".stripMargin
+
+  /** Seasonal-naive forecast backtest — the rolling-origin evaluation
+    * every forecasting pipeline runs before trusting a model: predict
+    * each day's per-type event count with the count 7 days earlier,
+    * score only days where that predecessor exists (an equi-join on
+    * (type, day−7), NOT lag(7) — with gaps, the 7th-previous ROW is
+    * not the day a week ago), and report per-type MAE and MAPE. The
+    * companion to [[holt]]/[[seasonalDecompose]] (which fit); this
+    * measures, and the measured baseline is what any fancier model
+    * must beat.
+    *
+    * Scale shape: one scan reduces events to (type × day) counts;
+    * everything after — self-join on the shifted day, two-level
+    * aggregate — is day-count-sized. Errors are exact BIGINTs; MAE
+    * divides two exact integers; per-day MAPE terms round at 9 and
+    * sum through DECIMAL(18,9) ([[OpsUtil.dsum]] contract). */
+  def backtest(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("c").as("c_pred"))
+    val scored = daily.join(pred, Seq("event_type", "day"))
+      .select(col("event_type"),
+        abs(col("c") - col("c_pred")).as("err"),
+        round(abs(col("c") - col("c_pred")).cast("double") / col("c"), 9)
+          .as("ape"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 9).as("mae"),
+        round(sum(col("ape").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).as("mape"))
+      .orderBy("event_type")
+  }
+
+  def backtestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT a.event_type, abs(a.c - p.c) AS err,
+      |    round(CAST(abs(a.c - p.c) AS DOUBLE) / a.c, 9) AS ape
+      |  FROM daily a
+      |  JOIN daily p ON p.event_type = a.event_type
+      |              AND p.day = a.day - 7)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 9) AS mae,
+      |  round(CAST(SUM(CAST(ape AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+      |    AS mape
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Resamples for the Poisson bootstrap. */
+  private val BootB = 100
+  /** Cumulative Poisson(1) CDF × 1e9, floored — the inverse-CDF
+    * thresholds that turn a uniform 0..1e9 hash draw into a
+    * deterministic Poisson(1) weight. Literal integers so both
+    * engines run the identical comparison chain. */
+  private val BootCdf = Seq(367879441L, 735758882L, 919698602L,
+    981011843L, 996340153L)
+
+  /** Poisson-bootstrap 95% CI for the mean event value — THE
+    * cluster-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", and the bag-of-little-bootstraps
+    * lineage): instead of materializing B resampled copies, each row
+    * draws B independent Poisson(1) multiplicities, so one scan
+    * computes all B resample means. Here the draws are DETERMINISTIC —
+    * w(row, b) = inverse-CDF of Poisson(1) applied to
+    * xhash60(event_id:b) — which makes the whole statistic exactly
+    * replayable by the oracle (the [[OpsUtil.xhash60]] stance: no RNG,
+    * no seed plumbing, bit-identical on any cluster).
+    *
+    * Scale shape: explode ×[[BootB]] then map-side combine onto B
+    * keys — shuffle traffic is O(B · partitions), never O(B · N); the
+    * rank-pick window runs over exactly B rows (driver-scale by
+    * construction, ordered (mb, b) so ties are deterministic).
+    * Resample sums go through DECIMAL(18,6) ([[OpsUtil.dsum]]
+    * contract). CI bounds are nearest-rank percentiles: rank
+    * ⌈0.025·B⌉ = 3 and ⌈0.975·B⌉ = 98 of the sorted resample means. */
+  def bootstrap(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id").cast("string").as("id"), col("value"))
+    val u = xhash60(concat(col("id"), lit(":"), col("b").cast("string")), 11) %
+      lit(1000000000L)
+    val w = BootCdf.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (thr, k)) =>
+        acc.when(u < thr, k.toLong)
+      }.otherwise(BootCdf.size.toLong)
+    val means = ev
+      .select(col("id"), col("value"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .select(col("b"), w.as("w"), col("value"))
+      .groupBy(col("b"))
+      .agg((sum((col("w") * col("value")).cast("decimal(18,6)")).cast("double") /
+        sum(col("w"))).as("mb"))
+    val ranked = means.select(col("mb"),
+      row_number().over(Window.orderBy(col("mb"), col("b"))).as("rk"))
+    val ci = ranked.agg(
+      max(when(col("rk") === 3, col("mb"))).as("lo"),
+      max(when(col("rk") === BootB - 2, col("mb"))).as("hi"))
+    Tables.events(spark, d)
+      .agg(count(lit(1)).as("n_events"),
+        round(davg(col("value")), 9).as("mean_value"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_events"), col("mean_value"),
+        round(col("lo"), 9).as("ci_lo"), round(col("hi"), 9).as("ci_hi"))
+  }
+
+  def bootstrapSql: String = {
+    val u = xhash60Sql("id || ':' || CAST(b AS VARCHAR)", 11)
+    val w = BootCdf.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BootCdf.size} END")
+    s"""WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS id, value FROM events),
+       |ex AS (
+       |  SELECT b, value, $u % 1000000000 AS u
+       |  FROM ev, range($BootB) t(b)),
+       |means AS (
+       |  SELECT b, CAST(SUM(CAST(w * value AS DECIMAL(18,6))) AS DOUBLE)
+       |    / SUM(w) AS mb
+       |  FROM (SELECT b, value, $w AS w FROM ex) GROUP BY b),
+       |ranked AS (
+       |  SELECT mb, ROW_NUMBER() OVER (ORDER BY mb, b) AS rk FROM means),
+       |ci AS (
+       |  SELECT MAX(CASE WHEN rk = 3 THEN mb END) AS lo,
+       |         MAX(CASE WHEN rk = ${BootB - 2} THEN mb END) AS hi FROM ranked),
+       |base AS (
+       |  SELECT COUNT(*) AS n_events,
+       |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 9)
+       |      AS mean_value
+       |  FROM events)
+       |SELECT n_events, mean_value,
+       |  round(lo, 9) AS ci_lo, round(hi, 9) AS ci_hi
+       |FROM base, ci""".stripMargin
+  }
 }

@@ -755,4 +755,129 @@ object GraphOps {
        |  CAST(1 + ${coreCols.mkString("\n       + ")} AS BIGINT) AS coreness
        |FROM verts v ORDER BY vec_id""".stripMargin
   }
+
+  /** Degree assortativity of the embedding-LSH similarity graph:
+    * Pearson correlation of (deg(src), deg(dst)) over every directed
+    * edge — Newman's r, the one scalar that says whether near-dup
+    * hubs attach to other hubs (r > 0, redundancy concentrates in a
+    * few mega-clusters worth pruning first) or to leaves (r < 0,
+    * hub-and-spoke template reuse). The structural self-eval
+    * companion to [[modularity]] (which scores a partition; this
+    * scores the raw mixing pattern).
+    *
+    * Scale shape: rides the shared LSH pair cache; one |V|-keyed
+    * degree aggregate, two equi-joins decorating each edge endpoint
+    * (AQE broadcasts the |V|-row degree table when it fits; past
+    * that both joins are src/dst-keyed shuffles, never wider than
+    * |E|), then a single 6-sum reduction. All power sums are exact
+    * BIGINTs (the [[EventOps.ols]] discipline); the final ratio is
+    * the only double arithmetic, identical expression in both
+    * engines, rounded 9. Degenerate regular graph (zero degree
+    * variance) yields NULL in both engines. */
+  def assortativity(spark: SparkSession, d: String): DataFrame =
+    assortativityOnPairs(cachedLshPairs(spark, d))
+
+  private[ops] def assortativityOnPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("y")), Seq("dst"))
+    val s = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = nD * col("syy") - col("sy").cast("double") * col("sy")
+    s.select((col("n") / 2).cast("long").as("n_edges"),
+      when(vx * vy > 0, round(num / sqrt(vx * vy), 9)).as("assortativity"))
+  }
+
+  def assortativitySql: String =
+    s"""WITH up AS MATERIALIZED (
+       |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql})),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM up UNION ALL SELECT d2, d1 FROM up),
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |xy AS (
+       |  SELECT dx.deg AS x, dy.deg AS y FROM edges e
+       |  JOIN deg dx ON dx.id = e.src JOIN deg dy ON dy.id = e.dst),
+       |s AS (
+       |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+       |         SUM(x*x) AS sxx, SUM(y*y) AS syy FROM xy)
+       |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+       |          * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) > 0
+       |    THEN round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+       |      / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+       |           * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 9)
+       |  END AS assortativity
+       |FROM s""".stripMargin
+
+  /** Local clustering coefficient, summarized per degree: for each
+    * vertex with deg ≥ 2, C(v) = 2·tri(v) / (deg·(deg−1)) where
+    * tri(v) counts edges among v's neighbors; reported as the
+    * per-degree average — the C(k) curve whose slope distinguishes
+    * flat random co-bucketing from the hierarchical structure real
+    * near-dup corpora show (tight template families inside looser
+    * topical neighborhoods). Complements [[triangles]] (a global
+    * count) with the per-vertex normalization that makes densities
+    * comparable across degrees.
+    *
+    * Scale shape: the two-path equi-join through the apex vertex
+    * (Σ deg² fan-out, the [[linkPred]] cost bound — LSH components
+    * are cell-bounded upstream) closed by one semi-join against the
+    * canonical d1<d2 edge set; everything after is |V|-keyed. Each
+    * C(v) is a ratio of exact integers rounded 9; the per-degree
+    * mean sums them through DECIMAL(18,9) so the reduce is
+    * order-independent (the [[OpsUtil.dsum]] contract). */
+  def clustering(spark: SparkSession, d: String): DataFrame =
+    clusteringOnPairs(cachedLshPairs(spark, d))
+
+  private[ops] def clusteringOnPairs(pairs: DataFrame): DataFrame = {
+    val up = pairs.select(col("d1"), col("d2"))
+    val edges = up.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(up.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val paths = edges.as("e1").join(edges.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("v"), col("e2.dst").as("c"))
+    // inner (not semi) is safe: `up` is distinct canonical pairs, so
+    // each closing edge matches a path exactly once
+    val tri = paths.join(up.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val cv = deg.where(col("deg") >= 2)
+      .join(tri, col("id") === col("v"), "left_outer")
+      .select(col("deg"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L))
+          / (col("deg") * (col("deg") - 1)), 9).as("cc"))
+    cv.groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        round(sum(col("cc").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 9).as("avg_cc"))
+      .orderBy("deg")
+  }
+
+  def clusteringSql: String =
+    s"""WITH up AS MATERIALIZED (
+       |  SELECT v1 AS d1, v2 AS d2 FROM (${SimilarityOps.dedupEmbeddingLshSql})),
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM up UNION ALL SELECT d2, d1 FROM up),
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |paths AS (
+       |  SELECT e1.src AS a, e1.dst AS v, e2.dst AS c
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst),
+       |tri AS (
+       |  SELECT p.v, COUNT(*) AS tri FROM paths p
+       |  JOIN up u ON u.d1 = p.a AND u.d2 = p.c GROUP BY p.v),
+       |cv AS (
+       |  SELECT d.deg,
+       |    round(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1)), 9) AS cc
+       |  FROM deg d LEFT JOIN tri t ON t.v = d.id WHERE d.deg >= 2)
+       |SELECT deg, COUNT(*) AS n_nodes,
+       |  round(CAST(SUM(CAST(cc AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+       |    AS avg_cc
+       |FROM cv GROUP BY deg ORDER BY deg""".stripMargin
 }

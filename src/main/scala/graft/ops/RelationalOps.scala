@@ -1936,6 +1936,51 @@ object RelationalOps {
       |    ORDER BY revenue DESC, supp) AS rnk FROM rev)
       |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin
 
+  /** Relative-rank windows (percent_rank + cume_dist) over per-nation
+    * customer spend: for each nation's top-3 spenders, where they sit
+    * in their nation's distribution — "this whale is the 98.7th
+    * percentile of DE customers", the per-cohort normalization
+    * [[topPerGroup]]'s absolute ranks can't express. The window ORDER
+    * BY is (spend DESC, custkey), so ties rank deterministically and
+    * both rank functions are replayable bit-for-bit; rank fractions
+    * divide exact integers (n−1 / n denominators), rounded 9.
+    *
+    * Scale shape: one lineitem-sized aggregation onto customer keys,
+    * then a nation-partitioned window (customers/nation rows per
+    * partition — the window never sees lineitem cardinality) and a
+    * rank≤3 filter. */
+  def windowCume(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("c_custkey").as("cust"))
+      .agg(OpsUtil.dsum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("spend").desc, col("cust"))
+    spend.select(col("nation"), col("cust"), col("spend"),
+        row_number().over(w).as("rnk"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"))
+      .where(col("rnk") <= 3)
+      .orderBy(col("nation"), col("rnk"))
+  }
+
+  def windowCumeSql: String =
+    """WITH spend AS (
+      |  SELECT c.c_nationkey AS nation, c.c_custkey AS cust,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT nation, cust, spend, rnk, pct_rank, cume FROM (
+      |  SELECT nation, cust, spend,
+      |    row_number() OVER w AS rnk,
+      |    round(percent_rank() OVER w, 9) AS pct_rank,
+      |    round(cume_dist() OVER w, 9) AS cume
+      |  FROM spend
+      |  WINDOW w AS (PARTITION BY nation ORDER BY spend DESC, cust))
+      |WHERE rnk <= 3 ORDER BY nation, rnk""".stripMargin
+
   /** Deequ-style column profiler — the data-quality pass a pipeline
     * runs before trusting a new drop: per column of `orders`, row
     * count, null count, and EXACT distinct count, in long format.

@@ -204,6 +204,79 @@ object SimilarityOps {
       |    x -> abs(x - round(x * (127.0 / max_abs)) / (127.0 / max_abs)))), 9) AS max_q_err
       |FROM e WHERE max_abs > 0 ORDER BY vec_id""".stripMargin
 
+  /** Output dimensionality of the JL random projection. */
+  private val RpK = 16
+
+  /** Deterministic ±1 JL sign (the [[planeWeight]] construction with
+    * a Rademacher range — Achlioptas 2003: ±1 entries satisfy the JL
+    * lemma with the same guarantees as Gaussians and cost one sign
+    * flip per term instead of a multiply). */
+  private def rpSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  private lazy val rpSigns: Seq[Seq[Double]] =
+    (0 until RpK).map(j => (0 until Dim).map(i => rpSign(j, i)))
+
+  /** Johnson–Lindenstrauss random projection (64 → [[RpK]] dims) with
+    * its distortion self-eval: per vector, the ratio of projected to
+    * original squared norm ((Σ_j ⟨s_j, x⟩²/K) / ‖x‖², expectation 1
+    * under JL), summarized per label — the one table you check before
+    * trusting a projected index: a ratio distribution hugging 1 means
+    * downstream cosine/L2 structure survived the 4× dim reduction.
+    * The K×64 ±1 matrix is hash-derived once and inlined as literals
+    * in BOTH plans (≈1 KB — matrix as broadcast constant, never a
+    * join), so per-row cost is K sign-folds over the vector, no
+    * shuffle until the ≤|labels|-key aggregate. Per-vector ratios
+    * round at 9 and the label mean sums them through DECIMAL(18,9)
+    * ([[OpsUtil.dsum]] contract); zero-norm vectors are excluded in
+    * both engines. */
+  def randomProjection(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+    val withP = e.select(
+      (col("label") +:
+        rpSigns.zipWithIndex.map { case (row, j) =>
+          dotd(col("v"), array(row.map(lit): _*)).as(s"p$j")
+        }) :+ norm2(col("v")).as("n2"): _*)
+    val ySq = (0 until RpK).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    val r = withP.where(col("n2") > 0)
+      .select(col("label"),
+        round((ySq / lit(RpK.toDouble)) / col("n2"), 9).as("r"))
+    r.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("r").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 9).as("avg_ratio"),
+        min(col("r")).as("min_ratio"),
+        max(col("r")).as("max_ratio"))
+      .orderBy("label")
+  }
+
+  def randomProjectionSql: String = {
+    def lst(row: Seq[Double]) =
+      row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val pCols = rpSigns.zipWithIndex.map { case (row, j) =>
+      s"list_sum(list_transform(range(1, $Dim + 1), i -> v[i] * (${lst(row)})[i])) AS p$j"
+    }.mkString(",\n    ")
+    val ySq = (0 until RpK).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |wp AS (
+       |  SELECT label,
+       |    $pCols,
+       |    list_sum(list_transform(v, x -> x*x)) AS n2
+       |  FROM e),
+       |r AS (
+       |  SELECT label, round((($ySq) / ${RpK.toDouble}) / n2, 9) AS r
+       |  FROM wp WHERE n2 > 0)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  round(CAST(SUM(CAST(r AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9) AS avg_ratio,
+       |  MIN(r) AS min_ratio, MAX(r) AS max_ratio
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+  }
+
   /** Shared CTE prefix rebuilding the sign-LSH index in DuckDB: the
     * plane weights are md5-derived constants, so the whole index is
     * rebuildable in SQL — the planes are inlined as literals

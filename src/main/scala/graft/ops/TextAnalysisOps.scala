@@ -1699,4 +1699,58 @@ object TextAnalysisOps {
        |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
        |HAVING COUNT(*) >= $BoilerMinDocs
        |ORDER BY n_docs DESC, shingle LIMIT $BoilerTopK""".stripMargin
+
+  /** Polarity lexicon: token → ±1. Tiny here, but the operator shape
+    * (per-token lookup folded in-array, integer doc score) is the
+    * production one — a real lexicon swaps the CASE for a broadcast
+    * map without touching the aggregation. */
+  private val SentimentLex: Seq[(String, Int)] = Seq(
+    "fast" -> 1, "big" -> 1, "spark" -> 1,
+    "slow" -> -1, "small" -> -1, "dup" -> -1)
+
+  /** Lexicon sentiment/polarity scoring per language — the
+    * quality-filter shape every corpus pipeline runs (toxicity,
+    * promotional-tone, spam lexicons): per-doc integer score =
+    * Σ lexicon(token), then per-lang doc counts, mean score, and
+    * positive/negative doc shares. Join-free: the lookup folds inside
+    * the token array (one tokenize pass, no explode, no shuffle until
+    * the ≤|langs|-key aggregate), so corpus cost is O(total tokens)
+    * with a |langs|-row shuffle — the cheapest possible shape at
+    * 100 TB. Scores are exact integers; shares and means divide two
+    * exact numbers, rounded 9 ([[OpsUtil.dsum]] stance). */
+  def sentiment(spark: SparkSession, d: String): DataFrame = {
+    val score = aggregate(tokens(col("text")), lit(0L), (acc, t) =>
+      acc + SentimentLex.foldLeft(when(lit(false), lit(0L))) {
+        case (c, (w, s)) => c.when(t === w, lit(s.toLong))
+      }.otherwise(lit(0L)))
+    Tables.documents(spark, d)
+      .select(col("lang"), score.as("s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s")).as("sum_score"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 9).as("avg_score"),
+        round(sum(when(col("s") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 9).as("pos_share"),
+        round(sum(when(col("s") < 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 9).as("neg_share"))
+      .orderBy("lang")
+  }
+
+  def sentimentSql: String = {
+    val cases = SentimentLex
+      .map { case (w, s) => s"WHEN t = '$w' THEN $s" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    CAST(COALESCE(list_sum(list_transform(${tokensSql("text")},
+       |      t -> $cases)), 0) AS BIGINT) AS s
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(s) AS BIGINT) AS sum_score,
+       |  round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS avg_score,
+       |  round(CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 9) AS pos_share,
+       |  round(CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 9) AS neg_share
+       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

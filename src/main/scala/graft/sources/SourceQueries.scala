@@ -170,6 +170,88 @@ object SourceQueries {
     docStats(readFixedWidth(spark, dir))
   }
 
+  /** XML attribute escaping, as Spark Columns — & first (it appears in
+    * every later entity), then the metacharacters, then newline as a
+    * character reference so the element stays one line. Inverse order
+    * in [[xmlUnescape]]. */
+  private def xmlEscape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "\n", "&#10;")
+
+  private def xmlUnescape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&#10;", "\n"), "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
+
+  /** Line-framed XML: one self-closing `<doc …/>` element per line,
+    * all fields as escaped attributes. Deliberately NOT document-
+    * framed XML (a single root element spanning the file) — that form
+    * is unsplittable and a 100 TB anti-pattern; element-per-line keeps
+    * `spark.read.text` splittable at any size, exactly like JSONL. */
+  private[sources] def writeXml(df: DataFrame, out: String): Unit =
+    df.select(concat(
+        lit("<doc id=\""), col("doc_id").cast("string"),
+        lit("\" lang=\""), xmlEscape(col("lang")),
+        lit("\" source=\""), xmlEscape(col("source")),
+        lit("\" n_chars=\""), col("n_chars").cast("string"),
+        lit("\" text=\""), xmlEscape(col("text")), lit("\"/>")).as("value"))
+      .write.mode("overwrite").text(out)
+
+  private[sources] def readXml(spark: SparkSession, dir: String): DataFrame = {
+    def attr(name: String) =
+      xmlUnescape(regexp_extract(col("value"), s"""$name="([^"]*)"""", 1))
+    spark.read.text(dir).select(
+      attr("id").cast("long").as("doc_id"),
+      attr("text").as("text"),
+      attr("lang").as("lang"),
+      attr("source").as("source"),
+      attr("n_chars").cast("long").as("n_chars"))
+  }
+
+  /** Declared query `src_xml`: the fingerprint over a line-framed XML
+    * round trip — attribute extraction + entity unescape, no XML
+    * library in the hot path (pure codegen'd regex/replace). */
+  def xmlDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "xml")(writeXml)
+    docStats(readXml(spark, dir))
+  }
+
+  /** Multiline JSON array staging: each output FILE is one valid JSON
+    * document — `[` line, one `to_json(row)` object per line with a
+    * trailing comma, closing `]` — streamed through the iterator, so
+    * no partition-sized string is ever built. This is the shape REST
+    * exports and data dumps actually arrive in, and the read side is
+    * the caveat the query exists to encode: `multiLine` JSON makes
+    * each file the split unit (a file must be parsed whole), so
+    * staging writes one file per input partition and reader
+    * parallelism survives only at file granularity. Ship JSONL when
+    * you control the producer. */
+  private[sources] def writeJsonArray(df: DataFrame, out: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(to_json(struct(df.columns.map(col): _*)).as("j")).as[String]
+      .mapPartitions { it =>
+        val body = new Iterator[String] {
+          private var cur = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): String = {
+            val line = if (it.hasNext) cur + "," else cur
+            cur = if (it.hasNext) it.next() else null
+            line
+          }
+        }
+        Iterator("[") ++ body ++ Iterator("]")
+      }
+      .write.mode("overwrite").text(out)
+  }
+
+  /** Declared query `src_json_array`: the fingerprint over a
+    * multiline JSON-array round trip (`multiLine=true`, explicit
+    * schema; Spark unrolls the top-level array into rows). */
+  def jsonArrayDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "jsonarray")(writeJsonArray)
+    docStats(spark.read.option("multiLine", "true").schema(docSchema).json(dir))
+  }
+
   /** DuckDB oracle for BOTH declared queries: the identical aggregate
     * off the raw parquet table — equality proves the staged format
     * round-tripped every column byte-for-byte. SUM-derived integers

@@ -898,6 +898,76 @@ object EventStreams {
       lastSink.values().forEach(d => deleteRecursively(d))))
   }
 
+  /** Declared query `stream_upsert`: per-micro-batch MERGE of a
+    * running serving table — the foreachBatch read-modify-write loop
+    * every Delta/Hudi-style pipeline runs to keep a downstream store
+    * current, expressed against plain versioned parquet (the merge,
+    * not the table format, is the operator). Each batch computes its
+    * per-type partial aggregate, unions it with store version v, and
+    * writes version v+1 (ping-pong versions — parquet can't overwrite
+    * a table mid-read); the running totals live IN THE STORE, not in
+    * Spark state, so this is the streaming shape with zero state-store
+    * footprint and restart-durability for free. The merge is
+    * associative + commutative (count-sum, DECIMAL value-sum, ts-max),
+    * making the result independent of batch boundaries — and the run
+    * really is multi-batch (staging splits events into 4 files,
+    * maxFilesPerTrigger=1; asserted, since a silent single-batch run
+    * would stop exercising the merge). Everything stays distributed:
+    * no result row crosses the driver. */
+  def streamUpsert(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val drop = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-upsert-$n").toString
+    val ss = streamingSession(spark)
+    graft.Tables.events(ss, d).repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(drop)
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory(s"graft-upsert-store-$n").toString
+    def storeDir(v: Int) = s"$storeRoot/v$v"
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q: StreamingQuery = readEvents(ss, drop, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+            max(col("ts")).as("last_ts"))
+        val v = version.get()
+        val merged =
+          if (v == 0) delta
+          else ss.read.parquet(storeDir(v)).unionByName(delta)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_value")).as("sum_value"),
+              max(col("last_ts")).as("last_ts"))
+        merged.write.mode("overwrite").parquet(storeDir(v + 1))
+        val prev = version.getAndIncrement()
+        if (prev >= 1) deleteRecursively(storeDir(prev)) // superseded version
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaged(drop)
+    require(version.get() >= 2,
+      s"upsert loop expected multiple micro-batches, saw ${version.get()}")
+    val prevRoot = lastSink.put("stream-upsert", storeRoot)
+    if (prevRoot != null && prevRoot != storeRoot) deleteRecursively(prevRoot)
+    spark.read.parquet(storeDir(version.get()))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("total_value"), col("last_ts"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay: the same per-type aggregate over the whole table —
+    * batch-boundary independence of the merge is exactly what makes
+    * this the oracle. */
+  def streamUpsertSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  MAX(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Run a streaming DataFrame to completion and land each batch's
     * (Complete-mode) result in a parquet sink via foreachBatch — the
     * executors write the result DISTRIBUTED and the final batch's

@@ -750,4 +750,63 @@ class MultimodalSpec extends AnyFunSuite {
     val small = MultimodalOps.Decoded(width = 10, height = 10, nFrames = 1)
     assert(MultimodalOps.StubCodec.resizedDims(small, 256) === ((10, 10)))
   }
+
+  test("ExifCodec round-trips through a real JPEG; DateTime keeps its inner space") {
+    val jpeg = JpegCodec.encode(16, 4, Array.fill[Byte](64)(7))
+    val withExif = ExifCodec.insertApp1(jpeg,
+      ExifCodec.app1(6, "2024:07:15 13:45:09", 16, 4))
+    val m = ExifCodec.readExif(withExif)
+    assert(m === ExifMeta(6, "2024:07:15 13:45:09", 16, 4))
+    // the raster itself is untouched by the APP1 insert
+    val img = JpegCodec.decode(withExif)
+    assert(img.getWidth === 16 && img.getHeight === 4)
+  }
+
+  test("ExifCodec reads big-endian (MM) EXIF blocks too") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build an MM TIFF block: Orientation inline, DateTime
+    // out-of-line, dims as LONGs
+    val dt = ("2023:01:02 03:04:05" + " ").getBytes("US-ASCII")
+    val tiff = ByteBuffer.allocate(62 + 20).order(ByteOrder.BIG_ENDIAN)
+    tiff.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    tiff.putShort(4)
+    tiff.putShort(0x0112.toShort).putShort(3).putInt(1).putShort(8).putShort(0)
+    tiff.putShort(0x0132.toShort).putShort(2).putInt(20).putInt(62)
+    tiff.putShort(0xA002.toShort).putShort(4).putInt(1).putInt(31)
+    tiff.putShort(0xA003.toShort).putShort(4).putInt(1).putInt(17)
+    tiff.putInt(0)
+    tiff.put(dt)
+    val payload = "Exif  ".getBytes("US-ASCII") ++ tiff.array()
+    val jpeg = ExifCodec.insertApp1(
+      JpegCodec.encode(8, 2, Array.fill[Byte](16)(1)), payload)
+    assert(ExifCodec.readExif(jpeg) === ExifMeta(8, "2023:01:02 03:04:05", 31, 17))
+  }
+
+  test("ExifCodec fails loudly: no EXIF, truncated segment, crafted IFD counts") {
+    val plain = JpegCodec.encode(8, 2, Array.fill[Byte](16)(1))
+    intercept[IllegalArgumentException] { ExifCodec.readExif(plain) }
+    intercept[IllegalArgumentException] { ExifCodec.readExif(Array[Byte](1, 2, 3)) }
+    // APP1 claiming an IFD with 65535 entries in a tiny block must
+    // raise, not wrap or walk out of bounds
+    val bad = java.nio.ByteBuffer.allocate(8 + 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bad.putShort(0xFFFF.toShort)
+    val payload = "Exif  ".getBytes("US-ASCII") ++ bad.array()
+    val jpeg = ExifCodec.insertApp1(plain, payload)
+    intercept[IllegalArgumentException] { ExifCodec.readExif(jpeg) }
+  }
+
+  test("mm_exif walks the corpus assets to the generation arithmetic") {
+    val rows = MultimodalOps.mmExif(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1 + id % 8, s"orientation of $id")
+      assert(r.getString(2) ===
+        f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d ${id % 24}%02d:00:00")
+      assert(r.getLong(3) === 8 + (id * 3) % 96)
+      assert(r.getLong(4) === 1 + id % 13)
+      assert(r.getBoolean(5), s"dims_match of $id")
+    }
+  }
 }

@@ -11,6 +11,62 @@ import graft.SparkTestSession
 class EventWindowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("evt_bootstrap: pure-Scala Poisson-bootstrap replay matches bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val row = EventOps.bootstrap(spark, sf).collect()(0)
+    // independent replay: md5-based xhash60, inverse-CDF Poisson(1)
+    // weights, BigDecimal resample sums — no Spark expressions involved
+    def u(id: String, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"11:$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000000L
+    }
+    val cdf = Seq(367879441L, 735758882L, 919698602L, 981011843L, 996340153L)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0).toString, r.getDouble(1)))
+    val means = (0 until 100).map { b =>
+      var sw = 0L
+      var sv = BigDecimal(0)
+      ev.foreach { case (id, v) =>
+        val w = cdf.indexWhere(u(id, b) < _) match { case -1 => 5L; case k => k.toLong }
+        sw += w
+        sv += BigDecimal(w * v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      b -> sv.toDouble / sw
+    }.sortBy { case (b, m) => (m, b) }.map(_._2)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) === ev.length)
+    assert(row.getDouble(2) === r9(means(2)), "ci_lo must equal rank-3 resample mean")
+    assert(row.getDouble(3) === r9(means(97)), "ci_hi must equal rank-98 resample mean")
+    assert(row.getDouble(2) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(3),
+      "point estimate inside the 95% CI")
+  }
+
+  test("evt_backtest: seasonal-naive scores only days with a t-7 observation") {
+    import spark.implicits._
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // "click": count(day d) = d for d in 1..14 → days 8..14 scored,
+    // every error exactly 7. "view": days 1 and 9 only → no (d, d-7)
+    // pair exists, so the type must be absent from the output
+    var id = 0L
+    val rows =
+      (for (d <- 1 to 14; _ <- 1 to d) yield { id += 1; (id, ts(d), 1L, "click", 1.0, "{}") }) ++
+      Seq((9001L, ts(1), 2L, "view", 1.0, "{}"), (9002L, ts(9), 2L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-evbt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.backtest(spark, dir).collect()
+    assert(out.length === 1 && out(0).getString(0) === "click",
+      "gap-only type must not be scored")
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMape = r9((8 to 14).map(t => r9(7.0 / t)).map(BigDecimal(_)).sum.toDouble / 7)
+    assert(out(0).getLong(1) === 7L)
+    assert(out(0).getDouble(2) === 7.0)
+    assert(out(0).getDouble(3) === expMape)
+  }
+
   test("evt_gap_fill: silent days EXIST as zero rows") {
     import spark.implicits._
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")

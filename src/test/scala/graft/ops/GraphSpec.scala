@@ -61,6 +61,28 @@ class GraphSpec extends AnyFunSuite {
     assert(rows(12L) === ((1L, 0L, 0.0)))
   }
 
+  test("assortativity: star is perfectly disassortative, regular graph is NULL") {
+    // K1,5: every edge joins the deg-5 hub to a deg-1 leaf → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)).toDF("d1", "d2")
+    val r = GraphOps.assortativityOnPairs(star).collect()(0)
+    assert(r.getLong(0) === 5L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9, s"star r: ${r.getDouble(1)}")
+    // 2-cycle: all degrees equal → zero variance → NULL, not NaN/Inf
+    val cyc = Seq((10L, 11L)).toDF("d1", "d2")
+    val rc = GraphOps.assortativityOnPairs(cyc).collect()(0)
+    assert(rc.isNullAt(1), "regular graph must yield NULL assortativity")
+  }
+
+  test("clustering: K4 coefficient 1.0 per degree-3 node, open path middle 0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("d1", "d2")
+    val rows = GraphOps.clusteringOnPairs(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(3L) === ((4L, 1.0)), "K4: four deg-3 nodes, avg C = 1")
+    assert(rows(2L) === ((1L, 0.0)), "path middle: deg 2, no closing edge")
+    assert(!rows.contains(1L), "deg-1 nodes have no defined coefficient")
+  }
+
   test("bfs: roots, shortest distances, multi-component, and the hop-cap horizon") {
     // a 13-node path 0-1-...-12 (diameter 12 > BfsRounds 8) plus the
     // disjoint star/2-cycle — pins all three declared semantics:

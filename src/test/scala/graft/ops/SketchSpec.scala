@@ -228,6 +228,31 @@ class SketchSpec extends AnyFunSuite {
     SimilarityOps.evictIvfCache() // don't leak the temp-dir index entry
   }
 
+  test("emb_rp: one-hot vectors project with EXACTLY unit ratio; corpus hugs 1") {
+    import spark.implicits._
+    // ⟨s_j, e_i⟩² = s_{j,i}² = 1 for every ±1 sign row, so a one-hot
+    // vector's ratio is exactly (K·1/K)/1 = 1 — an algebraic identity
+    // of the Rademacher matrix, independent of the hash draws
+    val oneHots = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(k => if (k == i) 1.0f else 0.0f), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp").toString
+    oneHots.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SimilarityOps.randomProjection(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 64L)
+    assert(r(0).getDouble(2) === 1.0 && r(0).getDouble(3) === 1.0 &&
+      r(0).getDouble(4) === 1.0, s"one-hot ratios must be exactly 1: ${r(0)}")
+    // corpus-wide: the JL expectation — per-label means near 1
+    val corpus = SimilarityOps.randomProjection(spark, sf).collect()
+    assert(corpus.map(_.getLong(1)).sum === 500L)
+    corpus.foreach { row =>
+      val avg = row.getDouble(2)
+      assert(avg > 0.5 && avg < 1.6, s"label ${row.get(0)} avg ratio $avg")
+    }
+  }
+
   test("knn_label predicts the crafted neighborhood's label, not the query's own") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

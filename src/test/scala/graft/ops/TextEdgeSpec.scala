@@ -24,6 +24,30 @@ class TextEdgeSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  test("text_sentiment: per-lang aggregates equal a pure-Scala lexicon replay") {
+    val sf = "/root/testdata/sf0.001"
+    val lex = Map("fast" -> 1L, "big" -> 1L, "spark" -> 1L,
+      "slow" -> -1L, "small" -> -1L, "dup" -> -1L)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map { r =>
+        val s = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(lex.getOrElse(_, 0L)).sum
+        r.getString(0) -> s
+      }
+    val want = docs.groupBy(_._1).map { case (lang, xs) =>
+      val n = xs.length
+      val sum = xs.map(_._2).sum
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      lang -> ((n.toLong, sum, r9(sum.toDouble / n),
+        r9(xs.count(_._2 > 0).toDouble / n), r9(xs.count(_._2 < 0).toDouble / n)))
+    }
+    val got = TextAnalysisOps.sentiment(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === want, "sentiment aggregates diverge from the Scala replay")
+  }
+
   test("0/1/2-char documents classify as DuckDB would (no spurious bigrams)") {
     import spark.implicits._
     // ids whose xhash60(id, 5) % 10 == 0 ARE in langIdNgram's profile

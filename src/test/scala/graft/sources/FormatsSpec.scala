@@ -41,6 +41,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(msgs.contains("overflow"), msgs.take(500))
   }
 
+  test("XML round-trip preserves documents incl. entities, quotes, and newlines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en", "src1", 10L),
+      (2L, "a & b < c > \"d\"", "de", "src2", 15L),      // every XML metachar
+      (3L, "line one\nline two", "fr", "src3", 17L),     // embedded newline
+      (4L, "already &amp; &#10; escaped-looking", "zh", "src4", 35L), // literal entities
+      (5L, "", "en", "src5", 0L))                        // empty text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-xml").toString
+    SourceQueries.writeXml(docs, dir)
+    val back = SourceQueries.readXml(spark, dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // the staged form really is one element per line (splittable)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length === 5 &&
+      lines.forall(l => l.startsWith("<doc ") && l.endsWith("/>")))
+  }
+
+  test("JSON-array round-trip preserves documents; each file is valid JSON") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain", "en", "src1", 5L),
+      (2L, "quotes \" and \\ backslash", "de", "src2", 24L),
+      (3L, "newline\nhere", "fr", "src3", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+    val dir = Files.createTempDirectory("graft-jsonarr").toString
+    SourceQueries.writeJsonArray(docs, dir)
+    val back = spark.read.option("multiLine", "true")
+      .schema(SourceQueries.docSchema).json(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // every staged part file parses standalone as a JSON array
+    import java.nio.file.{Files => JF, Paths}
+    import scala.jdk.CollectionConverters._
+    JF.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).foreach { p =>
+        val s = new String(JF.readAllBytes(p), "UTF-8").trim
+        assert(s.startsWith("[") && s.endsWith("]"), s"$p not array-framed")
+      }
+  }
+
   test("JSONL round-trip preserves orders") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Formats.writeJsonl(orders, dir)

@@ -139,6 +139,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("event_id").distinct().count() === 2 * n)
   }
 
+  test("stream_upsert: multi-batch foreachBatch merge equals the one-shot batch aggregate") {
+    val got = EventStreams.streamUpsert(spark, sf)
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        max(col("ts")).as("last_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "merged store diverges from the batch aggregate")
+  }
+
   test("streaming dedup removes duplicate event ids") {
     // stage the events file TWICE — every event arrives duplicated
     val d = Files.createTempDirectory("graft-evdup")
