@@ -861,6 +861,61 @@ object MultimodalOps {
       |  TRUE AS dims_match
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin
 
+  /** SubRip subtitle assets for the corpus's 'video' rows: 1 + id%4
+    * cues, start/duration keyed on doc_id, caption text sliced from
+    * the document tokens — real timed-text containers built and
+    * parsed with [[SrtCodec]]. */
+  def srtAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 2) // the 'video' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val k = (1 + id % 4).toInt
+          val cues = (0 until k).map { i =>
+            val start = i * 3000L + id % 997
+            val dur = 800L + (id + i) % 1200
+            (start, start + dur,
+              toks.slice(i * 5, i * 5 + 5).mkString(" "))
+          }
+          (id, SrtCodec.encode(cues))
+        }
+      }.toDF("asset_id", "srt")
+  }
+
+  /** Declared query: parse real SubRip documents back to cue timings —
+    * caption count, first-start / last-end (the captioned span), and
+    * total captioned milliseconds, the coverage numbers an A/V
+    * training pipeline computes before aligning transcripts to audio.
+    * The parser validates structure loudly ([[SrtCodec.decode]]);
+    * the oracle replays the generation arithmetic (list_sum over the
+    * per-cue duration formula) and knows nothing about SRT. */
+  def mmSrt(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    srtAssets(spark, d).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, srt) =>
+          val cues = SrtCodec.decode(srt)
+          (id, cues.length.toLong, cues.head.startMs, cues.last.endMs,
+            cues.map(c => c.endMs - c.startMs).sum)
+        }
+      }.toDF("asset_id", "n_cues", "first_start_ms", "last_end_ms",
+        "total_caption_ms")
+      .orderBy("asset_id")
+  }
+
+  def mmSrtSql: String =
+    """SELECT doc_id AS asset_id,
+      |  1 + doc_id % 4 AS n_cues,
+      |  doc_id % 997 AS first_start_ms,
+      |  (doc_id % 4) * 3000 + doc_id % 997
+      |    + 800 + (doc_id + doc_id % 4) % 1200 AS last_end_ms,
+      |  CAST(list_sum(list_transform(range(1 + doc_id % 4),
+      |    i -> 800 + (doc_id + i) % 1200)) AS BIGINT) AS total_caption_ms
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""".stripMargin
+
   /** Real MP3 frame sequences for the corpus's audio assets —
     * format parameters keyed on doc_id (the full MPEG-1 L3 bitrate
     * table gets exercised), frame payloads cycled from the text. */

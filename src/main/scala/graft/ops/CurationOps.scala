@@ -338,6 +338,83 @@ object CurationOps {
        |FROM tok t JOIN nll l ON t.bucket = l.bucket
        |GROUP BY t.doc_id, t.lang ORDER BY doc_id""".stripMargin
 
+  /** Quality cut for the kappa agreement study (fixed, not a corpus
+    * quantile — the two signals must be independent of each other's
+    * distribution for the agreement to mean anything). */
+  private val KappaQualityCut = 0.6
+
+  /** Inter-filter agreement (Cohen's κ) between the two quality
+    * signals the pipeline already computes — the heuristic composite
+    * ([[graft.ops.TextAnalysisOps.qualityScore]] ≥ [[KappaQualityCut]])
+    * and the Gopher rule gate ([[graft.ops.TextAnalysisOps.gopherRules]]
+    * `keep`) — the calibration table a curation owner reads before
+    * trusting either filter alone: raw agreement says how often they
+    * co-vote, κ subtracts the agreement two coin-flips with these
+    * marginals would get for free. Chance-corrected agreement is the
+    * standard duplicate-labeler diagnostic, and both inputs are
+    * already-gated declared plans, so this is pure composition: one
+    * doc_id equi-join and a single 2×2 conditional aggregate. The
+    * four cell counts are exact BIGINTs; p_o/p_e/κ are identical
+    * double expressions in both engines (each marginal ratio divides
+    * before multiplying, so nothing overflows at any corpus size),
+    * rounded 9; a degenerate table (p_e = 1) yields NULL κ in both. */
+  def filterKappa(spark: SparkSession, d: String): DataFrame = {
+    val a = TextAnalysisOps.qualityScore(spark, d)
+      .select(col("doc_id"), (col("quality") >= KappaQualityCut).as("a"))
+    val b = TextAnalysisOps.gopherRules(spark, d)
+      .select(col("doc_id"), col("keep").as("b"))
+    val cells = a.join(b, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") / nD) *
+        ((col("n11") + col("n01")).cast("double") / nD) +
+      ((col("n01") + col("n00")).cast("double") / nD) *
+        ((col("n10") + col("n00")).cast("double") / nD)
+    cells.select(col("n").as("n_docs"),
+      col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 9).as("agreement"),
+      when(lit(1.0) - pe === 0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+  }
+
+  def filterKappaSql: String = {
+    val qualityKeep =
+      s"""SELECT doc_id, quality >= $KappaQualityCut AS a
+         |FROM (${TextAnalysisOps.qualityScoreSql})""".stripMargin
+    val gopherKeep =
+      s"""SELECT doc_id, keep AS b FROM (${TextAnalysisOps.gopherRulesSql})"""
+    s"""WITH qa AS ($qualityKeep),
+       |gb AS ($gopherKeep),
+       |cells AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+       |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+       |    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+       |    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+       |  FROM qa JOIN gb USING (doc_id))
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       |  round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS agreement,
+       |  CASE WHEN 1.0 - (
+       |      (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+       |    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)) = 0
+       |    THEN CAST(NULL AS DOUBLE)
+       |    ELSE round((CAST(n11 + n00 AS DOUBLE) / n - (
+       |      (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+       |    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+       |    / (1.0 - (
+       |      (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+       |    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))), 9)
+       |  END AS kappa
+       |FROM cells""".stripMargin
+  }
+
   def scoreDsirSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, ${xhash60Sql("tok", 37)} % $DsirB AS bucket

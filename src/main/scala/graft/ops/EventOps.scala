@@ -2082,6 +2082,76 @@ object EventOps {
       |  round(detr - seasonal, 9) AS resid
       |FROM dt JOIN sidx USING (dow) ORDER BY day""".stripMargin
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * marketing-analytics allocator that splits each purchase's value
+    * across the clicks that preceded it: 40% to the first touch, 40%
+    * to the last, 20% shared equally by the middles (100% / 50-50 for
+    * one / two touches), summarized by the touch's day of week. The
+    * batch complement to the streaming last-touch join
+    * ([[graft.streaming.EventStreams.attribution]]) — same
+    * click→purchase substrate, the full credit model instead of
+    * winner-takes-all.
+    *
+    * Scale shape: one user-keyed equi-join (clicks × purchases per
+    * user, each side pre-filtered by type — the [[funnel]] fan-out
+    * bound), a per-purchase window over that purchase's own touches
+    * (never more rows than the user's click count), and a ≤7-key
+    * aggregate. Shares are small exact rationals evaluated as
+    * identical double expressions in both engines; per-touch credits
+    * round at 9 and sum through DECIMAL(18,9) ([[OpsUtil.dsum]]
+    * contract). */
+  def attrPositional(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("pts"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .where(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cts"), col("cid"))
+    val scored = touches
+      .select(col("pid"), col("value"), col("cts"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("pid"))).as("n"))
+      .select(col("cts"),
+        round(col("value") * when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)), 9).as("credit"))
+    scored.groupBy(dayofweek(col("cts")).as("dow"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit").cast("decimal(18,9)")).cast("double"), 9)
+          .as("credited_value"))
+      .orderBy("dow")
+  }
+
+  def attrPositionalSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS cid, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |t AS (
+      |  SELECT p.pid, p.value, c.cts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p.pid) AS n
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |  WHERE c.cts < p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
+      |s AS (
+      |  SELECT cts, round(value * (CASE
+      |    WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+      |    WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+      |    WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+      |    ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 9) AS credit
+      |  FROM t)
+      |SELECT dayofweek(cts) + 1 AS dow, COUNT(*) AS n_touches,
+      |  round(CAST(SUM(CAST(credit AS DECIMAL(18,9))) AS DOUBLE), 9)
+      |    AS credited_value
+      |FROM s GROUP BY 1 ORDER BY dow""".stripMargin
+
   /** Seasonal-naive forecast backtest — the rolling-origin evaluation
     * every forecasting pipeline runs before trusting a model: predict
     * each day's per-type event count with the count 7 days earlier,

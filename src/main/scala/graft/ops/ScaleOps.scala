@@ -356,6 +356,78 @@ object ScaleOps {
         col("x"), col("y"))
   }
 
+  /** The full table inventory the compaction planner packs. */
+  private val CompactionTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Target compaction-group size (compressed bytes). */
+  private val CompactionTargetBytes = 2L * 1024 * 1024
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * parquet lake runs (Delta OPTIMIZE / Iceberg rewrite_data_files):
+    * read each file's size from its FOOTER (never the data), sort
+    * descending, and assign files to target-sized compaction groups by
+    * prefix-sum next-fit — bin = floor(bytes-before-me / target), a
+    * deterministic greedy that both engines can replay with integer
+    * arithmetic (an FFD-style best-fit needs sequential state; the
+    * prefix-sum form is the same O(1)-state greedy expressed as a
+    * window, which is what makes it distributable). A file larger
+    * than the target becomes its own oversized group (files are never
+    * split), which simply advances later bin indices.
+    *
+    * Scale shape: footer reads fan out one task per file; the window
+    * runs over the file MANIFEST (one row per file, never data rows) —
+    * at 100 TB that is the catalog listing, orders of magnitude
+    * smaller than any table. */
+  def compactionPlan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.expressions.Window
+    val paths = CompactionTables.map(t => (t, s"$d/$t.parquet"))
+    val sizes = spark.sparkContext.parallelize(paths, paths.size)
+      .map { case (t, p) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          (t, blocks.map(_.getRowCount).sum,
+            blocks.flatMap(_.getColumns.asScala).map(_.getTotalSize).sum)
+        } finally r.close()
+      }.toDF("tbl", "n_rows", "comp_bytes")
+    val w = Window.orderBy(col("comp_bytes").desc, col("tbl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizes.withColumn("cum", sum(col("comp_bytes")).over(w))
+      .select(col("tbl"), col("n_rows"), col("comp_bytes"),
+        expr(s"(cum - comp_bytes) div $CompactionTargetBytes").as("bin"))
+      .orderBy(col("bin"), col("comp_bytes").desc, col("tbl"))
+  }
+
+  /** DuckDB replay off the same footers: parquet_metadata() per-chunk
+    * rows → per-file sizes → the identical prefix-sum next-fit. */
+  def compactionPlanSql: String =
+    s"""WITH rg AS (
+       |  SELECT file_name, row_group_id,
+       |    MAX(row_group_num_rows) AS rg_rows,
+       |    SUM(total_compressed_size) AS rg_bytes
+       |  FROM parquet_metadata('__SF_DIR__/*.parquet')
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT regexp_extract(file_name, '([a-z_]+)\\.parquet', 1) AS tbl,
+       |    CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
+       |    CAST(SUM(rg_bytes) AS BIGINT) AS comp_bytes
+       |  FROM rg GROUP BY 1),
+       |c AS (
+       |  SELECT tbl, n_rows, comp_bytes,
+       |    SUM(comp_bytes) OVER (ORDER BY comp_bytes DESC, tbl
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m)
+       |SELECT tbl, n_rows, comp_bytes,
+       |  CAST((cum - comp_bytes) // $CompactionTargetBytes AS BIGINT) AS bin
+       |FROM c ORDER BY bin, comp_bytes DESC, tbl""".stripMargin
+
   // (orderkey, linenumber, x, y) is the row identity in the synthetic
   // data — (orderkey, linenumber) alone is not unique, so the oracle's
   // per-bit GROUP BY must carry x and y to stay per-row.

@@ -796,6 +796,47 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ExifCodec.readExif(jpeg) }
   }
 
+  test("SrtCodec round-trips cues and rejects structural damage") {
+    val cues = Seq(
+      (123L, 1456L, "first caption"),
+      (3123L, 4000L, "second line one\nsecond line two"),
+      (9000L, 3600000L + 61123L, "an hour-plus cue"))
+    val srt = SrtCodec.encode(cues)
+    val back = SrtCodec.decode(srt)
+    assert(back.map(c => (c.startMs, c.endMs, c.text)) === cues)
+    assert(back.map(_.index) === Seq(1, 2, 3))
+    assert(srt.contains("00:00:00,123 --> 00:00:01,456"))
+    assert(srt.contains("01:01:01,123"), "hour/minute/second carry")
+    // damage: non-sequential index, bad stamp, inverted range, overlap
+    intercept[IllegalArgumentException] {
+      SrtCodec.decode("2\n00:00:00,000 --> 00:00:01,000\nx\n")
+    }
+    intercept[IllegalArgumentException] {
+      SrtCodec.decode("1\n00:00:70,000 --> 00:01:11,000\nx\n")
+    }
+    intercept[IllegalArgumentException] {
+      SrtCodec.decode("1\n00:00:02,000 --> 00:00:01,000\nx\n")
+    }
+    intercept[IllegalArgumentException] {
+      SrtCodec.decode(SrtCodec.encode(Seq((0L, 5000L, "a"), (4000L, 6000L, "b"))))
+    }
+  }
+
+  test("mm_srt parses the corpus subtitle assets to the generation arithmetic") {
+    val rows = MultimodalOps.mmSrt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = 1 + id % 4
+      assert(r.getLong(1) === k, s"n_cues of $id")
+      assert(r.getLong(2) === id % 997, s"first_start of $id")
+      assert(r.getLong(3) === (k - 1) * 3000 + id % 997 + 800 + (id + k - 1) % 1200,
+        s"last_end of $id")
+      assert(r.getLong(4) === (0L until k).map(i => 800 + (id + i) % 1200).sum,
+        s"total ms of $id")
+    }
+  }
+
   test("mm_exif walks the corpus assets to the generation arithmetic") {
     val rows = MultimodalOps.mmExif(spark, sf).collect()
     assert(rows.nonEmpty)

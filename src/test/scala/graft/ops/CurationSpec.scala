@@ -98,6 +98,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0.0)
   }
 
+  test("curate_kappa: cells and kappa equal a pure-Scala replay of the two filters") {
+    val sf = "/root/testdata/sf0.001"
+    val qa = TextAnalysisOps.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(5) >= 0.6)).toMap
+    val gb = TextAnalysisOps.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(10)).toMap
+    val joined = qa.keySet.intersect(gb.keySet).toSeq.map(id => (qa(id), gb(id)))
+    val n11 = joined.count { case (a, b) => a && b }
+    val n10 = joined.count { case (a, b) => a && !b }
+    val n01 = joined.count { case (a, b) => !a && b }
+    val n00 = joined.count { case (a, b) => !a && !b }
+    val n = joined.size.toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * ((n10 + n00) / n)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = CurationOps.filterKappa(spark, sf).collect()(0)
+    assert(row.getLong(0) === joined.size.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ===
+      ((n11.toLong, n10.toLong, n01.toLong, n00.toLong)))
+    assert(row.getDouble(5) === r9(po))
+    assert(row.getDouble(6) === r9((po - pe) / (1.0 - pe)))
+  }
+
   test("curate_pipeline funnel: dedup drops the twin, quality drops short/long-word docs") {
     val d = corpus(Seq(
       (1L, "a b c d e f", "en", "e", 0L),          // 6 toks, mwl 1 → survives quality

@@ -44,6 +44,37 @@ class EventWindowSpec extends AnyFunSuite {
       "point estimate inside the 95% CI")
   }
 
+  test("evt_attr_positional: U-shaped credit with window and post-purchase exclusions") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 10: 3 in-window clicks (Mon first, Tue middle, Wed last),
+      // one >7d before, one AFTER the purchase — both must be ignored
+      (1L, t("2024-01-10 12:00:00"), 10L, "purchase", 100.0, "{}"),
+      (2L, t("2024-01-08 09:00:00"), 10L, "click", 0.0, "{}"),
+      (3L, t("2024-01-09 09:00:00"), 10L, "click", 0.0, "{}"),
+      (4L, t("2024-01-10 09:00:00"), 10L, "click", 0.0, "{}"),
+      (5L, t("2024-01-01 09:00:00"), 10L, "click", 0.0, "{}"),
+      (6L, t("2024-01-10 13:00:00"), 10L, "click", 0.0, "{}"),
+      // user 11: single touch takes 100%
+      (7L, t("2024-01-10 12:00:00"), 11L, "purchase", 10.0, "{}"),
+      (8L, t("2024-01-09 10:00:00"), 11L, "click", 0.0, "{}"),
+      // user 12: two touches split 50/50
+      (9L, t("2024-01-10 12:00:00"), 12L, "purchase", 10.0, "{}"),
+      (10L, t("2024-01-08 10:00:00"), 12L, "click", 0.0, "{}"),
+      (11L, t("2024-01-09 11:00:00"), 12L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-attrpos").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.attrPositional(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Spark dayofweek: Mon=2, Tue=3, Wed=4
+    assert(out === Map(
+      2 -> ((2L, 45.0)),  // 40 (u10 first) + 5 (u12 first)
+      3 -> ((3L, 35.0)),  // 20 (u10 middle) + 10 (u11 solo) + 5 (u12 last)
+      4 -> ((1L, 40.0)))) // u10 last
+  }
+
   test("evt_backtest: seasonal-naive scores only days with a t-7 observation") {
     import spark.implicits._
     def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")

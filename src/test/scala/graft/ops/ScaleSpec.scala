@@ -152,6 +152,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
   }
 
+  test("layout_compaction: footer sizes are real and the next-fit replays in Scala") {
+    val rows = ScaleOps.compactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10, "one plan row per table")
+    val byTbl = rows.map(r => r._1 -> r._2).toMap
+    assert(byTbl("events") === 1000L && byTbl("documents") === 500L,
+      "footer row counts must match the known sf0.001 cardinalities")
+    assert(rows.forall(_._3 > 0), "every file has a positive compressed size")
+    // independent next-fit replay over the reported sizes
+    val target = 2L * 1024 * 1024
+    var cum = 0L
+    rows.sortBy(r => (-r._3, r._1)).foreach { case (tbl, _, bytes, bin) =>
+      assert(bin === cum / target, s"$tbl bin (cum=$cum)")
+      cum += bytes
+    }
+  }
+
   test("z-order layout prunes on EITHER dimension; a plain sort only its own") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
