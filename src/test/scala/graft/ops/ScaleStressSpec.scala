@@ -256,7 +256,19 @@ class ScaleStressSpec extends AnyFunSuite {
       ("text_boilerplate", d => { TextAnalysisOps.boilerplate(spark, d).count(); () }),
       ("text_bigram_lm", d => { TextAnalysisOps.bigramLm(spark, d).count(); () }),
       ("mm_phash_dedup", d => { graft.multimodal.MultimodalOps.mmPhashDedup(spark, d).count(); () }),
-      ("evt_streaks", d => { EventOps.streaks(spark, d).count(); () }))
+      ("evt_streaks", d => { EventOps.streaks(spark, d).count(); () }),
+      // round-13 batch-2 additions. bootstrap: the ×100 explode must
+      // stay map-side combined onto B keys (shuffle O(B·partitions),
+      // never O(B·N)). attribution: user-salted copies keep per-user
+      // click/purchase histories constant, so the user-keyed join must
+      // grow ~×8 pairs, never (8·clicks)². kappa: two corpus passes +
+      // one doc-keyed join — a per-filter re-scan shows as a constant
+      // multiple, a pairwise shape trips the gate. rp: K in-array
+      // folds per row, no shuffle until the |labels| aggregate.
+      ("evt_bootstrap", d => { EventOps.bootstrap(spark, d).count(); () }),
+      ("evt_attr_positional", d => { EventOps.attrPositional(spark, d).count(); () }),
+      ("curate_kappa", d => { CurationOps.filterKappa(spark, d).count(); () }),
+      ("emb_rp", d => { SimilarityOps.randomProjection(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
