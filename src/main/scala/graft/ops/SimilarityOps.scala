@@ -1433,6 +1433,158 @@ object SimilarityOps {
       |       ELSE round(num / den, 9) END AS rayleigh
       |FROM vv, rq ORDER BY dim""".stripMargin
 
+  /** Two-component PCA via deflated power iteration — the spectral
+    * step after [[embPowerIter]]: estimate (λ1, u) with the same
+    * three quantized matvecs, deflate the covariance
+    * (C₂ = C − λ1·û·ûᵀ, û unit), and power-iterate on C₂ for (λ2, w).
+    * Output per dimension: both unit components, both eigenvalue
+    * estimates, and their explained-variance shares against the
+    * trace — the "how many dims does this embedding really have"
+    * table that decides whether [[randomProjection]]'s 4× reduction
+    * is safe for a given corpus.
+    *
+    * Scale shape: the corpus is touched ONCE (the fixed-point Gram
+    * pass of [[covOf]]); everything after lives on dims² ≤ 4096 rows
+    * with every vector broadcast. Deterministic cross-engine: each
+    * matvec term rounds at the [[embPowerIter]] per-round precisions
+    * and sums through DECIMAL; the deflated cells round at 12; the
+    * second seed alternates ±0.125 by dimension parity (a fixed seed
+    * orthogonal to nothing in particular — deflation, not the seed,
+    * removes the first component). Degenerate spectra (zero Rayleigh
+    * denominator / zero trace) yield NULLs identically in both
+    * engines. */
+  def embPca2(spark: SparkSession, d: String): DataFrame = {
+    val cov = covOf(spark, d).localCheckpoint(false)
+    // Every intermediate quantizes through INTEGER arithmetic —
+    // floor(t·1eK + 0.5) summed as BIGINT — not round(_, k)-into-
+    // DECIMAL: both engines' round(DOUBLE, k) implementations disagree
+    // by one ulp at half-boundaries (observed on pc2 at sf0.01), while
+    // floor over identical IEEE products is bit-identical by
+    // construction. Scales leave BIGINT headroom at the largest
+    // admissible coordinates (covOf caps |x| ≤ 2.1): terms ≤ ~1e12·5
+    // per cell at 1e12, ≤ ~1e15·5 at 1e15, 64 terms per sum.
+    def q(c: org.apache.spark.sql.Column, scale: Double) =
+      floor(c * lit(scale) + lit(0.5))
+    def qsum(c: org.apache.spark.sql.Column, scale: Double) =
+      sum(q(c, scale)).cast("double") / lit(scale)
+    def matvec(m: DataFrame, v: DataFrame, scale: Double) =
+      m.join(broadcast(v), m("dj") === v("d"))
+        .groupBy(m("di").as("d"))
+        .agg(qsum(m("c") * v("x"), scale).as("x"))
+    def rq(a: DataFrame, b: DataFrame) =
+      a.select(col("d"), col("x").as("a"))
+        .join(b.select(col("d"), col("x").as("b")), Seq("d"))
+        .agg(qsum(col("b") * col("a"), 1e15).as("num"),
+          qsum(col("a") * col("a"), 1e15).as("den"))
+    def lam(r: DataFrame, name: String) = r.select(
+      when(col("den") === 0, lit(null).cast("double"))
+        .otherwise(col("num") / col("den")).as(name))
+    def unit(v: DataFrame, name: String) = {
+      val nn = v.agg(qsum(col("x") * col("x"), 1e15).as("nn"))
+      v.crossJoin(broadcast(nn))
+        .select(col("d"), (col("x") / sqrt(col("nn"))).as(name))
+    }
+    val v1 = cov.groupBy(col("di").as("d"))
+      .agg(qsum(col("c") * lit(0.125), 1e12).as("x"))
+    val v2 = matvec(cov, v1, 1e12)
+    val v3 = matvec(cov, v2, 1e14)
+    val u = unit(v3, "u")
+    val lam1 = lam(rq(v2, v3), "lam1")
+    val cov2 = cov
+      .join(broadcast(u.select(col("d").as("di"), col("u").as("ui"))), Seq("di"))
+      .join(broadcast(u.select(col("d").as("dj"), col("u").as("uj"))), Seq("dj"))
+      .crossJoin(broadcast(lam1))
+      .select(col("di"), col("dj"),
+        (q(col("c") - col("lam1") * col("ui") * col("uj"), 1e12) / lit(1e12)).as("c"))
+      .localCheckpoint(false)
+    val w1 = u.select(col("d"),
+      when(col("d") % 2 === 0, lit(0.125)).otherwise(lit(-0.125)).as("x"))
+    val w2 = matvec(cov2, w1, 1e12)
+    val w3 = matvec(cov2, w2, 1e14)
+    val lam2 = lam(rq(w2, w3), "lam2")
+    val tr = cov.where(col("di") === col("dj"))
+      .agg(qsum(col("c"), 1e12).as("tr"))
+    // f9, not round(_, 9): these outputs are quotients of exact
+    // decimal sums (x/sqrt(nn), num/den) whose doubles can land on a
+    // half-boundary of the 9th digit, where Spark's BigDecimal HALF_UP
+    // and DuckDB's float rounding disagree by one ulp (observed on
+    // pc2 at sf0.01). floor(x*1e9 + 0.5)/1e9 is the same IEEE ops in
+    // both engines, so the quantization is bit-identical by
+    // construction.
+    def f9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    u.join(unit(w3, "w"), Seq("d"))
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+      .crossJoin(broadcast(tr))
+      .select(col("d").cast("long").as("dim"),
+        f9(col("u")).as("pc1"), f9(col("w")).as("pc2"),
+        f9(col("lam1")).as("lam1"), f9(col("lam2")).as("lam2"),
+        when(col("tr") === 0, lit(null).cast("double"))
+          .otherwise(f9(col("lam1") / col("tr"))).as("ev1_share"),
+        when(col("tr") === 0, lit(null).cast("double"))
+          .otherwise(f9(col("lam2") / col("tr"))).as("ev2_share"))
+      .orderBy("dim")
+  }
+
+  // qsum mirror: SUM over CAST(floor(term·scale + 0.5) AS BIGINT) —
+  // floor's integer-valued DOUBLE must become BIGINT before the SUM
+  // (a double sum passes 2^53 at these scales and goes order-dependent)
+  private def qsumSql(term: String, scale: String): String =
+    s"CAST(SUM(CAST(floor($term * $scale + 0.5) AS BIGINT)) AS DOUBLE) / $scale"
+
+  def embPca2Sql: String =
+    s"""WITH $covCteSql,
+      |v1 AS (
+      |  SELECT di AS d, ${qsumSql("c * 0.125", "1e12")} AS x
+      |  FROM cov GROUP BY di),
+      |v2 AS (
+      |  SELECT cov.di AS d, ${qsumSql("cov.c * v1.x", "1e12")} AS x
+      |  FROM cov JOIN v1 ON v1.d = cov.dj GROUP BY cov.di),
+      |v3 AS (
+      |  SELECT cov.di AS d, ${qsumSql("cov.c * v2.x", "1e14")} AS x
+      |  FROM cov JOIN v2 ON v2.d = cov.dj GROUP BY cov.di),
+      |rq1 AS (
+      |  SELECT ${qsumSql("v3.x * v2.x", "1e15")} AS num,
+      |         ${qsumSql("v2.x * v2.x", "1e15")} AS den
+      |  FROM v2 JOIN v3 ON v3.d = v2.d),
+      |lam1 AS (SELECT CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+      |                     ELSE num / den END AS lam1 FROM rq1),
+      |n3 AS (SELECT ${qsumSql("x * x", "1e15")} AS nn FROM v3),
+      |u AS (SELECT d, x / sqrt((SELECT nn FROM n3)) AS u FROM v3),
+      |cov2 AS MATERIALIZED (
+      |  SELECT cov.di, cov.dj,
+      |    floor((cov.c - (SELECT lam1 FROM lam1) * ua.u * ub.u) * 1e12 + 0.5)
+      |      / 1e12 AS c
+      |  FROM cov JOIN u ua ON ua.d = cov.di JOIN u ub ON ub.d = cov.dj),
+      |w1 AS (SELECT d, CASE WHEN d % 2 = 0 THEN CAST(0.125 AS DOUBLE)
+      |                      ELSE CAST(-0.125 AS DOUBLE) END AS x FROM u),
+      |w2 AS (
+      |  SELECT cov2.di AS d, ${qsumSql("cov2.c * w1.x", "1e12")} AS x
+      |  FROM cov2 JOIN w1 ON w1.d = cov2.dj GROUP BY cov2.di),
+      |w3 AS (
+      |  SELECT cov2.di AS d, ${qsumSql("cov2.c * w2.x", "1e14")} AS x
+      |  FROM cov2 JOIN w2 ON w2.d = cov2.dj GROUP BY cov2.di),
+      |rq2 AS (
+      |  SELECT ${qsumSql("w3.x * w2.x", "1e15")} AS num,
+      |         ${qsumSql("w2.x * w2.x", "1e15")} AS den
+      |  FROM w2 JOIN w3 ON w3.d = w2.d),
+      |lam2 AS (SELECT CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+      |                     ELSE num / den END AS lam2 FROM rq2),
+      |n3b AS (SELECT ${qsumSql("x * x", "1e15")} AS nn FROM w3),
+      |tr AS (SELECT ${qsumSql("c", "1e12")} AS tr FROM cov WHERE di = dj)
+      |SELECT CAST(u.d AS BIGINT) AS dim,
+      |  floor(u.u * 1e9 + 0.5) / 1e9 AS pc1,
+      |  floor(w3.x / sqrt((SELECT nn FROM n3b)) * 1e9 + 0.5) / 1e9 AS pc2,
+      |  floor((SELECT lam1 FROM lam1) * 1e9 + 0.5) / 1e9 AS lam1,
+      |  floor((SELECT lam2 FROM lam2) * 1e9 + 0.5) / 1e9 AS lam2,
+      |  CASE WHEN (SELECT tr FROM tr) = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE floor((SELECT lam1 FROM lam1) / (SELECT tr FROM tr) * 1e9 + 0.5) / 1e9
+      |  END AS ev1_share,
+      |  CASE WHEN (SELECT tr FROM tr) = 0 THEN CAST(NULL AS DOUBLE)
+      |    ELSE floor((SELECT lam2 FROM lam2) / (SELECT tr FROM tr) * 1e9 + 0.5) / 1e9
+      |  END AS ev2_share
+      |FROM u JOIN w3 ON w3.d = u.d ORDER BY dim""".stripMargin
+
   def embPowerSql: String =
     s"""WITH $covCteSql,
       |v1 AS (

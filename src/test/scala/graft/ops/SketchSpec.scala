@@ -253,6 +253,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_pca2: recovers a planted 2D spectrum; corpus components near-orthogonal") {
+    import spark.implicits._
+    // planted spectrum: axis0 variance 2.25, axis1 variance 0.25,
+    // rest 0 (coords stay inside covOf's |x| <= 2.1 fixed-point range)
+    val pts = for (s0 <- Seq(-1.5f, 1.5f); s1 <- Seq(-0.5f, 0.5f); k <- 0 until 5) yield {
+      val v = new Array[Float](64); v(0) = s0; v(1) = s1
+      ((s0 * 2).toLong * 100 + (s1 * 2).toLong * 10 + 500 + k, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca2").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityOps.embPca2(spark, dir).collect()
+    val pc1 = rows.map(_.getDouble(1)); val pc2 = rows.map(_.getDouble(2))
+    assert(math.abs(pc1(0)) > 0.999, s"pc1 must align with axis0: ${pc1(0)}")
+    assert(math.abs(pc2(1)) > 0.999, s"pc2 must align with axis1: ${pc2(1)}")
+    assert(math.abs(rows(0).getDouble(3) - 2.25) < 0.01, s"lam1: ${rows(0).getDouble(3)}")
+    assert(math.abs(rows(0).getDouble(4) - 0.25) < 0.01, s"lam2: ${rows(0).getDouble(4)}")
+    assert(math.abs(rows(0).getDouble(5) - 0.9) < 0.01, "ev1 share of trace 2.5")
+    // corpus: ordered spectrum, near-orthogonal components, sane shares
+    val c = SimilarityOps.embPca2(spark, sf).collect()
+    val l1 = c(0).getDouble(3); val l2 = c(0).getDouble(4)
+    assert(l1 >= l2 && l2 > 0, s"spectrum order: $l1 vs $l2")
+    val dot = c.map(r => r.getDouble(1) * r.getDouble(2)).sum
+    assert(math.abs(dot) < 0.05, s"pc1·pc2 = $dot")
+    assert(c(0).getDouble(5) > 0 && c(0).getDouble(5) <= 1.0)
+  }
+
   test("knn_label predicts the crafted neighborhood's label, not the query's own") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
