@@ -31,14 +31,41 @@ object Bench {
     * already steady-state) time. See the pass-2 comment in main. */
   val Pass2ThresholdSec = 1.0
 
-  /** Contention threshold for the contract line's `contended` flag,
-    * calibrated for local[32]: quiet-box runs of this workload sit at
-    * cpu/wall ≈ 2.8; the r11 driver bench recorded 2.38 with uniform
-    * +40-80% per-query inflation across unchanged queries — external
-    * load stealing cores, not regressions. Publishing the boolean lets
-    * a reader discount a noisy round mechanically instead of
-    * rediscovering the signature in the per-query deltas. */
-  val ContendedRatioFloor = 2.6
+  /** FALLBACK contention threshold for the contract line's
+    * `contended` flag, used only when /proc/stat is unreadable.
+    * Calibrated for local[32]: the 182-query r12 mix ran quiet at
+    * cpu/wall ≈ 2.8 and contended at 2.38, but the ratio tracks the
+    * QUERY MIX as much as the box — at 250 queries (more streaming /
+    * staging / footer coordination per compute second) a verified-idle
+    * box measures ≈ 2.5, overlapping the old contended band. The
+    * primary signal is therefore [[procStatBusySec]]-based external
+    * CPU (mix-independent: cores consumed by OTHER processes during
+    * the timed section), with this ratio floor as the portable
+    * fallback. */
+  val ContendedRatioFloor = 2.3
+
+  /** Primary contention threshold: external (non-this-JVM) CPU
+    * consumption during the timed section, in cores. An idle box
+    * measures ≈ 0.05–0.2 (kernel + monitoring); the r11-style
+    * incident — another tenant stealing cores — shows up as multiple
+    * full cores. */
+  val ExtCpuCoresFloor = 1.0
+
+  /** Total busy CPU seconds across all cores since boot (user+nice+
+    * system+irq+softirq+steal, i.e. everything but idle+iowait), from
+    * /proc/stat; None off-Linux. Two samples bracketing the timed
+    * section give whole-box CPU, and subtracting this process's own
+    * CPU isolates EXTERNAL load — the direct, query-mix-independent
+    * contention signal. */
+  def procStatBusySec(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
+        Some((f.sum - idle) / 100.0) // USER_HZ=100 on every mainstream linux
+      } finally src.close()
+    } catch { case _: Throwable => None }
 
   /** One timed pass in sorted-name order. A throwing query records
     * its error instead of a timing (timing-to-exception is
@@ -111,15 +138,24 @@ object Bench {
     */
   def compactLine(results: Seq[(String, Double)], failedCount: Int,
                   wallSec: Double, ratio: Double, sfDir: String,
-                  budget: Int = 1500): String = {
+                  budget: Int = 1500,
+                  extCpuCores: Option[Double] = None): String = {
     val total = results.map(_._2).sum
     val desc = results.sortBy { case (n, s) => (-s, n) }
     val prefix =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":{"""
+    // contended: external-CPU signal when measurable (mix-independent),
+    // cpu/wall heuristic as the portable fallback — see the two floors
+    val contended = extCpuCores match {
+      case Some(ext) => ext > ExtCpuCoresFloor
+      case None => ratio < ContendedRatioFloor
+    }
     def suffix(shown: Int, otherSec: Double): String =
       s"""},"other_sec":${fmt2(otherSec)},"n_queries":${results.size},""" +
         s""""n_shown":$shown,"failed":$failedCount,"wall_sec":${fmt2(wallSec)},""" +
-        s""""cpu_wall_ratio":${fmt2(ratio)},"contended":${ratio < ContendedRatioFloor},""" +
+        s""""cpu_wall_ratio":${fmt2(ratio)},""" +
+        extCpuCores.map(e => s""""ext_cpu_cores":${fmt2(e)},""").getOrElse("") +
+        s""""contended":$contended,""" +
         s""""sf":"${jsonEscape(sfDir)}"}"""
     // suffix length varies by a few chars with shown/otherSec; size
     // against the pessimistic all-shown suffix for the first fit.
@@ -242,6 +278,7 @@ object Bench {
     freeBlocks(spark)
 
     val cpu0 = osBean.getProcessCpuTime
+    val busy0 = procStatBusySec()
     val wall0 = System.nanoTime()
     // min-of-2 where it matters (r8 verdict item 5): pass 1 times
     // every query; pass 2 re-measures only the queries whose pass-1
@@ -273,6 +310,11 @@ object Bench {
     val wallP2 = (System.nanoTime() - wallMid) / 1e9
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+    // external load over the timed section, in cores: whole-box busy
+    // CPU minus this JVM's own (clamped: the two clocks tick at
+    // different granularities, so tiny negatives are measurement noise)
+    val extCpuCores = for (b0 <- busy0; b1 <- procStatBusySec())
+      yield math.max(0.0, (b1 - b0 - cpuSec)) / math.max(wallSec, 1e-9)
 
     // Self-describing cache accounting (r7 verdict item 5): the four
     // queries sharing the build-once caches are re-probed with BOTH
@@ -346,6 +388,7 @@ object Bench {
       s""""errors":$errJson,"failed":${errors.size},""" +
       f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,""" +
       f""""pass_sec":[$wallP1%.1f,$wallP2%.1f],"cpu_wall_ratio":$ratio%.2f,""" +
+      extCpuCores.map(e => f""""ext_cpu_cores":$e%.2f,""").getOrElse("") +
       s""""sf":"$sfDir"}"""
     println(detail)
     // checkout-relative (overridable), never a hardcoded absolute path;
@@ -361,7 +404,8 @@ object Bench {
     }
     // Contract line LAST and size-capped so the driver's stdout-tail
     // parse always sees it whole (see compactLine scaladoc).
-    println(compactLine(results, errors.size, wallSec, ratio, sfDir))
+    println(compactLine(results, errors.size, wallSec, ratio, sfDir,
+      extCpuCores = extCpuCores))
     // bucketed-layout staging is deliberately NOT in freeBlocks (the
     // layout is a table property; evicting between passes would bill a
     // full re-stage to join_bucketed's pass-2 time) — but the session

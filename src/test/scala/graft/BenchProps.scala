@@ -32,11 +32,22 @@ object BenchProps extends Properties("Bench") {
         node.get("n_queries").asInt == results.size
     }
 
-  property("compactLine publishes contended exactly when ratio < floor") =
+  property("compactLine publishes contended exactly when ratio < floor (no ext signal)") =
     forAll(resultsGen, Gen.chooseNum(0.5, 5.0)) { (results, ratio) =>
       val line = Bench.compactLine(results, 0, 1.0, ratio, "/sf")
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-      node.get("contended").asBoolean == (ratio < Bench.ContendedRatioFloor)
+      node.get("contended").asBoolean == (ratio < Bench.ContendedRatioFloor) &&
+        node.get("ext_cpu_cores") == null
+    }
+
+  property("ext-CPU signal overrides the ratio heuristic when present") =
+    forAll(resultsGen, Gen.chooseNum(0.5, 5.0), Gen.chooseNum(0.0, 8.0)) {
+      (results, ratio, ext) =>
+        val line = Bench.compactLine(results, 0, 1.0, ratio, "/sf",
+          extCpuCores = Some(ext))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        node.get("contended").asBoolean == (ext > Bench.ExtCpuCoresFloor) &&
+          math.abs(node.get("ext_cpu_cores").asDouble - ext) <= 0.005 + 1e-9
     }
 
   property("fmt2 round-trips within a cent and never uses locale separators") =
