@@ -861,6 +861,59 @@ object MultimodalOps {
       |  TRUE AS dims_match
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin
 
+  private val FlacRates = Array(8000, 16000, 22050, 44100, 48000)
+
+  /** FLAC containers for the corpus's 'audio' rows: STREAMINFO
+    * parameters keyed on doc_id (all five common rates exercised),
+    * payload bytes cycled from the text, MD5 stamped by the encoder. */
+  def flacAssets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 1) // the 'audio' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val src = { val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b }
+          val payload = Array.tabulate[Byte](64 + (id % 192).toInt)(i => src(i % src.length))
+          (id, FlacCodec.encode(FlacRates((id % 5).toInt), (1 + id % 2).toInt,
+            16, 1000 + id % 997, payload))
+        }
+      }.toDF("asset_id", "flac")
+  }
+
+  /** Declared query: walk real FLAC metadata chains — unpack the
+    * sub-byte STREAMINFO bitfields (20-bit rate, 3-bit channels,
+    * 5-bit bps, 36-bit sample count), derive the duration, and verify
+    * the payload against the header's MD5 claim ([[FlacCodec]] raises
+    * on mismatch, so md5_ok=TRUE is a survived integrity check, not a
+    * constant). The oracle replays the generation arithmetic;
+    * duration uses integer floor-division in both engines. */
+  def mmFlac(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    flacAssets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, flac) =>
+          val m = FlacCodec.decode(flac)
+          (id, m.sampleRate.toLong, m.channels.toLong, m.bitsPerSample.toLong,
+            m.totalSamples, m.totalSamples * 1000L / m.sampleRate, true)
+        }
+      }.toDF("asset_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "duration_ms", "md5_ok")
+      .orderBy("asset_id")
+  }
+
+  def mmFlacSql: String =
+    s"""SELECT doc_id AS asset_id,
+       |  CAST(([${FlacRates.mkString(", ")}])[CAST(1 + doc_id % 5 AS INT)]
+       |    AS BIGINT) AS sample_rate,
+       |  1 + doc_id % 2 AS channels,
+       |  CAST(16 AS BIGINT) AS bits_per_sample,
+       |  1000 + doc_id % 997 AS total_samples,
+       |  (1000 + doc_id % 997) * 1000
+       |    // ([${FlacRates.mkString(", ")}])[CAST(1 + doc_id % 5 AS INT)] AS duration_ms,
+       |  TRUE AS md5_ok
+       |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin
+
   /** SubRip subtitle assets for the corpus's 'video' rows: 1 + id%4
     * cues, start/duration keyed on doc_id, caption text sliced from
     * the document tokens — real timed-text containers built and

@@ -1700,6 +1700,44 @@ object TextAnalysisOps {
        |HAVING COUNT(*) >= $BoilerMinDocs
        |ORDER BY n_docs DESC, shingle LIMIT $BoilerTopK""".stripMargin
 
+  private val NgramTopK = 30
+
+  /** Corpus-wide trigram frequency table (top [[NgramTopK]]): total
+    * occurrences AND document frequency per trigram — the phrase-level
+    * census behind stock-phrase detection and n-gram contamination
+    * lists, complementing [[boilerplate]] (doc-distinct shingles over
+    * a floor) with the raw occurrence counts a frequency analyst
+    * needs. One tokenize pass, one explode, one trigram-keyed
+    * map-side-combined aggregate (count + countDistinct plan as a
+    * single two-level shuffle), TakeOrdered for the top-K with
+    * tie-stable (count DESC, trigram ASC) order. */
+  def ngramTopK(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    tok.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("trigram")).limit(NgramTopK)
+  }
+
+  def ngramTopKSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS trigram
+       |  FROM tok WHERE len(tk) >= 3)
+       |SELECT trigram, COUNT(*) AS n_occ,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM tri GROUP BY trigram
+       |ORDER BY n_occ DESC, trigram LIMIT $NgramTopK""".stripMargin
+
   /** Polarity lexicon: token → ±1. Tiny here, but the operator shape
     * (per-token lookup folded in-array, integer doc score) is the
     * production one — a real lexicon swaps the CASE for a broadcast

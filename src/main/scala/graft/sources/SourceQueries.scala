@@ -170,6 +170,55 @@ object SourceQueries {
     docStats(readFixedWidth(spark, dir))
   }
 
+  /** Every doc_id divisible by this is staged as a malformed CSV line
+    * (5 fields, unparseable n_chars) — the planted corruption rate. */
+  private val CsvCorruptEvery = 97
+
+  /** Declared query `src_csv_corrupt`: PERMISSIVE-mode ingestion of a
+    * CSV drop with planted malformed records — the data-quality
+    * reality of any 100 TB text drop: you never FAILFAST a petabyte
+    * job on row 3 billion, you route bad records to a corrupt column
+    * and account for them. Staging writes real `to_csv` lines but
+    * replaces every [[CsvCorruptEvery]]-th record's n_chars with a
+    * non-numeric token; the reader declares the schema plus
+    * `_corrupt_record` and aggregates good/bad counts and good-row
+    * sums. The oracle replays the plant arithmetic off the parquet
+    * table — a reader that silently null-fills instead of
+    * corrupt-marking (or drops good rows) breaks the hash. */
+  def csvCorruptStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "csvcorrupt") { (df, out) =>
+      df.select(when(col("doc_id") % CsvCorruptEvery === 0,
+          concat(col("doc_id").cast("string"), lit(",corrupted,xx,yy,NOT_A_NUMBER")))
+        .otherwise(to_csv(struct(df.columns.map(col): _*)))
+        .as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    val schema = StructType(docSchema.fields :+
+      StructField("_corrupt_record", StringType))
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(dir)
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("sum_doc_id_good"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars_good"))
+  }
+
+  def csvCorruptStatsSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN doc_id % $CsvCorruptEvery <> 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_good,
+       |  CAST(SUM(CASE WHEN doc_id % $CsvCorruptEvery = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_corrupt,
+       |  CAST(SUM(CASE WHEN doc_id % $CsvCorruptEvery <> 0 THEN doc_id END) AS BIGINT)
+       |    AS sum_doc_id_good,
+       |  CAST(SUM(CASE WHEN doc_id % $CsvCorruptEvery <> 0 THEN n_chars END) AS BIGINT)
+       |    AS sum_chars_good
+       |FROM documents""".stripMargin
+
   /** XML attribute escaping, as Spark Columns — & first (it appears in
     * every later entity), then the metacharacters, then newline as a
     * character reference so the element stays one line. Inverse order

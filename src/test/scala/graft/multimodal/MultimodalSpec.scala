@@ -837,6 +837,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("FlacCodec round-trips STREAMINFO bitfields and verifies the payload MD5") {
+    val payload = Array.tabulate[Byte](777)(i => (i * 7).toByte)
+    val flac = FlacCodec.encode(44100, 2, 24, (1L << 35) + 12345L, payload)
+    val m = FlacCodec.decode(flac)
+    assert(m.sampleRate === 44100 && m.channels === 2 && m.bitsPerSample === 24)
+    assert(m.totalSamples === (1L << 35) + 12345L, "36-bit field uses its high bit")
+    // integrity: a single flipped payload byte must fail the MD5 check
+    val tampered = flac.clone(); tampered(flac.length - 1) = (tampered(flac.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException] { FlacCodec.decode(tampered) }
+    intercept[IllegalArgumentException] { FlacCodec.decode("fLaX123".getBytes) }
+    // a chain whose first block is not STREAMINFO violates the spec
+    val bad = flac.clone(); bad(4) = (0x80 | 0x01).toByte
+    intercept[IllegalArgumentException] { FlacCodec.decode(bad) }
+  }
+
+  test("mm_flac walks the corpus audio assets to the generation arithmetic") {
+    val rates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+    val rows = MultimodalOps.mmFlac(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === rates((id % 5).toInt), s"rate of $id")
+      assert(r.getLong(2) === 1 + id % 2)
+      assert(r.getLong(3) === 16L)
+      assert(r.getLong(4) === 1000 + id % 997)
+      assert(r.getLong(5) === (1000 + id % 997) * 1000 / rates((id % 5).toInt))
+      assert(r.getBoolean(6))
+    }
+  }
+
   test("mm_exif walks the corpus assets to the generation arithmetic") {
     val rows = MultimodalOps.mmExif(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -24,6 +24,26 @@ class TextEdgeSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  test("text_ngram_topk: top trigrams equal a pure-Scala census") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val occ = scala.collection.mutable.Map.empty[String, (Long, Set[Long])]
+    docs.foreach { case (id, tk) =>
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).foreach { g =>
+        val (n, ds) = occ.getOrElse(g, (0L, Set.empty[Long]))
+        occ(g) = (n + 1, ds + id)
+      }
+    }
+    val want = occ.toSeq.map { case (g, (n, ds)) => (g, n, ds.size.toLong) }
+      .sortBy { case (g, n, _) => (-n, g) }.take(30)
+    val got = TextAnalysisOps.ngramTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "trigram top-30 diverges from the Scala census")
+  }
+
   test("text_sentiment: per-lang aggregates equal a pure-Scala lexicon replay") {
     val sf = "/root/testdata/sf0.001"
     val lex = Map("fast" -> 1L, "big" -> 1L, "spark" -> 1L,

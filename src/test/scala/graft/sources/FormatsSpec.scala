@@ -82,6 +82,19 @@ class FormatsSpec extends AnyFunSuite {
       }
   }
 
+  test("PERMISSIVE CSV ingestion corrupt-marks planted bad rows, keeps good ones whole") {
+    val out = SourceQueries.csvCorruptStats(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bad = docs.count(_._1 % 97 == 0)
+    assert(out.getLong(0) === docs.length.toLong, "no row vanishes")
+    assert(out.getLong(2) === bad.toLong, "every planted row is corrupt-marked")
+    assert(out.getLong(1) === (docs.length - bad).toLong)
+    assert(out.getLong(3) === docs.filter(_._1 % 97 != 0).map(_._1).sum)
+    assert(out.getLong(4) === docs.filter(_._1 % 97 != 0).map(_._2).sum)
+  }
+
   test("JSONL round-trip preserves orders") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Formats.writeJsonl(orders, dir)
