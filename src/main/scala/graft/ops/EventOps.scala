@@ -2082,6 +2082,134 @@ object EventOps {
       |  round(detr - seasonal, 9) AS resid
       |FROM dt JOIN sidx USING (dow) ORDER BY day""".stripMargin
 
+  /** Gradient steps and learning rate for the in-engine logistic
+    * regression. Three steps is declared semantics (the
+    * [[graft.ops.GraphOps.pagerank]] fixed-round stance): the oracle
+    * unrolls exactly three. */
+  private val LrSteps = 3
+  private val LrRate = 0.5
+
+  /** Logistic regression TRAINED INSIDE THE ENGINE — the
+    * quality-classifier shape every curation pipeline eventually
+    * needs (fastText-style keep/drop models): per-user behavioral
+    * features (log-counts of clicks/views/errors), label = purchased,
+    * [[LrSteps]] full-batch gradient-descent steps from w = 0, then
+    * the trained weights and training accuracy. Each step is ONE
+    * aggregate over users with the 4-dim weight vector broadcast —
+    * the classic distributed-GD shape: O(features) driver state,
+    * O(n) map work, O(features · partitions) shuffle.
+    *
+    * Cross-engine determinism: features quantize ln(1+count) at 1e-6
+    * by the floor recipe; each σ quantizes at 1e-6; every gradient
+    * term quantizes to an INTEGER at 1e-6 scale and sums as BIGINT
+    * (the [[graft.ops.SimilarityOps.embPca2]] discipline — engine
+    * round() implementations disagree at half-boundaries, floor over
+    * identical IEEE products doesn't); weight updates are identical
+    * double expressions. Prediction compares z ≥ 0 (≡ σ ≥ 0.5)
+    * without materializing σ. */
+  def logreg(spark: SparkSession, d: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val feats = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(
+        q6(log(lit(1.0) + sum(when(col("event_type") === "click", 1L).otherwise(0L))))
+          .as("x1"),
+        q6(log(lit(1.0) + sum(when(col("event_type") === "view", 1L).otherwise(0L))))
+          .as("x2"),
+        q6(log(lit(1.0) + sum(when(col("event_type") === "error", 1L).otherwise(0L))))
+          .as("x3"),
+        // label: converted at high value (the [[abTest]] conversion
+        // definition) — plain "ever purchased" saturates to all-1s on
+        // this corpus and trains nothing
+        max(when(col("event_type") === "purchase" && col("value") > HighValue,
+          1L).otherwise(0L)).cast("double").as("y"))
+      .localCheckpoint(false) // one feature build feeds all steps
+    def z(w: Seq[org.apache.spark.sql.Column]) =
+      w(0) + w(1) * col("x1") + w(2) * col("x2") + w(3) * col("x3")
+    def sigma(w: Seq[org.apache.spark.sql.Column]) =
+      q6(lit(1.0) / (lit(1.0) + exp(-z(w))))
+    // one GD step: w' = w + lr · Σ(y−σ)x / n, gradient terms integer-
+    // quantized at 1e6 (term ≤ ln-scale · 1e6, BIGINT headroom to
+    // ~1e12 users)
+    def step(w: Seq[Double]): Seq[Double] = {
+      val wc = w.map(lit)
+      val resid = col("y") - sigma(wc)
+      val g = feats.agg(
+        count(lit(1)).as("n"),
+        sum(floor(resid * lit(1e6) + lit(0.5))).as("g0"),
+        sum(floor(resid * col("x1") * lit(1e6) + lit(0.5))).as("g1"),
+        sum(floor(resid * col("x2") * lit(1e6) + lit(0.5))).as("g2"),
+        sum(floor(resid * col("x3") * lit(1e6) + lit(0.5))).as("g3"))
+        .collect()(0) // 1-row driver scalar per step, the kmeans-loop bound
+      val n = g.getLong(0).toDouble
+      w.zipWithIndex.map { case (wj, j) =>
+        wj + LrRate * (g.getLong(1 + j).toDouble / 1e6 / n)
+      }
+    }
+    val w = (1 to LrSteps).foldLeft(Seq(0.0, 0.0, 0.0, 0.0))((acc, _) => step(acc))
+    val wc = w.map(lit)
+    feats.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("y").cast("long")).as("n_pos"),
+        (floor(sum(when((z(wc) >= 0) === (col("y") === 1.0), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) * lit(1e9) + lit(0.5)) / lit(1e9))
+          .as("train_accuracy"))
+      .select(col("n_users"), col("n_pos"),
+        q6(wc(0)).as("w0"), q6(wc(1)).as("w1"),
+        q6(wc(2)).as("w2"), q6(wc(3)).as("w3"),
+        col("train_accuracy"))
+  }
+
+  /** DuckDB replay of [[logreg]]: the identical feature build, then
+    * [[LrSteps]] unrolled gradient CTEs (w_k 1-row tables referenced
+    * as scalar subqueries), the same floor-quantized σ/gradient/
+    * accuracy arithmetic. */
+  def logregSql: String = {
+    def q6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def cnt(t: String) = s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)"
+    def w(k: Int, j: Int) = s"(SELECT w$j FROM w${k}t)"
+    def zx(k: Int) =
+      s"(${w(k, 0)} + ${w(k, 1)} * x1 + ${w(k, 2)} * x2 + ${w(k, 3)} * x3)"
+    def sigma(k: Int) = q6(s"1.0 / (1.0 + exp(-${zx(k)}))")
+    def gterm(k: Int, x: String) = {
+      val m = if (x.isEmpty) "" else s" * $x"
+      s"SUM(CAST(floor((y - ${sigma(k)})$m * 1e6 + 0.5) AS BIGINT))"
+    }
+    val steps = (1 to LrSteps).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n, ${gterm(k - 1, "")} AS g0,
+         |    ${gterm(k - 1, "x1")} AS g1, ${gterm(k - 1, "x2")} AS g2,
+         |    ${gterm(k - 1, "x3")} AS g3
+         |  FROM feats),
+         |w${k}t AS MATERIALIZED (
+         |  SELECT ${w(k - 1, 0)} + $LrRate * (CAST(g0 AS DOUBLE) / 1e6 / n) AS w0,
+         |         ${w(k - 1, 1)} + $LrRate * (CAST(g1 AS DOUBLE) / 1e6 / n) AS w1,
+         |         ${w(k - 1, 2)} + $LrRate * (CAST(g2 AS DOUBLE) / 1e6 / n) AS w2,
+         |         ${w(k - 1, 3)} + $LrRate * (CAST(g3 AS DOUBLE) / 1e6 / n) AS w3
+         |  FROM g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT user_id,
+       |    ${q6(s"ln(1.0 + ${cnt("click")})")} AS x1,
+       |    ${q6(s"ln(1.0 + ${cnt("view")})")} AS x2,
+       |    ${q6(s"ln(1.0 + ${cnt("error")})")} AS x3,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > $HighValue
+       |      THEN 1 ELSE 0 END) AS DOUBLE) AS y
+       |  FROM events GROUP BY user_id),
+       |w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |        CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |$steps
+       |SELECT COUNT(*) AS n_users,
+       |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |  ${q6(w(LrSteps, 0))} AS w0, ${q6(w(LrSteps, 1))} AS w1,
+       |  ${q6(w(LrSteps, 2))} AS w2, ${q6(w(LrSteps, 3))} AS w3,
+       |  floor(CAST(SUM(CASE WHEN (${zx(LrSteps)} >= 0) = (y = 1.0)
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9
+       |    AS train_accuracy
+       |FROM feats""".stripMargin
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the
     * marketing-analytics allocator that splits each purchase's value
     * across the clicks that preceded it: 40% to the first touch, 40%

@@ -44,6 +44,28 @@ class EventWindowSpec extends AnyFunSuite {
       "point estimate inside the 95% CI")
   }
 
+  test("evt_logreg: separable corpus learns the right signs and classifies perfectly") {
+    import spark.implicits._
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    var id = 0L
+    // users 1..20: clickers who purchase; 21..40: error-ers who don't
+    val rows =
+      (for (u <- 1L to 20L; k <- 1 to 10) yield { id += 1; (id, t(k % 24), u, "click", 1.0, "{}") }) ++
+      (for (u <- 1L to 20L) yield { id += 1; (id, t(12), u, "purchase", 250.0, "{}") }) ++
+      (for (u <- 21L to 40L; k <- 1 to 10) yield { id += 1; (id, t(k % 24), u, "error", 0.0, "{}") })
+    val dir = java.nio.file.Files.createTempDirectory("graft-logreg").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.logreg(spark, dir).collect()(0)
+    assert(r.getLong(0) === 40L && r.getLong(1) === 20L)
+    assert(r.getDouble(3) > 0, s"click weight must be positive: ${r.getDouble(3)}")
+    assert(r.getDouble(5) < 0, s"error weight must be negative: ${r.getDouble(5)}")
+    assert(r.getDouble(6) === 1.0, s"separable data: accuracy ${r.getDouble(6)}")
+    // determinism: the whole training run replays bit-identically
+    val r2 = EventOps.logreg(spark, dir).collect()(0)
+    assert(r === r2)
+  }
+
   test("evt_attr_positional: U-shaped credit with window and post-purchase exclusions") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
