@@ -2161,6 +2161,137 @@ object EventOps {
         col("train_accuracy"))
   }
 
+  /** Exact ROC AUC (Mann–Whitney U with midranks) of the simplest
+    * behavioral score — clicks per user — against the high-value-
+    * conversion label: the model-free discrimination baseline every
+    * trained ranker ([[logreg]]) must beat, computed EXACTLY. The
+    * midrank identity keeps everything integer: grouping users by
+    * score, each tie block contributes c_pos · (2·c_below + c_eq + 1)
+    * to twice the positive rank-sum, so
+    * AUC = (Σ − n_pos(n_pos+1)) / (2·n_pos·n_neg) is a ratio of exact
+    * BIGINTs — no per-row ranks, no floating aggregation.
+    *
+    * Scale shape: one user reduction, one score-keyed aggregate, and
+    * a running sum over the DISTINCT-SCORE table (score-cardinality
+    * rows — bounded by max clicks/user, never |users|), then a 3-sum
+    * reduction. Degenerate labels (no positives or no negatives)
+    * yield NULL in both engines. */
+  def aucClicks(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("s"),
+        max(when(col("event_type") === "purchase" && col("value") > HighValue,
+          1L).otherwise(0L)).as("y"))
+    val byScore = users.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("cp"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byScore
+      .withColumn("cl", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("cp") * (lit(2) * col("cl") + col("c") + 1)).as("s2r"),
+        sum(col("cp")).as("np"), sum(col("c")).as("n"))
+    val nn = col("n") - col("np")
+    agg.select(col("np").as("n_pos"), nn.as("n_neg"),
+      when(col("np") === 0 || nn === 0, lit(null).cast("double"))
+        .otherwise(floor((col("s2r") - col("np") * (col("np") + 1)).cast("double")
+          / (lit(2) * col("np") * nn).cast("double") * lit(1e9) + lit(0.5)) / lit(1e9))
+        .as("auc"))
+  }
+
+  def aucClicksSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > $HighValue
+       |        THEN 1 ELSE 0 END) AS y
+       |  FROM events GROUP BY user_id),
+       |by_score AS (
+       |  SELECT s, COUNT(*) AS c, SUM(y) AS cp FROM users GROUP BY s),
+       |ranked AS (
+       |  SELECT c, cp, COALESCE(SUM(c) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+       |  FROM by_score),
+       |agg AS (
+       |  SELECT SUM(cp * (2 * cl + c + 1)) AS s2r, SUM(cp) AS np, SUM(c) AS n
+       |  FROM ranked)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg,
+       |  CASE WHEN np = 0 OR n - np = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor(CAST(s2r - np * (np + 1) AS DOUBLE)
+       |      / CAST(2 * np * (n - np) AS DOUBLE) * 1e9 + 0.5) / 1e9
+       |  END AS auc
+       |FROM agg""".stripMargin
+
+  /** Decision threshold for [[prfClicks]] (clicks ≥ this predicts
+    * conversion). */
+  private val PrfThreshold = 3
+
+  /** Thresholded classifier evaluation — confusion counts and
+    * precision/recall/F1 of the rule "clicks ≥ [[PrfThreshold]]"
+    * against the high-value-conversion label: the operating-point
+    * companion to [[aucClicks]] (which scores the ranking; this
+    * scores one deployable cut). Counts are exact BIGINTs from a
+    * single user-keyed reduction + one 4-way conditional aggregate;
+    * F1 uses the integer form 2·tp / (2·tp + fp + fn); ratios
+    * quantize by the floor recipe; zero denominators yield NULL in
+    * both engines. */
+  def prfClicks(spark: SparkSession, d: String): DataFrame = {
+    def f9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L)) >=
+        PrfThreshold).as("pred"),
+        (max(when(col("event_type") === "purchase" && col("value") > HighValue,
+          1L).otherwise(0L)) === 1).as("y"))
+    val cells = users.agg(
+      sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+    cells.select(lit(PrfThreshold.toLong).as("threshold"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+        .otherwise(f9(col("tp").cast("double") / (col("tp") + col("fp"))))
+        .as("precision"),
+      when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+        .otherwise(f9(col("tp").cast("double") / (col("tp") + col("fn"))))
+        .as("recall"),
+      when(lit(2) * col("tp") + col("fp") + col("fn") === 0,
+        lit(null).cast("double"))
+        .otherwise(f9((lit(2) * col("tp")).cast("double")
+          / (lit(2) * col("tp") + col("fp") + col("fn")))).as("f1"))
+  }
+
+  def prfClicksSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      >= $PrfThreshold AS pred,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > $HighValue
+       |        THEN 1 ELSE 0 END) = 1 AS y
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS tn
+       |  FROM users)
+       |SELECT CAST($PrfThreshold AS BIGINT) AS threshold,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e9 + 0.5) / 1e9
+       |  END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e9 + 0.5) / 1e9
+       |  END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e9 + 0.5)
+       |      / 1e9
+       |  END AS f1
+       |FROM cells""".stripMargin
+
   /** DuckDB replay of [[logreg]]: the identical feature build, then
     * [[LrSteps]] unrolled gradient CTEs (w_k 1-row tables referenced
     * as scalar subqueries), the same floor-quantized σ/gradient/

@@ -44,6 +44,52 @@ class EventWindowSpec extends AnyFunSuite {
       "point estimate inside the 95% CI")
   }
 
+  test("evt_auc: hand-computed midrank AUC, perfect separation, and tie handling") {
+    import spark.implicits._
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    var id = 0L
+    def clicks(u: Long, n: Int) =
+      (1 to n).map { k => id += 1; (id, t(k % 24), u, "click", 1.0, "{}") }
+    def buy(u: Long) = { id += 1; Seq((id, t(12), u, "purchase", 250.0, "{}")) }
+    // scores: neg {0, 1, 2}, pos {2, 3} — one tie at score 2.
+    // pairs (neg,pos): (0,2)+ (0,3)+ (1,2)+ (1,3)+ (2,3)+ (2,2)=tie½
+    // → AUC = 5.5/6
+    val rows =
+      clicks(1, 1) ++                       // neg, s=1
+      clicks(2, 2) ++                       // neg, s=2
+      Seq({ id += 1; (id, t(1), 3L, "view", 1.0, "{}") }) ++ // neg, s=0
+      clicks(4, 2) ++ buy(4) ++             // pos, s=2
+      clicks(5, 3) ++ buy(5)                // pos, s=3
+    val dir = java.nio.file.Files.createTempDirectory("graft-auc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.aucClicks(spark, dir).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 5.5 / 6) < 1e-9, s"auc ${r.getDouble(2)}")
+  }
+
+  test("evt_prf: confusion cells and P/R/F1 from a hand-built operating point") {
+    import spark.implicits._
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    var id = 0L
+    def user(u: Long, nClicks: Int, buys: Boolean) = {
+      val cs = (1 to nClicks).map { k => id += 1; (id, t(k % 24), u, "click", 1.0, "{}") }
+      val b = if (buys) { id += 1; Seq((id, t(12), u, "purchase", 250.0, "{}")) }
+              else { id += 1; Seq((id, t(12), u, "view", 1.0, "{}")) }
+      cs ++ b
+    }
+    // threshold 3: tp = u1 (4 clicks, buys), fp = u2 (3 clicks, no),
+    // fn = u3 (1 click, buys), tn = u4 (0 clicks, no)
+    val rows = user(1, 4, buys = true) ++ user(2, 3, buys = false) ++
+      user(3, 1, buys = true) ++ user(4, 0, buys = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-prf").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.prfClicks(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(5) === 0.5 && r.getDouble(6) === 0.5 && r.getDouble(7) === 0.5)
+  }
+
   test("evt_logreg: separable corpus learns the right signs and classifies perfectly") {
     import spark.implicits._
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
