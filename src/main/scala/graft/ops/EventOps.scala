@@ -2221,6 +2221,88 @@ object EventOps {
        |  END AS auc
        |FROM agg""".stripMargin
 
+  /** Welch's two-sample t — the means companion to [[abTest]]'s
+    * two-proportion z: per-user total spend compared across the same
+    * user_id-parity arms, unequal variances assumed (the realistic
+    * default; pooling is the textbook mistake). Moments are exact:
+    * per-user totals and per-arm Σx go through DECIMAL(18,6), Σx²
+    * through DECIMAL(38,6) (squares of 4-digit spends times 1e6+ users
+    * overflow (18,6)); the t statistic and Welch–Satterthwaite df are
+    * identical double expressions over those exact pieces, quantized
+    * by the floor recipe. One user reduction, one 2-key aggregate, a
+    * 1-row pivot — nothing downstream exceeds two rows. Arms with
+    * n ≤ 1 yield NULL t/df in both engines. */
+  def ttestValue(spark: SparkSession, d: String): DataFrame = {
+    def f9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("x"))
+      .select((col("user_id") % 2).as("arm"), col("x"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,6)")).cast("double").as("sxx"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("sx"))).as("sx0"),
+      max(when(col("arm") === 0, col("sxx"))).as("sxx0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("sx"))).as("sx1"),
+      max(when(col("arm") === 1, col("sxx"))).as("sxx1"))
+    def mean(sx: String, n: String) = col(sx) / col(n)
+    def varOf(sxx: String, sx: String, n: String) =
+      (col(sxx) - col(sx) * col(sx) / col(n)) / (col(n) - 1)
+    val se2 = varOf("sxx0", "sx0", "n0") / col("n0") +
+      varOf("sxx1", "sx1", "n1") / col("n1")
+    val a0 = varOf("sxx0", "sx0", "n0") / col("n0")
+    val a1 = varOf("sxx1", "sx1", "n1") / col("n1")
+    w.select(col("n0"), col("n1"),
+      f9(mean("sx0", "n0")).as("mean0"), f9(mean("sx1", "n1")).as("mean1"),
+      when(col("n0") <= 1 || col("n1") <= 1, lit(null).cast("double"))
+        .otherwise(f9((mean("sx1", "n1") - mean("sx0", "n0")) / sqrt(se2)))
+        .as("t"),
+      when(col("n0") <= 1 || col("n1") <= 1, lit(null).cast("double"))
+        .otherwise(f9((a0 + a1) * (a0 + a1) /
+          (a0 * a0 / (col("n0") - 1) + a1 * a1 / (col("n1") - 1)))).as("df"))
+  }
+
+  def ttestValueSql: String = {
+    def v(k: Int) = s"((sxx$k - sx$k * sx$k / n$k) / (n$k - 1))"
+    def a(k: Int) = s"(${v(k)} / n$k)"
+    s"""WITH users AS (
+       |  SELECT user_id % 2 AS arm,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+       |  FROM users GROUP BY arm),
+       |w AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+       |    MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+       |    MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+       |  FROM arms)
+       |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       |  floor(sx0 / n0 * 1e9 + 0.5) / 1e9 AS mean0,
+       |  floor(sx1 / n1 * 1e9 + 0.5) / 1e9 AS mean1,
+       |  CASE WHEN n0 <= 1 OR n1 <= 1 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor((sx1 / n1 - sx0 / n0) / sqrt(${a(0)} + ${a(1)})
+       |      * 1e9 + 0.5) / 1e9
+       |  END AS t,
+       |  CASE WHEN n0 <= 1 OR n1 <= 1 THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor((${a(0)} + ${a(1)}) * (${a(0)} + ${a(1)})
+       |      / (${a(0)} * ${a(0)} / (n0 - 1) + ${a(1)} * ${a(1)} / (n1 - 1))
+       |      * 1e9 + 0.5) / 1e9
+       |  END AS df
+       |FROM w""".stripMargin
+  }
+
   /** Decision threshold for [[prfClicks]] (clicks ≥ this predicts
     * conversion). */
   private val PrfThreshold = 3

@@ -219,6 +219,60 @@ object SourceQueries {
        |    AS sum_chars_good
        |FROM documents""".stripMargin
 
+  /** Declared query `src_zip`: documents staged into real STORED ZIP
+    * archives — one archive per input partition, built and written
+    * executor-side ([[ZipCodec]]) — read back through `binaryFile` +
+    * the tail-first central-directory walk, every payload
+    * CRC-verified, then fingerprint-aggregated. The shape scraped
+    * corpora actually arrive in (an object store of .zip drops), and
+    * the scale stance is explicit: archives are the SPLIT UNIT (a ZIP
+    * must be read from its tail, so a member can't be ranged into) —
+    * size archives to your partition budget at write time, which the
+    * per-partition staging does by construction. */
+  def zipDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "zip") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          val entries = rows.map { case (id, text) =>
+            (s"doc_$id.txt", text.getBytes("UTF-8"))
+          }.toSeq
+          if (entries.isEmpty) Iterator.empty[String]
+          else {
+            val p = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(out), "part-", ".zip")
+            java.nio.file.Files.write(p, ZipCodec.encode(entries))
+            Iterator(p.toString)
+          }
+        }.collect() // partition-count path list — bounded driver action
+      ()
+    }
+    import spark.implicits._
+    val entries = spark.read.format("binaryFile").load(s"$dir/*.zip")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => ZipCodec.decode(bytes).map(e =>
+        (e.name, e.data.length.toLong, new String(e.data, "UTF-8"))))
+      .toDF("name", "n_bytes", "text")
+    entries.agg(
+      count(lit(1)).as("n_entries"),
+      sum(regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1).cast("long"))
+        .as("sum_doc_id"),
+      sum(col("n_bytes")).as("sum_bytes"),
+      sum(length(col("text")).cast("long")).as("sum_text_chars"))
+  }
+
+  /** Oracle off the raw parquet: entry names/sizes are pure functions
+    * of (doc_id, text), so equality proves the archive round trip —
+    * and the CRC check inside [[ZipCodec.decode]] already failed
+    * loudly if any payload byte moved. */
+  def zipDocStatsSql: String =
+    """SELECT COUNT(*) AS n_entries,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents""".stripMargin
+
   /** XML attribute escaping, as Spark Columns — & first (it appears in
     * every later entity), then the metacharacters, then newline as a
     * character reference so the element stays one line. Inverse order

@@ -90,6 +90,25 @@ class EventWindowSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.5 && r.getDouble(6) === 0.5 && r.getDouble(7) === 0.5)
   }
 
+  test("evt_ttest: symmetric arms give exactly t=0, df=2; guards survive") {
+    import spark.implicits._
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // arm 0 (even users): totals {1, 3}; arm 1 (odd): totals {1, 3}
+    val rows = Seq(
+      (1L, t(1), 2L, "click", 1.0, "{}"),
+      (2L, t(2), 4L, "click", 3.0, "{}"),
+      (3L, t(3), 1L, "click", 1.0, "{}"),
+      (4L, t(4), 3L, "click", 3.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttest").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.ttestValue(spark, dir).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 2.0)
+    assert(r.getDouble(4) === 0.0, s"symmetric arms: t = ${r.getDouble(4)}")
+    assert(r.getDouble(5) === 2.0, s"equal variances, n=2 each: df = ${r.getDouble(5)}")
+  }
+
   test("evt_logreg: separable corpus learns the right signs and classifies perfectly") {
     import spark.implicits._
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")

@@ -95,6 +95,39 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.getLong(4) === docs.filter(_._1 % 97 != 0).map(_._2).sum)
   }
 
+  test("ZIP round-trip preserves entries; tampered payloads and truncation fail loudly") {
+    val entries = Seq(
+      ("doc_1.txt", "hello world".getBytes("UTF-8")),
+      ("doc_2.txt", Array.empty[Byte]),
+      ("nested/doc_3.txt", Array.tabulate[Byte](5000)(i => (i * 31).toByte)))
+    val zip = ZipCodec.encode(entries)
+    val back = ZipCodec.decode(zip)
+    assert(back.map(_.name) === entries.map(_._1))
+    back.zip(entries).foreach { case (got, (_, want)) =>
+      assert(java.util.Arrays.equals(got.data, want))
+    }
+    // a flipped payload byte must trip the CRC check (offset 30+name
+    // of the first local header = inside "hello world")
+    val tampered = zip.clone()
+    tampered(30 + "doc_1.txt".length + 2) = 'X'.toByte
+    intercept[IllegalArgumentException] { ZipCodec.decode(tampered) }
+    // truncating the tail removes the EOCD entirely
+    intercept[IllegalArgumentException] { ZipCodec.decode(zip.dropRight(30)) }
+    // a comment AFTER the EOCD must not hide it
+    assert(ZipCodec.decode(zip ++ "trailing comment".getBytes).map(_.name) ===
+      entries.map(_._1))
+  }
+
+  test("src_zip fingerprint equals the raw-table arithmetic") {
+    val out = SourceQueries.zipDocStats(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.getLong(0) === docs.length.toLong)
+    assert(out.getLong(1) === docs.map(_._1).sum)
+    assert(out.getLong(2) === docs.map(_._2.getBytes("UTF-8").length.toLong).sum)
+    assert(out.getLong(3) === docs.map(_._2.length.toLong).sum)
+  }
+
   test("JSONL round-trip preserves orders") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Formats.writeJsonl(orders, dir)
