@@ -444,12 +444,29 @@ object SimilarityOps {
   def annIvf(spark: SparkSession, d: String): DataFrame =
     annIvfProbe(spark, d, cachedCentroids(spark, d))
 
-  /** Unpersist every cached IVF centroid table (all sessions).
-    * BLOCKING, for the same reason as [[GraphOps.evictPairCache]]:
-    * lazy unpersist defers block removal into the next timed pass. */
+  // The covariance matrix is the same build-once artifact for the
+  // spectral family (emb_power, emb_power_iter, emb_pca2): one
+  // fixed-point Gram pass over the corpus feeds all three, and without
+  // a shared entry each rebuilt it per query (the r12
+  // dedup_clusters/cluster_sizes redundancy, fourth instance). dims²
+  // ≤ 4096 rows persisted; evicted by [[evictIvfCache]] — one hook for
+  // the bench's between-pass sweep.
+  private val covCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def cachedCov(spark: SparkSession, d: String): DataFrame =
+    covCache.getOrElseUpdate(
+      (System.identityHashCode(spark), d), covOf(spark, d).persist())
+
+  /** Unpersist every cached IVF centroid table and covariance matrix
+    * (all sessions). BLOCKING, for the same reason as
+    * [[GraphOps.evictPairCache]]: lazy unpersist defers block removal
+    * into the next timed pass. */
   def evictIvfCache(): Unit = {
     ivfCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
     ivfCache.clear()
+    covCache.values.foreach(df => try df.unpersist(true) catch { case _: Throwable => () })
+    covCache.clear()
   }
 
   /** Test hook: the cache's live entries. Assertions about caching
@@ -1358,7 +1375,7 @@ object SimilarityOps {
       |  FROM xx JOIN m ma ON ma.d = di JOIN m mb ON mb.d = dj)""".stripMargin
 
   def embPower(spark: SparkSession, d: String): DataFrame = {
-    val cov = covOf(spark, d)
+    val cov = cachedCov(spark, d)
     val v1 = cov.groupBy(col("di").as("vd"))
       .agg(sum(round(col("c") * lit(0.125), 9).cast("decimal(28,12)"))
         .cast("double").as("v1"))
@@ -1382,7 +1399,7 @@ object SimilarityOps {
     * bit-identical. Rayleigh = ⟨v₃,v₂⟩/⟨v₂,v₂⟩ through the same
     * quantized-sum recipe; NULL if v₂ vanished. */
   def embPowerIter(spark: SparkSession, d: String): DataFrame = {
-    val cov = covOf(spark, d).localCheckpoint(false) // read by 3 matvecs
+    val cov = cachedCov(spark, d) // persisted; read by 3 matvecs
     val v1 = cov.groupBy(col("di").as("d"))
       .agg(sum(round(col("c") * lit(0.125), 9).cast("decimal(28,12)"))
         .cast("double").as("x"))
@@ -1454,7 +1471,7 @@ object SimilarityOps {
     * denominator / zero trace) yield NULLs identically in both
     * engines. */
   def embPca2(spark: SparkSession, d: String): DataFrame = {
-    val cov = covOf(spark, d).localCheckpoint(false)
+    val cov = cachedCov(spark, d)
     // Every intermediate quantizes through INTEGER arithmetic —
     // floor(t·1eK + 0.5) summed as BIGINT — not round(_, k)-into-
     // DECIMAL: both engines' round(DOUBLE, k) implementations disagree
