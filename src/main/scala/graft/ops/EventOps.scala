@@ -2221,6 +2221,94 @@ object EventOps {
        |  END AS auc
        |FROM agg""".stripMargin
 
+  /** Difference-in-differences — the quasi-experimental estimator for
+    * when you didn't get to randomize: per (arm × before/after) mean
+    * event value, DiD = (treat_after − treat_before) −
+    * (control_after − control_before), which nets out both the
+    * pre-existing arm gap and the common time trend. Arms are the
+    * [[abTest]] user-parity split; the period boundary is
+    * min(day) + 15 — derived from the data, not wall clock, so the
+    * query is deterministic at any SF. Cell sums go through
+    * DECIMAL(18,6); the estimator is an identical double expression
+    * over four exact means, floor-quantized; an empty cell yields
+    * NULL DiD in both engines.
+    *
+    * Scale shape: one 1-row min-date scalar (broadcast), one scan
+    * reduced onto 4 cells — nothing downstream exceeds four rows. */
+  def didValue(spark: SparkSession, d: String): DataFrame = {
+    def f9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ev = Tables.events(spark, d)
+      .select((col("user_id") % 2).as("arm"), to_date(col("ts")).as("day"),
+        col("value"))
+    val cut = ev.agg(date_add(min(col("day")), 15).as("cut"))
+    val cells = ev.crossJoin(broadcast(cut))
+      .select(col("arm"), (col("day") >= col("cut")).as("after"), col("value"))
+      .groupBy(col("arm"), col("after"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sx"))
+    def cell(arm: Int, after: Boolean, c: String) =
+      max(when(col("arm") === arm && col("after") === after, col(c)))
+    val w = cells.agg(
+      cell(0, after = false, "n").as("n00"), cell(0, after = false, "sx").as("s00"),
+      cell(0, after = true, "n").as("n01"), cell(0, after = true, "sx").as("s01"),
+      cell(1, after = false, "n").as("n10"), cell(1, after = false, "sx").as("s10"),
+      cell(1, after = true, "n").as("n11"), cell(1, after = true, "sx").as("s11"))
+    def m(s: String, n: String) = col(s) / col(n)
+    val anyEmpty = col("n00").isNull || col("n01").isNull ||
+      col("n10").isNull || col("n11").isNull
+    w.select(
+      coalesce(col("n00"), lit(0L)).as("n_ctl_before"),
+      coalesce(col("n01"), lit(0L)).as("n_ctl_after"),
+      coalesce(col("n10"), lit(0L)).as("n_trt_before"),
+      coalesce(col("n11"), lit(0L)).as("n_trt_after"),
+      f9(m("s00", "n00")).as("mean_ctl_before"),
+      f9(m("s01", "n01")).as("mean_ctl_after"),
+      f9(m("s10", "n10")).as("mean_trt_before"),
+      f9(m("s11", "n11")).as("mean_trt_after"),
+      when(anyEmpty, lit(null).cast("double"))
+        .otherwise(f9((m("s11", "n11") - m("s10", "n10")) -
+          (m("s01", "n01") - m("s00", "n00")))).as("did"))
+  }
+
+  def didValueSql: String = {
+    def m(k: String) = s"(s$k / n$k)"
+    s"""WITH ev AS (
+       |  SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day, value
+       |  FROM events),
+       |cut AS (SELECT MIN(day) + 15 AS cut FROM ev),
+       |cells AS (
+       |  SELECT arm, day >= (SELECT cut FROM cut) AS after, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx
+       |  FROM ev GROUP BY 1, 2),
+       |w AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 0 AND NOT after THEN n END) AS n00,
+       |    MAX(CASE WHEN arm = 0 AND NOT after THEN sx END) AS s00,
+       |    MAX(CASE WHEN arm = 0 AND after THEN n END) AS n01,
+       |    MAX(CASE WHEN arm = 0 AND after THEN sx END) AS s01,
+       |    MAX(CASE WHEN arm = 1 AND NOT after THEN n END) AS n10,
+       |    MAX(CASE WHEN arm = 1 AND NOT after THEN sx END) AS s10,
+       |    MAX(CASE WHEN arm = 1 AND after THEN n END) AS n11,
+       |    MAX(CASE WHEN arm = 1 AND after THEN sx END) AS s11
+       |  FROM cells)
+       |SELECT
+       |  CAST(COALESCE(n00, 0) AS BIGINT) AS n_ctl_before,
+       |  CAST(COALESCE(n01, 0) AS BIGINT) AS n_ctl_after,
+       |  CAST(COALESCE(n10, 0) AS BIGINT) AS n_trt_before,
+       |  CAST(COALESCE(n11, 0) AS BIGINT) AS n_trt_after,
+       |  floor(${m("00")} * 1e9 + 0.5) / 1e9 AS mean_ctl_before,
+       |  floor(${m("01")} * 1e9 + 0.5) / 1e9 AS mean_ctl_after,
+       |  floor(${m("10")} * 1e9 + 0.5) / 1e9 AS mean_trt_before,
+       |  floor(${m("11")} * 1e9 + 0.5) / 1e9 AS mean_trt_after,
+       |  CASE WHEN n00 IS NULL OR n01 IS NULL OR n10 IS NULL OR n11 IS NULL
+       |    THEN CAST(NULL AS DOUBLE)
+       |    ELSE floor(((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))
+       |      * 1e9 + 0.5) / 1e9
+       |  END AS did
+       |FROM w""".stripMargin
+  }
+
   /** Welch's two-sample t — the means companion to [[abTest]]'s
     * two-proportion z: per-user total spend compared across the same
     * user_id-parity arms, unequal variances assumed (the realistic

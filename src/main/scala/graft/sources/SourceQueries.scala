@@ -262,6 +262,46 @@ object SourceQueries {
       sum(length(col("text")).cast("long")).as("sum_text_chars"))
   }
 
+  /** Declared query `src_tar`: the same documents staged into ustar
+    * archives ([[TarCodec]] — head-first 512-byte block walk, octal
+    * header fields, per-header checksum verification) and read back
+    * to the identical fingerprint. Same per-partition staging and the
+    * same scale stance as [[zipDocStats]]; the contrast IS the
+    * lesson: tar streams head-first (pipe-friendly, no index), ZIP
+    * indexes tail-first (random access, must be read from EOF). */
+  def tarDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "tar") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          val entries = rows.map { case (id, text) =>
+            (s"doc_$id.txt", text.getBytes("UTF-8"))
+          }.toSeq
+          if (entries.isEmpty) Iterator.empty[String]
+          else {
+            val p = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(out), "part-", ".tar")
+            java.nio.file.Files.write(p, TarCodec.encode(entries))
+            Iterator(p.toString)
+          }
+        }.collect()
+      ()
+    }
+    import spark.implicits._
+    val entries = spark.read.format("binaryFile").load(s"$dir/*.tar")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => TarCodec.decode(bytes).map(e =>
+        (e.name, e.data.length.toLong, new String(e.data, "UTF-8"))))
+      .toDF("name", "n_bytes", "text")
+    entries.agg(
+      count(lit(1)).as("n_entries"),
+      sum(regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1).cast("long"))
+        .as("sum_doc_id"),
+      sum(col("n_bytes")).as("sum_bytes"),
+      sum(length(col("text")).cast("long")).as("sum_text_chars"))
+  }
+
   /** Oracle off the raw parquet: entry names/sizes are pure functions
     * of (doc_id, text), so equality proves the archive round trip —
     * and the CRC check inside [[ZipCodec.decode]] already failed

@@ -90,6 +90,28 @@ class EventWindowSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.5 && r.getDouble(6) === 0.5 && r.getDouble(7) === 0.5)
   }
 
+  test("evt_did: nets out the arm gap and the common trend exactly") {
+    import spark.implicits._
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // control (even users): before 10, after 13 (trend +3)
+    // treated (odd users): before 20, after 28 (trend +3, effect +5)
+    // cut = min(day)+15 = Jan 16: days 1 and 20 straddle it
+    val rows = Seq(
+      (1L, ts(1), 2L, "click", 10.0, "{}"),
+      (2L, ts(20), 2L, "click", 13.0, "{}"),
+      (3L, ts(1), 1L, "click", 20.0, "{}"),
+      (4L, ts(20), 1L, "click", 28.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-did").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.didValue(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) === 10.0 && r.getDouble(5) === 13.0)
+    assert(r.getDouble(6) === 20.0 && r.getDouble(7) === 28.0)
+    assert(r.getDouble(8) === 5.0, s"did = ${r.getDouble(8)}")
+  }
+
   test("evt_ttest: symmetric arms give exactly t=0, df=2; guards survive") {
     import spark.implicits._
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")

@@ -128,6 +128,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.getLong(3) === docs.map(_._2.length.toLong).sum)
   }
 
+  test("tar round-trip preserves entries; checksum damage and bad magic fail loudly") {
+    val entries = Seq(
+      ("doc_1.txt", "hello tar".getBytes("UTF-8")),
+      ("doc_2.txt", Array.empty[Byte]),
+      ("doc_3.txt", Array.tabulate[Byte](513)(i => (i * 13).toByte))) // crosses a block
+    val tar = TarCodec.encode(entries)
+    assert(tar.length % 512 === 0)
+    val back = TarCodec.decode(tar)
+    assert(back.map(_.name) === entries.map(_._1))
+    back.zip(entries).foreach { case (got, (_, want)) =>
+      assert(java.util.Arrays.equals(got.data, want))
+    }
+    // flip a byte inside the first NAME field: the checksum must trip
+    val tampered = tar.clone(); tampered(2) = 'X'.toByte
+    intercept[IllegalArgumentException] { TarCodec.decode(tampered) }
+    val badMagic = tar.clone(); badMagic(257) = 'V'.toByte
+    intercept[IllegalArgumentException] { TarCodec.decode(badMagic) }
+  }
+
+  test("src_tar fingerprint equals the raw-table arithmetic") {
+    val out = SourceQueries.tarDocStats(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.getLong(0) === docs.length.toLong)
+    assert(out.getLong(1) === docs.map(_._1).sum)
+    assert(out.getLong(2) === docs.map(_._2.getBytes("UTF-8").length.toLong).sum)
+  }
+
   test("JSONL round-trip preserves orders") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     Formats.writeJsonl(orders, dir)
