@@ -455,8 +455,20 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def cachedCov(spark: SparkSession, d: String): DataFrame =
-    covCache.getOrElseUpdate(
-      (System.identityHashCode(spark), d), covOf(spark, d).persist())
+    covCache.getOrElseUpdate((System.identityHashCode(spark), d), {
+      // localCheckpoint, NOT bare persist: consumers reference cov up
+      // to ~12 times inside one deeply nested plan (v3(v2(v1(cov))),
+      // cov2(cov, u(v3...), lam1(...)), …), and with full lineage each
+      // reference re-embeds the whole Gram pipeline — Catalyst
+      // analysis alone blew emb_pca2 3.0 → 12.5 s. The checkpoint
+      // truncates every reference to a flat block scan. Materialized
+      // NOW by a dims² ≤ 4096-row action so no consumer recomputes
+      // the Gram pass; blocks are swept by the bench's freeBlocks
+      // (persistent-RDD unpersist) like every other checkpoint.
+      val cov = covOf(spark, d).localCheckpoint(false)
+      cov.count()
+      cov
+    })
 
   /** Unpersist every cached IVF centroid table and covariance matrix
     * (all sessions). BLOCKING, for the same reason as
