@@ -45,11 +45,15 @@ object Bench {
   val ContendedRatioFloor = 2.3
 
   /** Primary contention threshold: external (non-this-JVM) CPU
-    * consumption during the timed section, in cores. An idle box
-    * measures ≈ 0.05–0.2 (kernel + monitoring); the r11-style
-    * incident — another tenant stealing cores — shows up as multiple
-    * full cores. */
-  val ExtCpuCoresFloor = 1.0
+    * consumption during the timed section, in cores. "External"
+    * includes the sbt PARENT JVM (runMain forks the bench, so the
+    * launcher's log pumping and GC land outside this process's CPU
+    * counter) — measured ambient on an otherwise-idle box is
+    * 0.4–1.1 cores across runs. The r11-style incident — another
+    * tenant stealing cores — shows up as MULTIPLE full cores, so the
+    * floor sits above the sbt-parent band with margin below a real
+    * tenant. */
+  val ExtCpuCoresFloor = 1.5
 
   /** Total busy CPU seconds across all cores since boot (user+nice+
     * system+irq+softirq+steal, i.e. everything but idle+iowait), from
