@@ -66,8 +66,13 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
-        val idle = f(3) + (if (f.length > 4) f(4) else 0.0)
-        Some((f.sum - idle) / 100.0) // USER_HZ=100 on every mainstream linux
+        // first 8 fields only (user nice system idle iowait irq softirq
+        // steal): guest/guest_nice (fields 9-10) are ALREADY counted
+        // inside user/nice by the kernel — summing them double-counts
+        // VM guest time and can flip the contention flag spuriously
+        val first8 = f.take(8)
+        val idle = first8(3) + (if (first8.length > 4) first8(4) else 0.0)
+        Some((first8.sum - idle) / 100.0) // USER_HZ=100 on every mainstream linux
       } finally src.close()
     } catch { case _: Throwable => None }
 

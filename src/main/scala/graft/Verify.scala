@@ -18,6 +18,15 @@ object Verify {
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE on timestamps: INT96 output (Spark's default) is
+      // deliberate — the driver's Arrow-based hasher reads INT96 as
+      // tz-NAIVE datetime64[ns], matching DuckDB's naive TIMESTAMP.
+      // Switching to annotated TIMESTAMP_MICROS makes the read
+      // tz-AWARE (isAdjustedToUTC) and hash-diverges EVERY timestamp
+      // query. The ns-wrap hazard (r13 evt_scd2: year 9999 → 1816) is
+      // instead closed by the sentinel rule: no declared output may
+      // carry a timestamp outside datetime64[ns] range — enforced by
+      // OpsSmokeSpec and tools/check_oracle.py.
       // allow DPP to run its own subquery when AQE hasn't materialized
       // a reusable broadcast yet (default reuse-only silently degrades
       // the filter to `true` and scans every partition - evt_dpp)

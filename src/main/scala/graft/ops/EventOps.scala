@@ -1381,10 +1381,14 @@ object EventOps {
         min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("run"))
-    // the classic end-of-time sentinel, not NULL: open intervals stay
+    // end-of-time sentinel, not NULL: open intervals stay
     // BETWEEN-queryable, and the gate never compares NULL timestamps
-    // (engines disagree on NaT equality)
-    val eot = to_timestamp(lit("9999-12-31 00:00:00"))
+    // (engines disagree on NaT equality). NOT year 9999: any reader
+    // that narrows parquet timestamps to int64 nanoseconds (Arrow's
+    // datetime64[ns]) wraps 9999-12-31 to year 1816; 2200-01-01 is
+    // far past any generated event yet well inside the ns range
+    // (max 2262-04-11).
+    val eot = to_timestamp(lit("2200-01-01 00:00:00"))
     runs
       .withColumn("next_from", lead(col("valid_from"), 1).over(w2))
       .select(col("user_id"), col("event_type"), col("valid_from"),
@@ -1409,7 +1413,7 @@ object EventOps {
       |  FROM seg GROUP BY user_id, run)
       |SELECT user_id, event_type, valid_from,
       |  COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run),
-      |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
       |  CAST(n_events AS BIGINT) AS n_events,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
       |FROM runs ORDER BY user_id, valid_from""".stripMargin

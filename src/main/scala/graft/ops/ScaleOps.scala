@@ -384,7 +384,19 @@ object ScaleOps {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.expressions.Window
-    val paths = CompactionTables.map(t => (t, s"$d/$t.parquet"))
+    // Derive the manifest by LISTING the SF dir (r13 advice): the
+    // DuckDB oracle globs *.parquet, so a hardcoded table list would
+    // silently diverge if a fixture dir ever gained or lost a file.
+    // Assert the listing matches the documented table set so a drift
+    // fails loudly on the Spark side, not as an oracle hash mismatch.
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted.toSeq
+    require(listed == CompactionTables.sorted,
+      s"SF dir $d parquet listing $listed != expected $CompactionTables")
+    val paths = listed.map(t => (t, s"$d/$t.parquet"))
     val sizes = spark.sparkContext.parallelize(paths, paths.size)
       .map { case (t, p) =>
         val conf = new org.apache.hadoop.conf.Configuration()

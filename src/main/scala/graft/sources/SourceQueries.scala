@@ -49,7 +49,13 @@ object SourceQueries {
       write: (DataFrame, String) => Unit): String =
     staged.computeIfAbsent((System.identityHashCode(spark), d, fmt), _ => {
       val out = java.nio.file.Files.createTempDirectory(s"graft-src-$fmt").toString
+      // wall-time per staging, logged: the r13 bench saw a one-off
+      // 726 s src_tar entry that could not be attributed to staging
+      // vs query — this line makes the split visible in bench output
+      val t0 = System.nanoTime()
       write(graft.Tables.documents(spark, d), out)
+      System.err.println(
+        f"[graft-stage] fmt=$fmt sf=$d wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
       out
     })
 
@@ -289,10 +295,34 @@ object SourceQueries {
       ()
     }
     import spark.implicits._
+    // Stream each archive head-first (TarCodec.decodeStream) instead
+    // of loading content through binaryFile: only `path` is read from
+    // the source (binaryFile prunes the content column), and the
+    // executor holds ONE entry's payload at a time — a multi-GB tar
+    // never materializes. This is tar's defining property; the ZIP
+    // twin below deliberately CAN'T do this (tail-first directory).
     val entries = spark.read.format("binaryFile").load(s"$dir/*.tar")
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(bytes => TarCodec.decode(bytes).map(e =>
-        (e.name, e.data.length.toLong, new String(e.data, "UTF-8"))))
+      .select(col("path")).as[String]
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val hPath = new org.apache.hadoop.fs.Path(p)
+          val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = new java.io.BufferedInputStream(fs.open(hPath), 1 << 16)
+          var closed = false
+          val underlying = TarCodec.decodeStream(in)
+          new Iterator[(String, Long, String)] {
+            def hasNext: Boolean = {
+              val h = underlying.hasNext
+              if (!h && !closed) { closed = true; in.close() }
+              h
+            }
+            def next(): (String, Long, String) = {
+              val e = underlying.next()
+              (e.name, e.data.length.toLong, new String(e.data, "UTF-8"))
+            }
+          }
+        }
+      }
       .toDF("name", "n_bytes", "text")
     entries.agg(
       count(lit(1)).as("n_entries"),

@@ -30,42 +30,56 @@ object ZipCodec {
     c.getValue
   }
 
-  /** Canonical STORED archive with the given entries. */
+  /** Canonical STORED archive with the given entries.
+    *
+    * Fail-loudly bounds (r13 advice): the EOCD entry count is a
+    * 16-bit field and every offset/size a 32-bit one — exceeding
+    * either would silently truncate mod 2^16 / wrap past 2 GiB, so
+    * both are hard `require`s at write time. All offset arithmetic is
+    * Long until the final bounded cast. Assembly is single-allocation
+    * (sizes are closed-form), O(total) bytes — not `reduce(_ ++ _)`. */
   def encode(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     require(entries.nonEmpty, "empty archive")
+    require(entries.size <= 0xFFFF,
+      s"${entries.size} entries exceed the ZIP EOCD 16-bit count — split the partition")
     val names = entries.map(_._1.getBytes("UTF-8"))
-    val locals = entries.zip(names).map { case ((_, data), name) =>
-      val b = ByteBuffer.allocate(30 + name.length + data.length)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(LocalSig).putShort(20).putShort(0).putShort(0)
-      b.putShort(0).putShort(0) // time, date
-      b.putInt(crc32(data).toInt)
-      b.putInt(data.length).putInt(data.length)
-      b.putShort(name.length.toShort).putShort(0)
-      b.put(name).put(data)
-      b.array()
+    val crcs = entries.map { case (_, data) => crc32(data) }
+    val cdOff = entries.zip(names).foldLeft(0L) { case (acc, ((_, data), name)) =>
+      acc + 30L + name.length + data.length
     }
-    val offsets = locals.scanLeft(0)(_ + _.length)
-    val centrals = entries.zip(names).zip(offsets).map {
-      case (((_, data), name), off) =>
-        val b = ByteBuffer.allocate(46 + name.length).order(ByteOrder.LITTLE_ENDIAN)
-        b.putInt(CentralSig).putShort(20).putShort(20).putShort(0).putShort(0)
-        b.putShort(0).putShort(0)
-        b.putInt(crc32(data).toInt)
-        b.putInt(data.length).putInt(data.length)
-        b.putShort(name.length.toShort).putShort(0).putShort(0)
-        b.putShort(0).putShort(0).putInt(0)
-        b.putInt(off)
-        b.put(name)
-        b.array()
+    val cdSize = names.foldLeft(0L)(_ + 46L + _.length)
+    val total = cdOff + cdSize + 22L
+    require(total <= Int.MaxValue,
+      s"archive would be $total bytes — exceeds the 32-bit ZIP offset space (no ZIP64)")
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    val offsets = new Array[Long](entries.size)
+    entries.zip(names).zip(crcs).zipWithIndex.foreach {
+      case ((((_, data), name), crc), i) =>
+        offsets(i) = buf.position().toLong
+        buf.putInt(LocalSig).putShort(20).putShort(0).putShort(0)
+        buf.putShort(0).putShort(0) // time, date
+        buf.putInt(crc.toInt)
+        buf.putInt(data.length).putInt(data.length)
+        buf.putShort(name.length.toShort).putShort(0)
+        buf.put(name).put(data)
     }
-    val cdOff = offsets.last
-    val cdSize = centrals.map(_.length).sum
-    val eocd = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    entries.zip(names).zip(crcs).zipWithIndex.foreach {
+      case ((((_, data), name), crc), i) =>
+        buf.putInt(CentralSig).putShort(20).putShort(20).putShort(0).putShort(0)
+        buf.putShort(0).putShort(0)
+        buf.putInt(crc.toInt)
+        buf.putInt(data.length).putInt(data.length)
+        buf.putShort(name.length.toShort).putShort(0).putShort(0)
+        buf.putShort(0).putShort(0).putInt(0)
+        buf.putInt(offsets(i).toInt)
+        buf.put(name)
+    }
+    val eocd = buf
     eocd.putInt(EocdSig).putShort(0).putShort(0)
     eocd.putShort(entries.size.toShort).putShort(entries.size.toShort)
-    eocd.putInt(cdSize).putInt(cdOff).putShort(0)
-    (locals ++ centrals :+ eocd.array()).reduce(_ ++ _)
+    eocd.putInt(cdSize.toInt).putInt(cdOff.toInt).putShort(0)
+    require(buf.position() == total.toInt, s"assembly bug: ${buf.position()} != $total")
+    buf.array()
   }
 
   /** Walk the archive tail-first and return every entry, CRC-verified. */

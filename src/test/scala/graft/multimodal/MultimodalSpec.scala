@@ -265,7 +265,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("TiffCodec fails loudly on alien / compressed / truncated bytes") {
     intercept[IllegalArgumentException](TiffCodec.decode(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
-      TiffCodec.decode("MM *   ".getBytes("US-ASCII"))) // big-endian
+      TiffCodec.decode("MM\u0000*\u0000\u0000\u0000\u0008".getBytes("US-ASCII"))) // big-endian
     val ok = TiffCodec.encode(6, 3, Array.fill[Byte](54)(1))
     intercept[IllegalArgumentException](TiffCodec.decode(ok.take(100))) // truncated strip
     val compressed = ok.clone()
@@ -766,7 +766,7 @@ class MultimodalSpec extends AnyFunSuite {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-build an MM TIFF block: Orientation inline, DateTime
     // out-of-line, dims as LONGs
-    val dt = ("2023:01:02 03:04:05" + " ").getBytes("US-ASCII")
+    val dt = ("2023:01:02 03:04:05" + "\u0000").getBytes("US-ASCII")
     val tiff = ByteBuffer.allocate(62 + 20).order(ByteOrder.BIG_ENDIAN)
     tiff.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
     tiff.putShort(4)
@@ -776,7 +776,7 @@ class MultimodalSpec extends AnyFunSuite {
     tiff.putShort(0xA003.toShort).putShort(4).putInt(1).putInt(17)
     tiff.putInt(0)
     tiff.put(dt)
-    val payload = "Exif  ".getBytes("US-ASCII") ++ tiff.array()
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array()
     val jpeg = ExifCodec.insertApp1(
       JpegCodec.encode(8, 2, Array.fill[Byte](16)(1)), payload)
     assert(ExifCodec.readExif(jpeg) === ExifMeta(8, "2023:01:02 03:04:05", 31, 17))
@@ -791,7 +791,7 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = java.nio.ByteBuffer.allocate(8 + 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bad.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
     bad.putShort(0xFFFF.toShort)
-    val payload = "Exif  ".getBytes("US-ASCII") ++ bad.array()
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ bad.array()
     val jpeg = ExifCodec.insertApp1(plain, payload)
     intercept[IllegalArgumentException] { ExifCodec.readExif(jpeg) }
   }

@@ -48,7 +48,37 @@ class OpsSmokeSpec extends AnyFunSuite {
           banned.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ") +
           " — cast decimals to double (dsum convention), stringify nested types")
       assert(df.count() > 0, s"$name returned no rows")
+      // ns-range guard (r13 evt_scd2): the driver hasher reads
+      // timestamps as datetime64[ns]; values outside int64-ns range
+      // (±~292 years around 1970 — year 9999 sentinels!) silently
+      // WRAP through Arrow even though DuckDB compares them fine.
+      // Mirrors tools/check_oracle.py's gate on the python side.
+      import org.apache.spark.sql.functions.{col, count => cnt, lit, to_timestamp, when}
+      import org.apache.spark.sql.types.TimestampType
+      val tsCols = df.schema.fields.filter(_.dataType == TimestampType).map(_.name)
+      if (tsCols.nonEmpty) {
+        val lo = to_timestamp(lit("1677-09-22 00:00:00"))
+        val hi = to_timestamp(lit("2262-04-10 00:00:00"))
+        val oob = df.select(tsCols.map(c =>
+          cnt(when(col(c) < lo || col(c) > hi, 1)).as(c)).toSeq: _*).head()
+        tsCols.zipWithIndex.foreach { case (c, i) =>
+          assert(oob.getLong(i) == 0L,
+            s"$name.$c has ${oob.getLong(i)} timestamp(s) outside the " +
+              "datetime64[ns] range — the driver hasher wraps these; " +
+              "use an ns-safe sentinel (< 2262-04-11)")
+        }
+      }
     }
+  }
+
+  test("ns-range guard trips on a synthetic year-9999 column") {
+    // proves the guard logic above actually fires (r13: year 9999
+    // wraps to 1816 through an int64-ns read)
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val df = spark.range(1)
+      .select(to_timestamp(lit("9999-12-31 00:00:00")).as("ts"))
+    val hi = to_timestamp(lit("2262-04-10 00:00:00"))
+    assert(df.where(col("ts") > hi).count() == 1L)
   }
 
   test("recall of LSH ANN vs brute-force top-3 is useful") {

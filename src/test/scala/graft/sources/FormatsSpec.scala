@@ -118,6 +118,32 @@ class FormatsSpec extends AnyFunSuite {
       entries.map(_._1))
   }
 
+  test("ZIP encode fails loudly past the 16-bit EOCD entry count (no silent mod-65536 wrap)") {
+    val tooMany = (0 to 0xFFFF).map(i => (s"d$i", Array.empty[Byte]))
+    val e = intercept[IllegalArgumentException] { ZipCodec.encode(tooMany) }
+    assert(e.getMessage.contains("16-bit"))
+    // exactly 65535 is legal and round-trips with the full count intact
+    val atCap = (1 to 0xFFFF).map(i => (s"d$i", Array.empty[Byte]))
+    assert(ZipCodec.decode(ZipCodec.encode(atCap)).size === 0xFFFF)
+  }
+
+  test("tar streaming decode yields entries lazily and trips on truncation mid-stream") {
+    val entries = Seq(
+      ("a.txt", "alpha".getBytes("UTF-8")),
+      ("b.txt", Array.tabulate[Byte](1000)(_.toByte)))
+    val tar = TarCodec.encode(entries)
+    val it = TarCodec.decodeStream(new java.io.ByteArrayInputStream(tar))
+    assert(it.next().name === "a.txt")
+    assert(java.util.Arrays.equals(it.next().data, entries(1)._2))
+    assert(!it.hasNext)
+    // cut the stream inside the second payload: the error surfaces at
+    // the pull that needs those bytes, not before (head-first contract)
+    val cut = TarCodec.decodeStream(
+      new java.io.ByteArrayInputStream(tar.take(512 + 512 + 512 + 100)))
+    assert(cut.next().name === "a.txt")
+    intercept[IllegalArgumentException] { cut.next() }
+  }
+
   test("src_zip fingerprint equals the raw-table arithmetic") {
     val out = SourceQueries.zipDocStats(spark, sf).collect()(0)
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()

@@ -52,6 +52,26 @@ def main(outdir, sfdir):
                 print(f"FAIL {name}: non-driver-hashable physical column type(s) "
                       f"{bad_types} — cast decimals to double, stringify nested")
                 n_fail += 1; continue
+            # ns-range guard (r13 evt_scd2 incident): the driver's
+            # Arrow/pandas hasher reads parquet timestamps as
+            # datetime64[ns], so any value outside [1677-09-21,
+            # 2262-04-11] silently WRAPS (year 9999 → 1816) even though
+            # DuckDB compares it correctly. Reject such values here,
+            # before the value compare, so an out-of-range sentinel can
+            # never ship again.
+            ts_cols = [c for c, t, *_ in phys if t.startswith("TIMESTAMP")]
+            if ts_cols:
+                checks = " OR ".join(
+                    f"(\"{c}\" IS NOT NULL AND (\"{c}\" < TIMESTAMP '1677-09-22' "
+                    f"OR \"{c}\" > TIMESTAMP '2262-04-10'))" for c in ts_cols)
+                n_oob = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{spark_dir}/*.parquet') "
+                    f"WHERE {checks}").fetchone()[0]
+                if n_oob:
+                    print(f"FAIL {name}: {n_oob} timestamp value(s) outside the "
+                          f"datetime64[ns] range in {ts_cols} — the driver hasher "
+                          f"wraps these; use an ns-safe sentinel (< 2262-04-11)")
+                    n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         gc, wc = sorted(got.columns), sorted(want.columns)
