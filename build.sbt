@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
-ThisBuild / scalacOptions ++= Seq("-deprecation")
+// -encoding pinned: source files carry non-ASCII literals (the CJK
+// segmentation seed in TextAnalysisOps) and must not depend on the
+// platform default charset
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-encoding", "UTF-8")
 ThisBuild / version := "0.1.0"
 name := "eecs485mapreducespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

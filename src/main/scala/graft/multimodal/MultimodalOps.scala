@@ -1315,4 +1315,93 @@ object MultimodalOps {
       |  64 + (octet_length(encode(text)) * 31) % 433 AS height,
       |  1 + octet_length(encode(text)) % 24 AS n_frames
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Real MP4 (ISO-BMFF) containers for the corpus's video assets:
+    * one video track, constant 100-tick sample cadence, timescale
+    * keyed on the doc, sample payloads cycled from the text — the
+    * same deterministic generation arithmetic family as
+    * [[aviAssets]] so the oracle can replay every field. */
+  def mp4Assets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .where(col("doc_id") % 3 === 2) // the 'video' rows of assets()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = (32 + (id % 8) * 16).toInt
+          val h = (24 + (id % 6) * 12).toInt
+          val ts = (600 * (1 + (id / 3) % 3)).toInt // {600,1200,1800}
+          val nSamples = (1 + bytes.length % 40).toInt
+          // sample f carries up to 24 text bytes starting at f*24,
+          // cycling — varying sizes so the stsz table is a real table
+          val samples = (0 until nSamples).map { f =>
+            val len = 1 + (f + bytes.length) % 24
+            Array.tabulate[Byte](len)(i =>
+              if (bytes.isEmpty) 0 else bytes((f * 24 + i) % bytes.length))
+          }
+          (id, Mp4Codec.encode(w, h, ts, 100, samples))
+        }
+      }.toDF("asset_id", "mp4")
+  }
+
+  /** Declared query `mm_mp4`: decode REAL ISO-BMFF containers — the
+    * head-first box walk (ftyp brand check, moov -> mvhd/trak/tkhd/
+    * mdia/mdhd/minf/stbl recursion, stts cadence, stsz sample table)
+    * with the mdat payload ACCOUNTED against the stsz sizes (decode
+    * refuses a file whose tables lie), plus the payload byte sum.
+    * The oracle replays every field from the generation arithmetic:
+    * container overhead is the closed form 348 + 4*n_samples, and
+    * payload bytes are re-derived from the text via the same cycling
+    * rule. Same per-asset map-only shape as [[mmAvi]]. */
+  def mmMp4(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = mp4Assets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = Mp4Codec // per-partition codec handle
+        rows.map { case (id, mp4) =>
+          val m = codec.decode(mp4)
+          (id, mp4.length.toLong, m.width.toLong, m.height.toLong,
+            m.timescale.toLong, m.nSamples.toLong, m.mdatBytes,
+            m.durationMs, codec.mdatPayloadSum(mp4))
+        }
+      }
+    decoded.toDF("asset_id", "mp4_bytes", "width", "height",
+      "timescale", "n_samples", "mdat_bytes", "duration_ms",
+      "payload_sum")
+      .orderBy("asset_id")
+  }
+
+  // Generation arithmetic mirror: n_samples = 1 + byte_len % 40;
+  // sample f's payload is 1 + (f + byte_len) % 24 bytes cycled from
+  // the text; the container adds 348 fixed bytes + 4 per stsz entry;
+  // duration_ms = n*100 ticks scaled by timescale 600*(1+(id/3)%3).
+  def mmMp4Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |sm AS (
+      |  SELECT b.doc_id, b.bl, b.hx, t.f, 1 + (t.f + b.bl) % 24 AS slen
+      |  FROM base b
+      |  JOIN (SELECT unnest(range(40)) AS f) t ON t.f < 1 + b.bl % 40),
+      |tabs AS (
+      |  SELECT doc_id, bl, 1 + bl % 40 AS n,
+      |    SUM(slen) AS mdat_bytes
+      |  FROM sm GROUP BY doc_id, bl),
+      |pay AS (
+      |  SELECT sm.doc_id, SUM(CASE WHEN sm.bl = 0 THEN 0 ELSE
+      |      ('0x' || substr(sm.hx, ((sm.f * 24 + u.i) % sm.bl) * 2 + 1, 2))::BIGINT
+      |    END) AS psum
+      |  FROM sm JOIN (SELECT unnest(range(24)) AS i) u ON u.i < sm.slen
+      |  GROUP BY sm.doc_id)
+      |SELECT t.doc_id AS asset_id,
+      |  CAST(348 + 4 * t.n + t.mdat_bytes AS BIGINT) AS mp4_bytes,
+      |  32 + (t.doc_id % 8) * 16 AS width,
+      |  24 + (t.doc_id % 6) * 12 AS height,
+      |  CAST(600 * (1 + (t.doc_id // 3) % 3) AS BIGINT) AS timescale,
+      |  CAST(t.n AS BIGINT) AS n_samples,
+      |  CAST(t.mdat_bytes AS BIGINT) AS mdat_bytes,
+      |  (t.n * 100 * 1000) // (600 * (1 + (t.doc_id // 3) % 3)) AS duration_ms,
+      |  CAST(pay.psum AS BIGINT) AS payload_sum
+      |FROM tabs t JOIN pay ON pay.doc_id = t.doc_id ORDER BY asset_id""".stripMargin
 }

@@ -42,6 +42,15 @@ object Formats {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(path)
 
+  /** Gzipped JSONL (`.json.gz`) — the most common corpus wire format.
+    * Written through Spark's codec chain; read back via extension-
+    * based codec inference (no reader changes needed). */
+  def writeJsonlGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("compression", "gzip")
+      .json(path)
+
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 

@@ -81,6 +81,26 @@ object SourceQueries {
     docStats(Formats.readJsonl(spark, dir, docSchema))
   }
 
+  /** Declared query `src_jsonl_gz`: the fingerprint over a GZIPPED
+    * JSONL round trip — `.jsonl.gz` is the wire format most collected
+    * corpora actually arrive in. Spark's codec chain handles both
+    * directions by file extension; the schema/timestamp handling is
+    * identical to `src_jsonl`, so the query isolates exactly the
+    * compression layer.
+    *
+    * Scale stance, stated where the format is declared: gzip is NOT
+    * splittable — each `.json.gz` file is one task, so reader
+    * parallelism is file-count parallelism. That is fine here by
+    * construction (staging writes one file per input partition) and
+    * is the standard posture for collected corpora (many ~100 MB-1 GB
+    * members); a single multi-TB gzip would serialize, and the fix is
+    * upstream file sizing — or zstd-seekable/bzip2 — not a cleverer
+    * reader. */
+  def jsonlGzDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "jsonlgz")(Formats.writeJsonlGz)
+    docStats(Formats.readJsonl(spark, dir, docSchema))
+  }
+
   /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
     * round trip (quoted embedded newlines/quotes/commas in `text`). */
   def csvDocStats(spark: SparkSession, d: String): DataFrame = {

@@ -880,4 +880,46 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getBoolean(5), s"dims_match of $id")
     }
   }
+
+  test("Mp4Codec round-trips encode -> decode incl. stsz walk and mdat accounting") {
+    val samples = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val mp4 = Mp4Codec.encode(320, 240, 600, 100, samples)
+    assert(mp4.length === 348 + 4 * 3 + 6) // closed-form container overhead
+    val m = Mp4Codec.decode(mp4)
+    assert(m === Mp4Meta(320, 240, 600, 300L, 300L * 1000 / 600, 3, 6L, 100))
+    assert(Mp4Codec.mdatPayloadSum(mp4) === 1L + 2 + 3 + 4 + 5 + 6)
+  }
+
+  test("Mp4Codec refuses a file whose stsz table lies about the mdat size") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val mp4 = Mp4Codec.encode(64, 48, 1200, 100, Seq(Array[Byte](7, 8), Array[Byte](9)))
+    // the stsz table is the last 2*4 bytes before mdat: bump a size
+    val buf = ByteBuffer.wrap(mp4.clone()).order(ByteOrder.BIG_ENDIAN)
+    val stszFirstEntry = mp4.length - 3 - 8 - 8 // mdat payload(3) + mdat hdr(8) + 2 entries
+    buf.putInt(stszFirstEntry, 5)
+    val e = intercept[IllegalArgumentException] { Mp4Codec.decode(buf.array()) }
+    assert(e.getMessage.contains("stsz"))
+  }
+
+  test("Mp4Codec fails loudly on alien / truncated bytes") {
+    intercept[IllegalArgumentException](Mp4Codec.decode(Array.fill[Byte](40)(3)))
+    val ok = Mp4Codec.encode(32, 24, 600, 100, Seq(Array[Byte](1)))
+    intercept[IllegalArgumentException](Mp4Codec.decode(ok.dropRight(5))) // truncated mdat
+    // a non-ftyp leading box
+    val swapped = ok.clone()
+    swapped(4) = 'f'; swapped(5) = 'r'; swapped(6) = 'e'; swapped(7) = 'e'
+    intercept[IllegalArgumentException](Mp4Codec.decode(swapped))
+  }
+
+  test("mm_mp4 oracle arithmetic matches a hand-decoded asset") {
+    import org.apache.spark.sql.functions.col
+    val row = MultimodalOps.mmMp4(spark, sf).where(col("asset_id") === 2L).collect()(0)
+    val text = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") === 2L).select("text").collect()(0).getString(0)
+    val bl = text.getBytes("UTF-8").length
+    val n = 1 + bl % 40
+    assert(row.getLong(5) === n.toLong)                    // n_samples
+    assert(row.getLong(6) === (0 until n).map(f => 1 + (f + bl) % 24).sum.toLong) // mdat
+    assert(row.getLong(1) === 348L + 4 * n + row.getLong(6)) // container overhead
+  }
 }
