@@ -1889,4 +1889,72 @@ object TextAnalysisOps {
        |  CAST(class_tokens AS BIGINT) AS class_tokens, class_distinct
        |FROM ranked WHERE rank <= 3 ORDER BY script, rank""".stripMargin
   }
+
+  /** Fullwidth seed for `text_width_fold` (same deterministic-seeding
+    * stance as [[CjkSeed]]): fullwidth Latin/digits/punct (U+FF01..
+    * U+FF5E) plus the ideographic space U+3000, mixed with CJK — the
+    * exact shape CJK web text arrives in, where "ＧＰＵ" and "GPU"
+    * are different tokens until width folding unifies them. */
+  private val WidthSeed =
+    "ＧＰＵ１２８台で学習　ｓｐｅｅｄ！（ｖ２．０）"
+
+  /** Declared query `text_width_fold`: Unicode width folding — map
+    * every fullwidth form U+FF01..U+FF5E to its ASCII twin
+    * (codepoint − 0xFEE0) and U+3000 to a plain space, the first
+    * normalization pass of every CJK curation pipeline (NFKC's most
+    * impactful subset, expressed as a deterministic 1:1 `translate`
+    * both engines run verbatim — no ICU). The output proves the fold
+    * does real work: per lang, the count of ASCII-word tokens BEFORE
+    * vs AFTER folding (fullwidth "ｓｐｅｅｄ" only becomes a
+    * recoverable token after the fold) and the total fullwidth chars
+    * folded. One codegen'd map pass; the only shuffle is the |lang|-
+    * keyed aggregate. */
+  def widthFold(spark: SparkSession, d: String): DataFrame = {
+    val from = (0xFF01 to 0xFF5E).map(_.toChar).mkString + '　'
+    val to = (0x21 to 0x7E).map(_.toChar).mkString + " "
+    val seeded = Tables.documents(spark, d)
+      .select(col("lang"),
+        when(col("lang") === "zh", concat(col("text"), lit(" " + WidthSeed)))
+          .otherwise(col("text")).as("txt"))
+      .withColumn("folded", translate(col("txt"), from, to))
+    def asciiTokens(c: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))).cast("long")
+    seeded
+      .select(col("lang"),
+        asciiTokens(col("txt")).as("tok_before"),
+        asciiTokens(col("folded")).as("tok_after"),
+        (length(col("txt")) - length(regexp_replace(col("txt"),
+          s"[$from]", ""))).cast("long").as("fw_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_before")).as("ascii_tokens_before"),
+        sum(col("tok_after")).as("ascii_tokens_after"),
+        sum(col("fw_chars")).as("fullwidth_chars"))
+      .orderBy("lang")
+  }
+
+  def widthFoldSql: String = {
+    // `from` is entirely U+3000..U+FF5E — no ASCII quote/backslash/
+    // regex metachars, so it embeds verbatim in both the SQL literal
+    // and the RE2 character class (the ASCII twins in `to` DO carry
+    // quote+backslash and need escaping)
+    val from = (0xFF01 to 0xFF5E).map(_.toChar).mkString + '　'
+    val to = (0x21 to 0x7E).map(_.toChar).mkString + " "
+    val toSql = to.replace("'", "''")
+    s"""WITH seeded AS (
+       |  SELECT lang,
+       |    CASE WHEN lang = 'zh' THEN text || ' $WidthSeed' ELSE text END AS txt
+       |  FROM documents),
+       |f AS (
+       |  SELECT lang, txt, translate(txt, '$from', '$toSql') AS folded
+       |  FROM seeded)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(lower(txt), '[a-z0-9]+'))) AS BIGINT)
+       |    AS ascii_tokens_before,
+       |  CAST(SUM(len(regexp_extract_all(lower(folded), '[a-z0-9]+'))) AS BIGINT)
+       |    AS ascii_tokens_after,
+       |  CAST(SUM(length(txt) - length(regexp_replace(txt, '[$from]', '', 'g')))
+       |    AS BIGINT) AS fullwidth_chars
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }
