@@ -268,7 +268,13 @@ class ScaleStressSpec extends AnyFunSuite {
       ("evt_bootstrap", d => { EventOps.bootstrap(spark, d).count(); () }),
       ("evt_attr_positional", d => { EventOps.attrPositional(spark, d).count(); () }),
       ("curate_kappa", d => { CurationOps.filterKappa(spark, d).count(); () }),
-      ("emb_rp", d => { SimilarityOps.randomProjection(spark, d).count(); () }))
+      ("emb_rp", d => { SimilarityOps.randomProjection(spark, d).count(); () }),
+      // r14 additions: CJK segmentation is pad+split+explode with a
+      // (script, token)-keyed map-side-combined count — O(chars); the
+      // width fold is a pure 1:1 translate pass with a |lang|-keyed
+      // aggregate. Both must track corpus size exactly.
+      ("text_segment_cjk", d => { TextAnalysisOps.segmentCjk(spark, d).count(); () }),
+      ("text_width_fold", d => { TextAnalysisOps.widthFold(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
