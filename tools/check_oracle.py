@@ -132,5 +132,33 @@ def main(outdir, sfdir):
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
+def selftest():
+    """Prove the ns-range guard trips: build a result dir whose parquet
+    carries a year-9999 timestamp (values DuckDB compares as equal, so
+    without the guard this would PASS and then hash-fail in the
+    driver's Arrow read — the r13 evt_scd2 incident) and assert main()
+    fails it for the datetime64[ns] reason."""
+    import io, tempfile
+    from contextlib import redirect_stdout
+    out = tempfile.mkdtemp(prefix="oracle-selftest-")
+    con = duckdb.connect()
+    os.makedirs(os.path.join(out, "guard_case"))
+    con.execute(
+        "COPY (SELECT TIMESTAMP '9999-12-31 00:00:00' AS ts, 1::BIGINT AS v) "
+        f"TO '{out}/guard_case/part-0.parquet' (FORMAT PARQUET)")
+    with open(os.path.join(out, "oracle_sql.json"), "w") as f:
+        json.dump({"guard_case":
+                   "SELECT TIMESTAMP '9999-12-31 00:00:00' AS ts, 1::BIGINT AS v"}, f)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(out, out)  # sfdir unused: the oracle needs no tables
+    text = buf.getvalue()
+    assert rc == 1 and "datetime64[ns]" in text, \
+        f"ns-range guard did NOT trip on a year-9999 column:\n{text}"
+    print("selftest OK: ns-range guard trips on year-9999 timestamps")
+    return 0
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

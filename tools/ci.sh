@@ -12,6 +12,9 @@ echo "== compile + test"
 rm -rf target/test-reports
 sbt -batch test 2>&1 | grep -E "Tests:|Passed:" | tail -2
 
+echo "== oracle-checker selftest (ns-range guard)"
+python3 tools/check_oracle.py --selftest
+
 echo "== verify vs DuckDB oracle @ $SF"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Verify $SF $OUT/verify" 2>&1 | tail -1
