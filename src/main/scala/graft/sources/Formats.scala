@@ -51,6 +51,17 @@ object Formats {
       .option("compression", "gzip")
       .json(path)
 
+  /** Bzip2'd JSONL — the one stock-Hadoop compressed text codec that
+    * is SPLITTABLE (block-structured with a findable block magic, so
+    * TextInputFormat can start mid-file), and therefore the scale-out
+    * answer to gzip's one-task-per-file ceiling. Pure-JVM codec in
+    * hadoop-common — no native lib. */
+  def writeJsonlBz2(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("compression", "bzip2")
+      .json(path)
+
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 

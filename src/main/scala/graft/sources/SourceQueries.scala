@@ -101,6 +101,21 @@ object SourceQueries {
     docStats(Formats.readJsonl(spark, dir, docSchema))
   }
 
+  /** Declared query `src_jsonl_bz2`: the fingerprint over BZIP2'd
+    * JSONL — the splittable half of the compressed-text story.
+    * Where gzip serializes a file to one task (`src_jsonl_gz`), bzip2
+    * is block-structured with a findable 48-bit block magic, so
+    * Hadoop's TextInputFormat can start decompressing mid-file and a
+    * single multi-GB member still fans out across the cluster — the
+    * codec to reach for when upstream file sizing can't be fixed.
+    * FormatsSpec proves the contrast mechanically: the same single
+    * file under a small split size reads as 1 partition via gzip and
+    * >1 via bzip2. */
+  def jsonlBz2DocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "jsonlbz2")(Formats.writeJsonlBz2)
+    docStats(Formats.readJsonl(spark, dir, docSchema))
+  }
+
   /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
     * round trip (quoted embedded newlines/quotes/commas in `text`). */
   def csvDocStats(spark: SparkSession, d: String): DataFrame = {

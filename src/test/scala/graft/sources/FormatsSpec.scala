@@ -118,6 +118,38 @@ class FormatsSpec extends AnyFunSuite {
       entries.map(_._1))
   }
 
+  test("bzip2 splits a single compressed file across tasks; gzip cannot (the stance, proven)") {
+    // One physical file each, same JSONL content, read under a small
+    // split size: gzip's stream has no entry points, so Spark must
+    // give the whole file to one task; bzip2's block magic lets
+    // TextInputFormat start mid-file. This is the mechanical basis
+    // for the src_jsonl_gz / src_jsonl_bz2 declaration-site stances.
+    // sf0.1 (5000 docs): the single bz2 member must exceed the split
+    // size below by a wide margin — tiny sf0.001 compresses under one
+    // bzip2 block and would trivially be one split anyway
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft-split").toString
+    Formats.writeJsonlGz(docs.coalesce(1), s"$base/gz")
+    Formats.writeJsonlBz2(docs.coalesce(1), s"$base/bz2")
+    val restore = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+      val gz = Formats.readJsonl(spark, s"$base/gz", SourceQueries.docSchema)
+      val bz = Formats.readJsonl(spark, s"$base/bz2", SourceQueries.docSchema)
+      val nDocs = docs.count()
+      assert(gz.count() === nDocs && bz.count() === nDocs)
+      val gzParts = gz.rdd.getNumPartitions
+      val bzParts = bz.rdd.getNumPartitions
+      info(s"gzip partitions: $gzParts, bzip2 partitions: $bzParts")
+      assert(gzParts === 1, s"gzip must be one split, got $gzParts")
+      assert(bzParts > 1, s"bzip2 should split under a 64 KiB split size, got $bzParts")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("ZIP encode fails loudly past the 16-bit EOCD entry count (no silent mod-65536 wrap)") {
     val tooMany = (0 to 0xFFFF).map(i => (s"d$i", Array.empty[Byte]))
     val e = intercept[IllegalArgumentException] { ZipCodec.encode(tooMany) }
