@@ -1300,23 +1300,22 @@ object TextAnalysisOps {
     * Each c·ln c term quantizes to 12 decimals and sums as DECIMAL
     * (order-free — [[graft.ops.OpsUtil.dsum]] rationale); both
     * engines then evaluate the identical two-double expression. */
-  def charEntropy(spark: SparkSession, d: String): DataFrame = {
-    val tg = Tables.documents(spark, d)
-      .select(col("doc_id"), lower(col("text")).as("lt"))
+  def charEntropy(spark: SparkSession, d: String): DataFrame =
+    // one fused per-row pass (graft.functions.TrigramStats, the
+    // SimHash60 pattern): the explode-every-trigram original shuffled
+    // ~70× the document count through TWO aggregations; this keeps
+    // entropy entirely inside the scan projection — the only exchange
+    // left is the final orderBy. Decimal quantization is replicated
+    // bit-for-bit (see the expression's Scaladoc), so the DuckDB
+    // oracle is unchanged. n_trigrams > 0 mirrors the oracle's
+    // "no trigrams → no row" semantics for sub-3-char docs.
+    Tables.documents(spark, d)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("lt")) - 2),
-          i => col("lt").substr(i, lit(3)))).as("tri"))
-    tg.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_trigrams"),
-        count(lit(1)).as("n_distinct"),
-        sum(round(col("c").cast("double") * log(col("c").cast("double")), 12)
-          .cast("decimal(28,12)")).cast("double").as("clnc"))
-      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
-        round(log(col("n_trigrams").cast("double")) -
-          col("clnc") / col("n_trigrams").cast("double"), 9).as("entropy"))
+        graft.functions.TrigramStats.trigramStats(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts.n_trigrams").as("n_trigrams"),
+        col("ts.n_distinct").as("n_distinct"), col("ts.entropy").as("entropy"))
+      .where(col("n_trigrams") > 0)
       .orderBy("doc_id")
-  }
 
   def charEntropySql: String =
     """WITH tg AS (

@@ -123,4 +123,52 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("trigram_stats matches the exploded-aggregation reference bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, count => cnt, explode, length, lit, log => lg, lower, round, sequence, sum, transform}
+    val docs = Seq(
+      (1L, "Abracadabra"),           // repeated trigrams
+      (2L, "xyz"),                   // exactly one trigram
+      (3L, "aaaaaaaa"),              // one distinct trigram, count 6
+      (4L, "The quick brown fox jumps over the lazy dog the end")
+    ).toDF("doc_id", "text")
+    // the pre-r14 exploded pipeline, verbatim — the semantics of record
+    val tg = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("lt")) - 2),
+          i => col("lt").substr(i, lit(3)))).as("tri"))
+    val want = tg.groupBy(col("doc_id"), col("tri")).agg(cnt(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        cnt(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * lg(col("c").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double").as("clnc"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lg(col("n_trigrams").cast("double")) -
+          col("clnc") / col("n_trigrams").cast("double"), 9).as("entropy"))
+      .orderBy("doc_id").collect()
+    val got = docs
+      .select(col("doc_id"), TrigramStats.trigramStats(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts.n_trigrams").as("n_trigrams"),
+        col("ts.n_distinct").as("n_distinct"), col("ts.entropy").as("entropy"))
+      .orderBy("doc_id").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getLong(1) === w.getLong(1), s"n_trigrams doc ${g.getLong(0)}")
+      assert(g.getLong(2) === w.getLong(2), s"n_distinct doc ${g.getLong(0)}")
+      assert(g.getDouble(3) === w.getDouble(3), s"entropy doc ${g.getLong(0)}")
+    }
+    // hand-check doc 3: 6 trigrams, all "aaa" -> entropy ln(6) - ln(6) = 0
+    val d3 = got.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(1) === 6L && d3.getLong(2) === 1L && d3.getDouble(3) === 0.0)
+  }
+
+  test("trigram_stats emits zero counts for sub-3-char and null-safe input") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val got = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), TrigramStats.trigramStats(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts.n_trigrams")).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(0L, 0L))
+  }
 }
