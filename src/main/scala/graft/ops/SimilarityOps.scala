@@ -1949,4 +1949,119 @@ object SimilarityOps {
        |  round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
        |    AS mean_sil
        |FROM sil GROUP BY cid ORDER BY cluster""".stripMargin
+
+  // MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998):
+  // greedy diversified top-k — each round picks the candidate
+  // maximizing lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s).
+  // The training-data face of it: dedup-AWARE sampling of nearest
+  // neighbors (pure top-k returns near-duplicates of each other; MMR
+  // trades relevance for coverage).
+  private val MmrQueries = 3
+  private val MmrPoolK = 20
+  private val MmrK = 5
+
+  /** Half-boundary-safe 9-decimal quantize (the evt_did/evt_ttest
+    * recipe): both engines compute floor(x*1e9 + 0.5)/1e9 over the
+    * identical IEEE product — Spark's BigDecimal HALF_UP and DuckDB's
+    * round() disagree by one ulp exactly on boundary doubles. */
+  private def q9(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** Declared query `sim_mmr`: unrolled MMR selection (5 greedy
+    * rounds, lambda 0.7) over a brute top-20 relevance pool for 3
+    * query vectors. All scores are 9-decimal-quantized cosines /
+    * affine combinations of them, ties broken by vec id, so the
+    * DuckDB oracle replays the greedy EXACTLY via five materialized
+    * CTEs (the logreg/PCA unrolled-iteration precedent).
+    *
+    * Scale shape: the pool build is the one corpus-sized stage (3
+    * broadcast query rows x linear candidate scan + a per-query
+    * top-20 window); every MMR round runs on <= 20 rows per query —
+    * at real scale the pool would come from the ANN index
+    * ([[annIvf]]) instead of the brute scan, and the greedy is
+    * unchanged. */
+  def mmrSelect(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val wPool = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    val pool = broadcast(q).crossJoin(cand)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("rel"),
+        col("nv"))
+      .withColumn("rk", row_number().over(wPool))
+      .where(col("rk") <= MmrPoolK)
+      .drop("rk")
+      .localCheckpoint() // tiny (queries x 20); built once, probed 5x
+    val pa = pool.select(col("qid"), col("nid").as("a"), col("nv").as("av"))
+    val pb = pool.select(col("qid"), col("nid").as("b"), col("nv").as("bv"))
+    val pairSim = pa.join(pb, Seq("qid")).where(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"), cosine9(col("av"), col("bv")).as("sim"))
+      .localCheckpoint()
+    val slim = pool.select(col("qid"), col("nid"), col("rel"))
+    val wPick = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    var selected = slim
+      .withColumn("score", q9(lit(0.7) * col("rel")))
+      .withColumn("rk", row_number().over(wPick))
+      .where(col("rk") === 1)
+      .select(col("qid"), lit(1).as("pick"), col("nid"), col("score"))
+    for (r <- 2 to MmrK) {
+      val selIds = selected.select(col("qid"), col("nid"))
+      val maxSim = pairSim
+        .join(selIds.withColumnRenamed("nid", "b"), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("maxsim"))
+      val next = slim.join(selIds, Seq("qid", "nid"), "left_anti")
+        .join(maxSim.withColumnRenamed("a", "nid"), Seq("qid", "nid"))
+        .withColumn("score", q9(lit(0.7) * col("rel") - lit(0.3) * col("maxsim")))
+        .withColumn("rk", row_number().over(wPick))
+        .where(col("rk") === 1)
+        .select(col("qid"), lit(r).as("pick"), col("nid"), col("score"))
+      selected = selected.union(next)
+    }
+    selected.orderBy("qid", "pick")
+  }
+
+  def mmrSelectSql: String = {
+    def roundCte(r: Int): String = {
+      val prev = (1 until r).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""s$r AS MATERIALIZED (
+         |  SELECT qid, $r AS pick, nid, score FROM (
+         |    SELECT c.qid, c.nid, floor((CAST(0.7 AS DOUBLE) * c.rel
+         |        - CAST(0.3 AS DOUBLE) * m.maxsim) * 1e9 + 0.5) / 1e9 AS score
+         |    FROM slim c
+         |    JOIN (SELECT ps.qid, ps.a, MAX(ps.sim) AS maxsim
+         |          FROM ps JOIN ($prev) sel ON ps.qid = sel.qid AND ps.b = sel.nid
+         |          GROUP BY ps.qid, ps.a) m
+         |      ON m.qid = c.qid AND m.a = c.nid
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) sel
+         |                      WHERE sel.qid = c.qid AND sel.nid = c.nid))
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $MmrQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, nid, rel, nv FROM (
+       |    SELECT qid, e.vec_id AS nid, ${cosine9Sql("qv", "e.v")} AS rel, e.v AS nv,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY ${cosine9Sql("qv", "e.v")} DESC, e.vec_id) AS rk
+       |    FROM q CROSS JOIN e WHERE qid <> e.vec_id)
+       |  WHERE rk <= $MmrPoolK),
+       |ps AS MATERIALIZED (
+       |  SELECT p1.qid, p1.nid AS a, p2.nid AS b, ${cosine9Sql("p1.nv", "p2.nv")} AS sim
+       |  FROM pool p1 JOIN pool p2 ON p1.qid = p2.qid AND p1.nid <> p2.nid),
+       |slim AS (SELECT qid, nid, rel FROM pool),
+       |s1 AS MATERIALIZED (
+       |  SELECT qid, 1 AS pick, nid, score FROM (
+       |    SELECT qid, nid,
+       |      floor(CAST(0.7 AS DOUBLE) * rel * 1e9 + 0.5) / 1e9 AS score
+       |    FROM slim)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1),
+       |${(2 to MmrK).map(roundCte).mkString(",\n")}
+       |SELECT qid, pick, nid, score FROM (
+       |  ${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+       |ORDER BY qid, pick""".stripMargin
+  }
 }
