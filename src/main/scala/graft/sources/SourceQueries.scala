@@ -329,20 +329,28 @@ object SourceQueries {
         }.collect()
       ()
     }
+    archiveFingerprint(streamTarEntries(spark, s"$dir/*.tar", in => in))
+  }
+
+  /** Head-first streaming read of tar archives matching `pattern`:
+    * only `path` is read from binaryFile (the content column prunes
+    * away), each executor opens the file and pulls
+    * [[TarCodec.decodeStream]] holding ONE entry's payload at a time —
+    * a multi-GB tar never materializes. `wrap` interposes a
+    * decompression stream (identity for plain tar, GZIP for .tgz) —
+    * streaming decode composes with non-seekable sources, which is
+    * exactly what ZIP's tail-first directory can never do. */
+  private def streamTarEntries(spark: SparkSession, pattern: String,
+      wrap: java.io.InputStream => java.io.InputStream): DataFrame = {
     import spark.implicits._
-    // Stream each archive head-first (TarCodec.decodeStream) instead
-    // of loading content through binaryFile: only `path` is read from
-    // the source (binaryFile prunes the content column), and the
-    // executor holds ONE entry's payload at a time — a multi-GB tar
-    // never materializes. This is tar's defining property; the ZIP
-    // twin below deliberately CAN'T do this (tail-first directory).
-    val entries = spark.read.format("binaryFile").load(s"$dir/*.tar")
+    spark.read.format("binaryFile").load(pattern)
       .select(col("path")).as[String]
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val hPath = new org.apache.hadoop.fs.Path(p)
           val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val in = new java.io.BufferedInputStream(fs.open(hPath), 1 << 16)
+          val in = new java.io.BufferedInputStream(
+            wrap(new java.io.BufferedInputStream(fs.open(hPath), 1 << 16)), 1 << 16)
           var closed = false
           val underlying = TarCodec.decodeStream(in)
           new Iterator[(String, Long, String)] {
@@ -359,12 +367,48 @@ object SourceQueries {
         }
       }
       .toDF("name", "n_bytes", "text")
+  }
+
+  private def archiveFingerprint(entries: DataFrame): DataFrame =
     entries.agg(
       count(lit(1)).as("n_entries"),
       sum(regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1).cast("long"))
         .as("sum_doc_id"),
       sum(col("n_bytes")).as("sum_bytes"),
       sum(length(col("text")).cast("long")).as("sum_text_chars"))
+
+  /** Declared query `src_tgz`: the same fingerprint over `.tar.gz` —
+    * the compose of the two container facts this family teaches: tar
+    * decodes HEAD-FIRST, so it streams through a NON-SEEKABLE
+    * gzip-decompression stream with one entry in memory at a time
+    * (tgz is the standard corpus-drop format precisely because of
+    * this); a hypothetical `.zip.gz` could not be read this way at
+    * all, since ZIP must first seek to EOF for its directory. Scale
+    * stance matches `src_jsonl_gz`: gzip makes each archive one task,
+    * sized by the per-partition staging. */
+  def tgzDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dir = stage(spark, d, "tgz") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          val entries = rows.map { case (id, text) =>
+            (s"doc_$id.txt", text.getBytes("UTF-8"))
+          }.toSeq
+          if (entries.isEmpty) Iterator.empty[String]
+          else {
+            val p = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(out), "part-", ".tar.gz")
+            val os = new java.util.zip.GZIPOutputStream(
+              java.nio.file.Files.newOutputStream(p), 1 << 16)
+            try os.write(TarCodec.encode(entries)) finally os.close()
+            Iterator(p.toString)
+          }
+        }.collect()
+      ()
+    }
+    archiveFingerprint(streamTarEntries(spark, s"$dir/*.tar.gz",
+      in => new java.util.zip.GZIPInputStream(in, 1 << 16)))
   }
 
   /** Oracle off the raw parquet: entry names/sizes are pure functions
