@@ -1987,6 +1987,8 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cand = e.select(col("vec_id").as("nid"), col("v").as("nv"))
     val wPool = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    // the one corpus-sized stage; eager checkpoint so the pair build
+    // and the collect below both read a flat <= 60-row block scan
     val pool = broadcast(q).crossJoin(cand)
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine9(col("qv"), col("nv")).as("rel"),
@@ -1994,34 +1996,45 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(wPool))
       .where(col("rk") <= MmrPoolK)
       .drop("rk")
-      .localCheckpoint() // tiny (queries x 20); built once, probed 5x
+      .localCheckpoint(true)
     val pa = pool.select(col("qid"), col("nid").as("a"), col("nv").as("av"))
     val pb = pool.select(col("qid"), col("nid").as("b"), col("nv").as("bv"))
+    // quantized candidate-pair similarities, computed distributed so
+    // the doubles entering the greedy are the exact values the oracle
+    // computes; <= queries * PoolK^2 rows
     val pairSim = pa.join(pb, Seq("qid")).where(col("a") =!= col("b"))
       .select(col("qid"), col("a"), col("b"), cosine9(col("av"), col("bv")).as("sim"))
-      .localCheckpoint()
-    val slim = pool.select(col("qid"), col("nid"), col("rel"))
-    val wPick = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
-    var selected = slim
-      .withColumn("score", q9(lit(0.7) * col("rel")))
-      .withColumn("rk", row_number().over(wPick))
-      .where(col("rk") === 1)
-      .select(col("qid"), lit(1).as("pick"), col("nid"), col("score"))
-    for (r <- 2 to MmrK) {
-      val selIds = selected.select(col("qid"), col("nid"))
-      val maxSim = pairSim
-        .join(selIds.withColumnRenamed("nid", "b"), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("maxsim"))
-      val next = slim.join(selIds, Seq("qid", "nid"), "left_anti")
-        .join(maxSim.withColumnRenamed("a", "nid"), Seq("qid", "nid"))
-        .withColumn("score", q9(lit(0.7) * col("rel") - lit(0.3) * col("maxsim")))
-        .withColumn("rk", row_number().over(wPick))
-        .where(col("rk") === 1)
-        .select(col("qid"), lit(r).as("pick"), col("nid"), col("score"))
-      selected = selected.union(next)
+    // The greedy itself runs on the DRIVER (the Lloyd-loop / BPE
+    // bounded-collect precedent): <= queries x PoolK rows in, 5
+    // sequential argmax rounds that a distributed plan can only
+    // express as 2^rounds nested self-joins (the first draft's
+    // exponential-lineage lesson — 20 s of Catalyst analysis for 15
+    // output rows). Same IEEE arithmetic as the oracle: products of
+    // 9-decimal-quantized cosines, floor(x*1e9+0.5)/1e9, ties by id.
+    val rels = pool.select(col("qid"), col("nid"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sims = pairSim.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    def q9d(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    rels.keys.map(_._1).toSeq.distinct.sorted.foreach { qid =>
+      val candIds = rels.keys.collect { case (`qid`, nid) => nid }.toSeq.sorted
+      var selected = List.empty[Long]
+      (1 to MmrK).foreach { r =>
+        val scored = candIds.filterNot(selected.contains).map { nid =>
+          val rel = rels((qid, nid))
+          val score =
+            if (selected.isEmpty) q9d(0.7 * rel)
+            else q9d(0.7 * rel - 0.3 * selected.map(s => sims((qid, nid, s))).max)
+          (nid, score)
+        }
+        val (bestNid, bestScore) = scored.minBy { case (nid, sc) => (-sc, nid) }
+        selected = bestNid :: selected
+        out += ((qid, r, bestNid, bestScore))
+      }
     }
-    selected.orderBy("qid", "pick")
+    import spark.implicits._
+    out.toSeq.toDF("qid", "pick", "nid", "score").orderBy("qid", "pick")
   }
 
   def mmrSelectSql: String = {
