@@ -274,7 +274,12 @@ class ScaleStressSpec extends AnyFunSuite {
       // width fold is a pure 1:1 translate pass with a |lang|-keyed
       // aggregate. Both must track corpus size exactly.
       ("text_segment_cjk", d => { TextAnalysisOps.segmentCjk(spark, d).count(); () }),
-      ("text_width_fold", d => { TextAnalysisOps.widthFold(spark, d).count(); () }))
+      ("text_width_fold", d => { TextAnalysisOps.widthFold(spark, d).count(); () }),
+      // MMR: the pool build is the corpus-sized stage (3 broadcast
+      // query rows x linear candidate scan + top-20 window); the
+      // greedy is a bounded driver loop over <= 60 collected rows —
+      // x8 embeddings must cost ~x8 scan, never x8 greedy
+      ("sim_mmr", d => { SimilarityOps.mmrSelect(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
