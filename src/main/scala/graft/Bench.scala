@@ -23,7 +23,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  final case class Timing(sec: Double, err: Option[String])
+  /** One query's measurement: wall seconds, error (if it threw),
+    * EXTERNAL cpu cores consumed by other processes during its window
+    * (per-query /proc/stat bracket — r14 verdict item 1: the
+    * run-average signal was blind to bursts), and for `stream_*`
+    * queries the summed trigger-execution seconds (so trigger-wait /
+    * staging / read-back can be split from compute — item 7). */
+  final case class Timing(sec: Double, err: Option[String],
+      extCores: Option[Double] = None, streamExecSec: Option[Double] = None)
 
   /** Pass-2 re-measure cutoff: queries at or above this pass-1 cost
     * (and any that errored) get a second timing and report the min;
@@ -55,6 +62,32 @@ object Bench {
     * tenant. */
   val ExtCpuCoresFloor = 1.5
 
+  /** Burst-window contention threshold (r14 verdict item 1): the r14
+    * artifact recorded run-average 0.58 external cores — under the
+    * 1.5 floor — while 20 queries flipped >4× between passes, i.e.
+    * the external load came in BURSTS a run average cannot see. Each
+    * query's own wall is the window: a query that ran alongside ≥ 4
+    * external cores was materially contended (ambient sbt-parent load
+    * is 0.4–1.1 average with sub-second spikes; amortized over a ≥
+    * [[ExtWindowMinSec]] window it stays well under 2). */
+  val ExtCpuWindowFloor = 4.0
+
+  /** Per-query windows shorter than this are ignored by the
+    * max-window signal: /proc/stat ticks at USER_HZ=100 across 32
+    * cores, so sub-second windows carry ±0.3-core jiffy noise and a
+    * brief parent-JVM GC can look like cores. The r14 incident
+    * queries inflated to multi-second walls — exactly the windows
+    * this floor keeps. */
+  val ExtWindowMinSec = 2.0
+
+  /** Pass-ratio contention guard (r14 verdict item 1): pass 2 re-runs
+    * a SUBSET of pass 1 (the ≥ [[Pass2ThresholdSec]] tail), so on a
+    * quiet box its wall is a fraction of pass 1's (r13 close: 263.6 →
+    * 147.3 s, ratio 0.56). The same-or-smaller workload taking 1.5×
+    * LONGER (r14 official: 387.5 → 706.5 s, ratio 1.82) means the box
+    * changed under the run, whatever the averages say. */
+  val PassRatioFloor = 1.5
+
   /** Total busy CPU seconds across all cores since boot (user+nice+
     * system+irq+softirq+steal, i.e. everything but idle+iowait), from
     * /proc/stat; None off-Linux. Two samples bracketing the timed
@@ -76,20 +109,39 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => None }
 
+  private lazy val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   /** One timed pass in sorted-name order. A throwing query records
     * its error instead of a timing (timing-to-exception is
-    * meaningless). */
+    * meaningless). Each query is bracketed by /proc/stat + own-CPU
+    * samples (two one-line file reads — noise-level next to any
+    * query), so the per-query EXTERNAL load is in the artifact and
+    * the burst-window contention flag has its windows. `stream_*`
+    * queries additionally bracket [[graft.streaming.StreamMeter]] to
+    * record trigger-execution vs wall. */
   def timedPass(spark: SparkSession,
                 queries: Seq[(String, (SparkSession, String) => DataFrame)],
                 sfDir: String): Map[String, Timing] =
     queries.map { case (name, fn) =>
+      val isStream = name.startsWith("stream_")
+      if (isStream) graft.streaming.StreamMeter.reset()
+      val busy0 = procStatBusySec()
+      val own0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
-      name -> Timing((System.nanoTime() - t0) / 1e9, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ownSec = (osBean.getProcessCpuTime - own0) / 1e9
+      val ext = for (b0 <- busy0; b1 <- procStatBusySec())
+        yield math.max(0.0, b1 - b0 - ownSec) / math.max(wall, 1e-9)
+      val streamExec =
+        if (isStream) Some(graft.streaming.StreamMeter.execMs / 1000.0) else None
+      name -> Timing(wall, err, ext, streamExec)
     }.toMap
 
   /** Drop EVERYTHING the block manager holds: the shared op caches,
@@ -148,22 +200,20 @@ object Bench {
   def compactLine(results: Seq[(String, Double)], failedCount: Int,
                   wallSec: Double, ratio: Double, sfDir: String,
                   budget: Int = 1500,
-                  extCpuCores: Option[Double] = None): String = {
+                  extCpuCores: Option[Double] = None,
+                  contention: Contention = Contention(None, None, None)): String = {
     val total = results.map(_._2).sum
     val desc = results.sortBy { case (n, s) => (-s, n) }
     val prefix =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":{"""
-    // contended: external-CPU signal when measurable (mix-independent),
-    // cpu/wall heuristic as the portable fallback — see the two floors
-    val contended = extCpuCores match {
-      case Some(ext) => ext > ExtCpuCoresFloor
-      case None => ratio < ContendedRatioFloor
-    }
+    val contended = contention.flag(extCpuCores, ratio)
     def suffix(shown: Int, otherSec: Double): String =
       s"""},"other_sec":${fmt2(otherSec)},"n_queries":${results.size},""" +
         s""""n_shown":$shown,"failed":$failedCount,"wall_sec":${fmt2(wallSec)},""" +
         s""""cpu_wall_ratio":${fmt2(ratio)},""" +
         extCpuCores.map(e => s""""ext_cpu_cores":${fmt2(e)},""").getOrElse("") +
+        contention.extMaxWin.map(e => s""""ext_max_win":${fmt2(e)},""").getOrElse("") +
+        contention.passRatio.map(r => s""""pass_ratio":${fmt2(r)},""").getOrElse("") +
         s""""contended":$contended,""" +
         s""""sf":"${jsonEscape(sfDir)}"}"""
     // suffix length varies by a few chars with shown/otherSec; size
@@ -200,6 +250,38 @@ object Bench {
       line = assemble(shown.toSeq)
     }
     line
+  }
+
+  /** The three contention signals, each None when unmeasurable —
+    * [[flag]] ORs whichever are present (any one tripping means the
+    * recorded numbers can't be trusted), falling back to the cpu/wall
+    * heuristic only when /proc/stat was unreadable:
+    *  - `runAvgExt`: whole-run external cores (the pre-r15 signal —
+    *    still the right detector for sustained co-tenancy);
+    *  - `extMaxWin`: max per-query-window external cores over queries
+    *    ≥ [[ExtWindowMinSec]] — the burst detector the r14 artifact
+    *    lacked;
+    *  - `passRatio`: pass-2 / pass-1 wall — the workload's own
+    *    before/after comparison, immune to sampling blind spots. */
+  final case class Contention(runAvgExt: Option[Double],
+      extMaxWin: Option[Double], passRatio: Option[Double]) {
+    def flag(extCpuCores: Option[Double], cpuWallRatio: Double): Boolean = {
+      val signals = Seq(
+        extCpuCores.orElse(runAvgExt).map(_ > ExtCpuCoresFloor),
+        extMaxWin.map(_ > ExtCpuWindowFloor),
+        passRatio.map(_ > PassRatioFloor)).flatten
+      if (signals.nonEmpty) signals.contains(true)
+      else cpuWallRatio < ContendedRatioFloor
+    }
+  }
+
+  /** Max external-cores over the per-query windows long enough to
+    * trust (≥ [[ExtWindowMinSec]]), across any number of passes. */
+  def extMaxWindow(passes: Seq[Map[String, Timing]]): Option[Double] = {
+    val windows = passes.flatMap(_.values)
+      .filter(t => t.err.isEmpty && t.sec >= ExtWindowMinSec)
+      .flatMap(_.extCores)
+    if (windows.isEmpty) None else Some(windows.max)
   }
 
   /** Merge the two timed passes into (headline timings, errors).
@@ -281,8 +363,6 @@ object Bench {
       }
     }
 
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // drop the warmup pass's artifacts AND every block it left behind
     freeBlocks(spark)
 
@@ -324,6 +404,10 @@ object Bench {
     // different granularities, so tiny negatives are measurement noise)
     val extCpuCores = for (b0 <- busy0; b1 <- procStatBusySec())
       yield math.max(0.0, (b1 - b0 - cpuSec)) / math.max(wallSec, 1e-9)
+    val contention = Contention(
+      runAvgExt = extCpuCores,
+      extMaxWin = extMaxWindow(Seq(p1, p2)),
+      passRatio = if (wallP1 > 0 && rerun.nonEmpty) Some(wallP2 / wallP1) else None)
 
     // Self-describing cache accounting (r7 verdict item 5): the four
     // queries sharing the build-once caches are re-probed with BOTH
@@ -389,8 +473,31 @@ object Bench {
     val passJson = (m: Map[String, Timing]) => ordered.collect {
       case (n, _) if m.get(n).exists(_.err.isEmpty) => "\"" + n + "\":" + m(n).sec
     }.mkString("{", ",", "}")
+    // per-query EXTERNAL cores per pass: the burst audit trail — an
+    // inflated timing with a quiet window is the plan's fault, one
+    // with a loud window is the box's (r14's 20 unexplained flips)
+    val extJson = (m: Map[String, Timing]) => ordered.collect {
+      case (n, _) if m.get(n).exists(t => t.err.isEmpty && t.extCores.isDefined) =>
+        "\"" + n + "\":" + fmt2(m(n).extCores.get)
+    }.mkString("{", ",", "}")
+    // stream_* wall vs trigger-execution, taken from the pass that
+    // produced the headline time (same min/redeem rule as mergePasses)
+    // — wall minus exec is trigger waits + drop staging + read-back
+    val streamJson = ordered.collect {
+      case (n, _) if n.startsWith("stream_") && !failed(n) =>
+        val t = p2.get(n) match {
+          case Some(t2) if p1(n).err.isDefined => t2
+          case Some(t2) if t2.sec < p1(n).sec => t2
+          case _ => p1(n)
+        }
+        val exec = t.streamExecSec.getOrElse(0.0)
+        "\"" + n + "\":{\"wall\":" + fmt2(t.sec) + ",\"exec\":" + fmt2(exec) +
+          ",\"non_exec\":" + fmt2(math.max(0.0, t.sec - exec)) + "}"
+    }.mkString("{", ",", "}")
     val detail = s"""{"bench_detail":1,"total_sec":$total,"queries":$qs,""" +
       s""""p1":${passJson(p1)},"p2":${passJson(p2)},""" +
+      s""""ext1":${extJson(p1)},"ext2":${extJson(p2)},""" +
+      s""""stream_split":$streamJson,""" +
       s""""pass2":{"threshold_sec":$Pass2ThresholdSec,"n":${rerun.size}},""" +
       s""""cache":$cacheJson,""" +
       f""""warm_probe":{"cache_entries":$warmEntries,"fully_cached_rdds":$fullyCached,"storage_mb":$storageMb%.1f},""" +
@@ -398,6 +505,9 @@ object Bench {
       f""""proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,""" +
       f""""pass_sec":[$wallP1%.1f,$wallP2%.1f],"cpu_wall_ratio":$ratio%.2f,""" +
       extCpuCores.map(e => f""""ext_cpu_cores":$e%.2f,""").getOrElse("") +
+      contention.extMaxWin.map(e => s""""ext_max_win":${fmt2(e)},""").getOrElse("") +
+      contention.passRatio.map(r => s""""pass_ratio":${fmt2(r)},""").getOrElse("") +
+      s""""contended":${contention.flag(extCpuCores, ratio)},""" +
       s""""sf":"$sfDir"}"""
     println(detail)
     // checkout-relative (overridable), never a hardcoded absolute path;
@@ -414,7 +524,7 @@ object Bench {
     // Contract line LAST and size-capped so the driver's stdout-tail
     // parse always sees it whole (see compactLine scaladoc).
     println(compactLine(results, errors.size, wallSec, ratio, sfDir,
-      extCpuCores = extCpuCores))
+      extCpuCores = extCpuCores, contention = contention))
     // bucketed-layout staging is deliberately NOT in freeBlocks (the
     // layout is a table property; evicting between passes would bill a
     // full re-stage to join_bucketed's pass-2 time) — but the session

@@ -128,6 +128,11 @@ object Mp4Codec {
     require(bytes.length >= 32, s"too short for an MP4: ${bytes.length}")
     val top = children(bytes, 0L, bytes.length.toLong)
     require(top.nonEmpty && top.head._1 == "ftyp", s"first box is '${top.head._1}', not ftyp")
+    // the scaladoc's "unknown top-level box is loud" promise: a
+    // canonical file is EXACTLY ftyp+moov+mdat — a trailing `free` or
+    // any other stray box is rejected, not silently skipped
+    val alien = top.map(_._1).filterNot(Set("ftyp", "moov", "mdat"))
+    require(alien.isEmpty, s"unexpected top-level box(es): ${alien.mkString(",")}")
     val (ftS, _) = one(top, "ftyp")
     val brand = new String(bytes, ftS.toInt, 4, "US-ASCII")
     require(brand == "isom" || brand == "mp42" || brand == "mp41",

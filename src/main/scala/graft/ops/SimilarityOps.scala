@@ -1960,13 +1960,6 @@ object SimilarityOps {
   private val MmrPoolK = 20
   private val MmrK = 5
 
-  /** Half-boundary-safe 9-decimal quantize (the evt_did/evt_ttest
-    * recipe): both engines compute floor(x*1e9 + 0.5)/1e9 over the
-    * identical IEEE product — Spark's BigDecimal HALF_UP and DuckDB's
-    * round() disagree by one ulp exactly on boundary doubles. */
-  private def q9(c: org.apache.spark.sql.Column) =
-    floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
-
   /** Declared query `sim_mmr`: unrolled MMR selection (5 greedy
     * rounds, lambda 0.7) over a brute top-20 relevance pool for 3
     * query vectors. All scores are 9-decimal-quantized cosines /
@@ -2020,7 +2013,12 @@ object SimilarityOps {
     rels.keys.map(_._1).toSeq.distinct.sorted.foreach { qid =>
       val candIds = rels.keys.collect { case (`qid`, nid) => nid }.toSeq.sorted
       var selected = List.empty[Long]
-      (1 to MmrK).foreach { r =>
+      var r = 1
+      // stop when the pool runs dry (fewer than MmrK candidates for a
+      // degenerate/tiny embeddings table): the oracle's round-r CTE is
+      // empty then too, so both engines emit the same shorter pick list
+      // — minBy on an empty round would instead crash this side only
+      while (r <= MmrK && selected.size < candIds.size) {
         val scored = candIds.filterNot(selected.contains).map { nid =>
           val rel = rels((qid, nid))
           val score =
@@ -2031,6 +2029,7 @@ object SimilarityOps {
         val (bestNid, bestScore) = scored.minBy { case (nid, sc) => (-sc, nid) }
         selected = bestNid :: selected
         out += ((qid, r, bestNid, bestScore))
+        r += 1
       }
     }
     import spark.implicits._

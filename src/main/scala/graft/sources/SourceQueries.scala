@@ -343,20 +343,33 @@ object SourceQueries {
   private def streamTarEntries(spark: SparkSession, pattern: String,
       wrap: java.io.InputStream => java.io.InputStream): DataFrame = {
     import spark.implicits._
+    // ship the SESSION hadoop conf (as binaryFile itself does), not a
+    // fresh Configuration() that would drop any spark.hadoop.* settings
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(pattern)
       .select(col("path")).as[String]
       .mapPartitions { paths =>
+        // one stream is open at a time (flatMap pulls sequentially);
+        // a completion listener closes whichever is still open when
+        // the task ends EARLY (limit, or a corrupt-tar decode throw) —
+        // the happy path's hasNext close can't fire then
+        var open: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (open != null) { try open.close() catch { case _: Throwable => () } }
+          })
         paths.flatMap { p =>
           val hPath = new org.apache.hadoop.fs.Path(p)
-          val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = hPath.getFileSystem(confSer.value)
           val in = new java.io.BufferedInputStream(
             wrap(new java.io.BufferedInputStream(fs.open(hPath), 1 << 16)), 1 << 16)
+          open = in
           var closed = false
           val underlying = TarCodec.decodeStream(in)
           new Iterator[(String, Long, String)] {
             def hasNext: Boolean = {
               val h = underlying.hasNext
-              if (!h && !closed) { closed = true; in.close() }
+              if (!h && !closed) { closed = true; open = null; in.close() }
               h
             }
             def next(): (String, Long, String) = {

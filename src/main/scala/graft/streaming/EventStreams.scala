@@ -488,6 +488,7 @@ object EventStreams {
       q.processAllAvailable() // drain: blocks until all staged input is processed
       q.stop()
       q.awaitTermination()
+      StreamMeter.addQuery(q)
       ss.table(name).orderBy("hr", "event_type")
     } finally dropStaged(drop.toString)
   }
@@ -555,6 +556,7 @@ object EventStreams {
     } finally {
       q.stop()
       q.awaitTermination()
+      StreamMeter.addQuery(q)
     }
     ss.table(name).orderBy("hr", "event_type")
   }
@@ -879,6 +881,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMeter.addQuery(q)
     spark.table(name)
   }
 
@@ -948,6 +951,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMeter.addQuery(q)
     dropStaged(drop)
     require(version.get() >= 2,
       s"upsert loop expected multiple micro-batches, saw ${version.get()}")
@@ -994,6 +998,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMeter.addQuery(q)
     val prev = lastSink.put(tag, sink)
     if (prev != null && prev != sink) deleteRecursively(prev)
     // explicit schema: an input that yields zero output batches (e.g.

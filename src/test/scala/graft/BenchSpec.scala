@@ -107,6 +107,49 @@ class BenchSpec extends AnyFunSuite {
     assert(r("fast") === 0.2)   // pass-1 only
   }
 
+  test("burst-window contention: a loud per-query window trips the flag a quiet run-average misses") {
+    import Bench.Contention
+    // the r14 shape: run-average external CPU well under the 1.5
+    // floor, but one multi-second query saw 12 external cores
+    val c = Contention(runAvgExt = Some(0.58), extMaxWin = Some(12.0),
+      passRatio = Some(0.6))
+    assert(c.flag(Some(0.58), cpuWallRatio = 2.57), "burst must trip the flag")
+    // quiet box: all three signals under their floors → not contended
+    val quiet = Contention(Some(0.9), Some(1.8), Some(0.56))
+    assert(!quiet.flag(Some(0.9), 2.0))
+    // pass-ratio guard alone: same-or-smaller pass-2 workload taking
+    // 1.5x longer means the box changed under the run
+    val flipped = Contention(Some(0.58), Some(2.0), Some(1.82))
+    assert(flipped.flag(Some(0.58), 2.57), "pass ratio must trip the flag")
+    // /proc/stat unreadable end-to-end → cpu/wall heuristic fallback
+    val blind = Contention(None, None, None)
+    assert(blind.flag(None, 1.0) && !blind.flag(None, 2.8))
+  }
+
+  test("extMaxWindow ignores short windows and errored queries") {
+    import Bench.Timing
+    val p1 = Map(
+      "short" -> Timing(0.4, None, extCores = Some(30.0)),  // jiffy noise window
+      "boom"  -> Timing(9.0, Some("err"), extCores = Some(25.0)),
+      "long"  -> Timing(3.0, None, extCores = Some(5.5)))
+    val p2 = Map(
+      "long"  -> Timing(3.1, None, extCores = Some(1.2)))
+    assert(Bench.extMaxWindow(Seq(p1, p2)) === Some(5.5))
+    assert(Bench.extMaxWindow(Seq(Map("q" -> Timing(1.0, None)))) === None,
+      "no measurable windows -> None, not Some(0)")
+  }
+
+  test("compact line carries ext_max_win and pass_ratio when measured") {
+    import Bench.Contention
+    val line = Bench.compactLine(Seq("q1" -> 1.0), 0, 2.0, 2.8, "/sf",
+      extCpuCores = Some(0.5),
+      contention = Contention(Some(0.5), Some(6.25), Some(0.7)))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("ext_max_win").asDouble === 6.25)
+    assert(node.get("pass_ratio").asDouble === 0.7)
+    assert(node.get("contended").asBoolean === true, "6.25-core window > 4.0 floor")
+  }
+
   test("compact line stays valid JSON when every query failed") {
     val line = Bench.compactLine(Seq.empty, failedCount = 5,
       wallSec = 1.0, ratio = 0.5, sfDir = "/root/testdata/sf0.1")

@@ -164,6 +164,76 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d3.getLong(1) === 6L && d3.getLong(2) === 1L && d3.getDouble(3) === 0.0)
   }
 
+  test("trigram_stats 12-decimal c*ln(c) survives the double round-trip (large counts)") {
+    // Pins the fused expression's exactness claim: accumulating
+    // setScale(12, HALF_UP) directly is bit-identical to Spark's old
+    // round(double,12) -> double -> cast decimal(28,12) path. The
+    // doc comment's "≤15 significant digits" reasoning thins out for
+    // counts past ~170 (c*ln(c) > 1000 puts 16 digits at scale 12);
+    // this sweep checks every count up to 300k plus a seeded random
+    // sample across the realistic corpus range, so a single
+    // half-boundary double would fail loudly here.
+    import java.math.{BigDecimal => JBD}
+    import java.math.RoundingMode.HALF_UP
+    def fusedPath(c: Double): JBD =
+      JBD.valueOf(c * math.log(c)).setScale(12, HALF_UP)
+    def sparkPath(c: Double): JBD = {
+      // round(double, 12) emits the rounded value as a DOUBLE; the
+      // decimal(28,12) cast then re-parses that double's shortest repr
+      val asDouble = JBD.valueOf(c * math.log(c)).setScale(12, HALF_UP).doubleValue()
+      JBD.valueOf(asDouble).setScale(12, HALF_UP)
+    }
+    var c = 1L
+    while (c <= 300000L) {
+      val f = fusedPath(c.toDouble)
+      val s = sparkPath(c.toDouble)
+      assert(f.compareTo(s) == 0, s"c=$c fused=$f spark=$s")
+      c += 1
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      val big = 300000L + (rnd.nextLong().abs % 100000000L) // up to 1e8 trigrams
+      val f = fusedPath(big.toDouble)
+      val s = sparkPath(big.toDouble)
+      assert(f.compareTo(s) == 0, s"c=$big fused=$f spark=$s")
+    }
+  }
+
+  test("trigram_stats matches the exploded reference on a large-count document") {
+    // end-to-end twin of the round-trip property: one trigram repeated
+    // 200k times puts c*ln(c) ~ 2.4e6 (16 significant digits at scale
+    // 12), the regime the short-doc equivalence test never reaches
+    import org.apache.spark.sql.functions.{col, count => cnt, explode, length, lit, log => lg, lower, round, sequence, sum, transform}
+    val docs = Seq(
+      (1L, "ab" * 100001),            // 2 distinct trigrams, ~100k each
+      (2L, "a" * 200002)              // 1 distinct trigram, count 200k
+    ).toDF("doc_id", "text")
+    val tg = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("lt")) - 2),
+          i => col("lt").substr(i, lit(3)))).as("tri"))
+    val want = tg.groupBy(col("doc_id"), col("tri")).agg(cnt(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        cnt(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * lg(col("c").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double").as("clnc"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lg(col("n_trigrams").cast("double")) -
+          col("clnc") / col("n_trigrams").cast("double"), 9).as("entropy"))
+      .orderBy("doc_id").collect()
+    val got = docs
+      .select(col("doc_id"), TrigramStats.trigramStats(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts.n_trigrams"), col("ts.n_distinct"),
+        col("ts.entropy"))
+      .orderBy("doc_id").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(1) === w.getLong(1), s"n_trigrams doc ${g.getLong(0)}")
+      assert(g.getLong(2) === w.getLong(2), s"n_distinct doc ${g.getLong(0)}")
+      assert(g.getDouble(3) === w.getDouble(3), s"entropy doc ${g.getLong(0)}")
+    }
+  }
+
   test("trigram_stats emits zero counts for sub-3-char and null-safe input") {
     import org.apache.spark.sql.functions.{col, lower}
     val got = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")

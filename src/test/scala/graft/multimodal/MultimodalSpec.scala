@@ -909,6 +909,11 @@ class MultimodalSpec extends AnyFunSuite {
     val swapped = ok.clone()
     swapped(4) = 'f'; swapped(5) = 'r'; swapped(6) = 'e'; swapped(7) = 'e'
     intercept[IllegalArgumentException](Mp4Codec.decode(swapped))
+    // a trailing `free` box after mdat: structurally valid boxes, but
+    // not the canonical ftyp+moov+mdat shape — rejected, not skipped
+    val freeBox = Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')
+    val e2 = intercept[IllegalArgumentException](Mp4Codec.decode(ok ++ freeBox))
+    assert(e2.getMessage.contains("free"))
   }
 
   test("mm_mp4 oracle arithmetic matches a hand-decoded asset") {

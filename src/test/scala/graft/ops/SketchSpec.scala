@@ -228,6 +228,27 @@ class SketchSpec extends AnyFunSuite {
     SimilarityOps.evictIvfCache() // don't leak the temp-dir index entry
   }
 
+  test("sim_mmr stops gracefully when the pool runs dry (degenerate tiny table)") {
+    import spark.implicits._
+    // 4 vectors total: the 3 query vectors see only 3 candidates each
+    // (self excluded), fewer than MmrK=5 — each greedy must emit 3
+    // picks and stop, matching the oracle's empty round-4 CTE, instead
+    // of crashing on minBy over an empty candidate set
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 4L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr-tiny").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.mmrSelect(spark, dir).collect()
+    assert(out.length === 9, s"3 queries x 3 exhaustible picks, got ${out.length}")
+    out.groupBy(_.getLong(0)).foreach { case (qid, picks) =>
+      assert(picks.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3), s"query $qid")
+      assert(picks.map(_.getLong(2)).distinct.length === 3, s"query $qid distinct")
+    }
+  }
+
   test("emb_rp: one-hot vectors project with EXACTLY unit ratio; corpus hugs 1") {
     import spark.implicits._
     // ⟨s_j, e_i⟩² = s_{j,i}² = 1 for every ±1 sign row, so a one-hot

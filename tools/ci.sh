@@ -12,6 +12,27 @@ echo "== compile + test"
 rm -rf target/test-reports
 sbt -batch test 2>&1 | grep -E "Tests:|Passed:" | tail -2
 
+# Archive the FULL-RUN suite XMLs before any later targeted rerun can
+# clobber them (r14 verdict item 2: a post-close `testOnly` overwrote
+# one suite's XML with a 1-test partial run, making the recorded
+# 569/569 unreproducible from the artifacts — third round of drift).
+rm -rf target/test-reports-full
+cp -a target/test-reports target/test-reports-full
+XMLSUM=$(python3 - <<'EOF'
+import glob, xml.etree.ElementTree as ET
+print(sum(int(ET.parse(f).getroot().get("tests", 0))
+          for f in glob.glob("target/test-reports-full/*.xml")))
+EOF
+)
+echo "== suite XML test sum: $XMLSUM (archived in target/test-reports-full)"
+# The README's recorded state must equal the artifacts it cites: fail
+# the gate when the numbers drift instead of recording them anyway.
+if ! grep -q "${XMLSUM}/${XMLSUM} tests" README.md; then
+  echo "FAIL: README.md does not record ${XMLSUM}/${XMLSUM} tests — update the"
+  echo "      recorded-state paragraph from this run before closing the round."
+  exit 1
+fi
+
 echo "== oracle-checker selftest (ns-range guard)"
 python3 tools/check_oracle.py --selftest
 
@@ -21,5 +42,22 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 python3 tools/check_oracle.py "$OUT/verify" "$SF"
 
 echo "== bench @ sf0.1 (steady-state; keep the box otherwise idle)"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1
+run_bench() {
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1
+}
+LINE=$(run_bench)
+echo "$LINE"
+# Contended runs are noise, not signal (r14: 20 queries flipped >4x
+# while the old run-average detector read quiet) — re-take the numbers
+# once; if the box is STILL loud, fail rather than record noise.
+if echo "$LINE" | grep -q '"contended":true'; then
+  echo "== bench flagged contended — re-running once on a quieter window"
+  sleep 30
+  LINE=$(run_bench)
+  echo "$LINE"
+  if echo "$LINE" | grep -q '"contended":true'; then
+    echo "FAIL: bench contended on both attempts; numbers untrustworthy."
+    exit 1
+  fi
+fi
