@@ -186,6 +186,211 @@ object Mp4Codec {
       duration * 1000L / timescale, nSamples, mdatBytes, sampleDelta)
   }
 
+  // ---------------------------------------------------------------
+  // Fragmented MP4 (fMP4 / DASH): moov carries EMPTY sample tables +
+  // mvex/trex defaults; the samples arrive as moof/mdat pairs, each
+  // moof's trun holding that fragment's incremental sample-size table.
+  // This is how streaming captures actually arrive — a monolithic
+  // moov+mdat (decode above) requires the writer to have known every
+  // sample up front.
+  // ---------------------------------------------------------------
+
+  /** Samples per fragment in [[encodeFragmented]] — small enough that
+    * multi-fragment structure appears for every realistic asset,
+    * fixed so the container overhead stays a closed form the oracle
+    * can replay: total bytes = 372 + 76*nFragments + 4*nSamples +
+    * mdatBytes. */
+  val FragSamples = 8
+
+  /** Decoded fragmented-MP4 metadata. `nSamples`/`mdatBytes` aggregate
+    * the per-fragment trun tables / mdat payloads; duration is
+    * nSamples × trex default_sample_duration (mvhd carries 0 in a
+    * fragmented file — the index doesn't know the final length). */
+  final case class Mp4FragMeta(width: Int, height: Int, timescale: Int,
+      nFragments: Int, nSamples: Int, mdatBytes: Long, durationMs: Long,
+      sampleDelta: Int)
+
+  /** Fragmented twin of [[encode]]: ftyp, moov (empty stts/stsz +
+    * mvex/trex defaults), then one moof(mfhd/traf(tfhd/trun)) + mdat
+    * pair per [[FragSamples]] samples. trun flags: data-offset +
+    * per-sample-size present; tfhd flag: default-base-is-moof. */
+  def encodeFragmented(width: Int, height: Int, timescale: Int,
+      sampleDelta: Int, samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && sampleDelta > 0,
+      s"bad params ${width}x$height ts=$timescale delta=$sampleDelta")
+    require(samples.nonEmpty, "empty sample list")
+    val frags = samples.grouped(FragSamples).toSeq
+    val moovSize = 348
+    val fragBytes = frags.map { fs =>
+      (68 + 4 * fs.length) + 8 + fs.foldLeft(0L)(_ + _.length)
+    }
+    val total = 24L + moovSize + fragBytes.sum
+    require(total <= Int.MaxValue, s"fmp4 would be $total bytes")
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
+    // --- ftyp --- (iso5: the brand fragmented writers actually emit)
+    buf.putInt(24).put(cc("ftyp"))
+      .put(cc("iso5")).putInt(512).put(cc("iso5")).put(cc("mp42"))
+    // --- moov ---
+    buf.putInt(moovSize).put(cc("moov"))
+    buf.putInt(108).put(cc("mvhd")).putInt(0)
+      .putInt(0).putInt(0)
+      .putInt(timescale).putInt(0)                 // duration UNKNOWN in fMP4
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putInt(0).putInt(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(2)
+    buf.putInt(192).put(cc("trak"))
+    buf.putInt(92).put(cc("tkhd")).putInt(0x000007)
+      .putInt(0).putInt(0)
+      .putInt(1).putInt(0)
+      .putInt(0)                                   // duration unknown
+      .putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(width << 16).putInt(height << 16)
+    buf.putInt(92).put(cc("mdia"))
+    buf.putInt(32).put(cc("mdhd")).putInt(0)
+      .putInt(0).putInt(0)
+      .putInt(timescale).putInt(0)
+      .putShort(0x55C4.toShort).putShort(0)
+    buf.putInt(52).put(cc("minf"))
+    buf.putInt(44).put(cc("stbl"))
+    buf.putInt(16).put(cc("stts")).putInt(0).putInt(0) // entry_count 0
+    buf.putInt(20).put(cc("stsz")).putInt(0).putInt(0).putInt(0) // empty table
+    // mvex/trex: the fragmented-file marker + per-sample defaults
+    buf.putInt(40).put(cc("mvex"))
+    buf.putInt(32).put(cc("trex")).putInt(0)
+      .putInt(1)                                   // track_ID
+      .putInt(1)                                   // default_sample_description_index
+      .putInt(sampleDelta)                         // default_sample_duration
+      .putInt(0)                                   // default_sample_size (per-trun)
+      .putInt(0)                                   // default_sample_flags
+    // --- fragments ---
+    frags.zipWithIndex.foreach { case (fs, i) =>
+      val moofSize = 68 + 4 * fs.length
+      buf.putInt(moofSize).put(cc("moof"))
+      buf.putInt(16).put(cc("mfhd")).putInt(0).putInt(i + 1) // sequence_number
+      buf.putInt(44 + 4 * fs.length).put(cc("traf"))
+      buf.putInt(16).put(cc("tfhd")).putInt(0x020000)        // default-base-is-moof
+        .putInt(1)                                           // track_ID
+      buf.putInt(20 + 4 * fs.length).put(cc("trun"))
+        .putInt(0x000201)                                    // data-offset + sample-size present
+        .putInt(fs.length)
+        .putInt(moofSize + 8)                                // data starts after mdat header
+      fs.foreach(s => buf.putInt(s.length))
+      val mdatBytes = fs.foldLeft(0L)(_ + _.length)
+      buf.putInt((8 + mdatBytes).toInt).put(cc("mdat"))
+      fs.foreach(buf.put)
+    }
+    require(buf.position() == total.toInt, s"assembly bug: ${buf.position()} != $total")
+    buf.array()
+  }
+
+  /** Walk a fragmented file: ftyp (iso5), moov with EMPTY sample
+    * tables + trex defaults, then strictly alternating moof/mdat
+    * pairs with consecutive mfhd sequence numbers; each fragment's
+    * trun sizes are ACCOUNTED against its own mdat payload — any
+    * disagreement (seq gap, stray box, size-lying trun, truncation)
+    * is a loud IllegalArgumentException, the [[decode]] stance. */
+  def decodeFragmented(bytes: Array[Byte]): Mp4FragMeta = {
+    require(bytes.length >= 32, s"too short for an fMP4: ${bytes.length}")
+    val top = children(bytes, 0L, bytes.length.toLong)
+    require(top.nonEmpty && top.head._1 == "ftyp", s"first box is '${top.head._1}', not ftyp")
+    val alien = top.map(_._1).filterNot(Set("ftyp", "moov", "moof", "mdat"))
+    require(alien.isEmpty, s"unexpected top-level box(es): ${alien.mkString(",")}")
+    val (ftS, _) = one(top, "ftyp")
+    val brand = new String(bytes, ftS.toInt, 4, "US-ASCII")
+    require(brand == "iso5" || brand == "isom" || brand == "mp42",
+      s"alien major brand '$brand'")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val (mvS, mvE) = one(top, "moov")
+    val moov = children(bytes, mvS, mvE)
+    val (mhS, _) = one(moov, "mvhd")
+    require(bytes(mhS.toInt) == 0, "mvhd version != 0 unsupported")
+    val timescale = bb.getInt(mhS.toInt + 12)
+    require(timescale > 0, s"mvhd timescale $timescale")
+    require(bb.getInt(mhS.toInt + 16) == 0,
+      "fragmented file must carry mvhd duration 0 (length unknown at moov time)")
+    val (tkS, tkE) = one(moov, "trak")
+    val trak = children(bytes, tkS, tkE)
+    val (thS, thE) = one(trak, "tkhd")
+    require(thE - thS == 84, s"tkhd payload ${thE - thS} != 84 (v0)")
+    val width = bb.getInt(thE.toInt - 8) >>> 16
+    val height = bb.getInt(thE.toInt - 4) >>> 16
+    val (mdS, mdE) = one(trak, "mdia")
+    val mdia = children(bytes, mdS, mdE)
+    val (mhdS, _) = one(mdia, "mdhd")
+    require(bb.getInt(mhdS.toInt + 12) == timescale, "mdhd timescale != mvhd")
+    val (mfS, mfE) = one(mdia, "minf")
+    val (sbS, sbE) = one(children(bytes, mfS, mfE), "stbl")
+    val stbl = children(bytes, sbS, sbE)
+    val (ttS, _) = one(stbl, "stts")
+    require(bb.getInt(ttS.toInt + 4) == 0, "fragmented stts table must be EMPTY")
+    val (szS, _) = one(stbl, "stsz")
+    require(bb.getInt(szS.toInt + 8) == 0, "fragmented stsz table must be EMPTY")
+    val (mxS, mxE) = one(moov, "mvex")
+    val (txS, txE) = one(children(bytes, mxS, mxE), "trex")
+    require(txE - txS == 24, s"trex payload ${txE - txS} != 24")
+    require(bb.getInt(txS.toInt + 4) == 1, "trex track_ID != 1")
+    val sampleDelta = bb.getInt(txS.toInt + 12)
+    require(sampleDelta > 0, s"trex default_sample_duration $sampleDelta")
+    // --- the fragment stream: strictly alternating moof/mdat ---
+    val frags = top.drop(2) // after ftyp + moov
+    require(frags.nonEmpty, "fragmented file with zero fragments")
+    require(frags.length % 2 == 0 &&
+      frags.grouped(2).forall(p => p.head._1 == "moof" && p(1)._1 == "mdat"),
+      s"fragment stream must alternate moof/mdat: ${frags.map(_._1).mkString(",")}")
+    var nSamples = 0L
+    var mdatBytes = 0L
+    frags.grouped(2).zipWithIndex.foreach { case (Seq((_, moS, moE), (_, daS, daE)), i) =>
+      val moof = children(bytes, moS, moE)
+      val (mfhS, _) = one(moof, "mfhd")
+      val seq = bb.getInt(mfhS.toInt + 4)
+      require(seq == i + 1, s"mfhd sequence $seq at fragment index $i (want ${i + 1})")
+      val (tfS2, tfE2) = one(moof, "traf")
+      val traf = children(bytes, tfS2, tfE2)
+      val (thS2, _) = one(traf, "tfhd")
+      require(bb.getInt(thS2.toInt + 4) == 1, "tfhd track_ID != 1")
+      val (trS, trE) = one(traf, "trun")
+      val flags = bb.getInt(trS.toInt) & 0xFFFFFF
+      require(flags == 0x201, f"trun flags 0x$flags%x (want data-offset+sample-size 0x201)")
+      val count = bb.getInt(trS.toInt + 4)
+      require(trE - trS == 12L + 4L * count,
+        s"trun table ${trE - trS} bytes != ${12L + 4L * count} for $count samples")
+      val dataOffset = bb.getInt(trS.toInt + 8)
+      // default-base-is-moof: offset is from the moof's FIRST byte
+      require((moS - 8) + dataOffset == daS,
+        s"trun data_offset $dataOffset points at ${(moS - 8) + dataOffset}, mdat payload at $daS")
+      var sum = 0L
+      var k = 0
+      while (k < count) { sum += bb.getInt(trS.toInt + 12 + 4 * k); k += 1 }
+      require(sum == daE - daS,
+        s"fragment ${i + 1}: trun sizes sum to $sum but mdat carries ${daE - daS} bytes")
+      nSamples += count
+      mdatBytes += daE - daS
+    }
+    require(nSamples <= Int.MaxValue, s"$nSamples samples")
+    Mp4FragMeta(width, height, timescale, frags.length / 2, nSamples.toInt,
+      mdatBytes, nSamples * sampleDelta.toLong * 1000L / timescale, sampleDelta)
+  }
+
+  /** Sum of every fragment's mdat payload bytes (unsigned) — the
+    * fragmented accounting pass. */
+  def fragPayloadSum(bytes: Array[Byte]): Long = {
+    val top = children(bytes, 0L, bytes.length.toLong)
+    var s = 0L
+    top.collect { case ("mdat", daS, daE) =>
+      var p = daS.toInt
+      while (p < daE.toInt) { s += bytes(p) & 0xFF; p += 1 }
+    }
+    s
+  }
+
   /** Sum of all mdat payload byte values (unsigned) — the payload-
     * accounting pass, same role as [[AviCodec.framePayloadSum]]. */
   def mdatPayloadSum(bytes: Array[Byte]): Long = {

@@ -1404,4 +1404,84 @@ object MultimodalOps {
       |  (t.n * 100 * 1000) // (600 * (1 + (t.doc_id // 3) % 3)) AS duration_ms,
       |  CAST(pay.psum AS BIGINT) AS payload_sum
       |FROM tabs t JOIN pay ON pay.doc_id = t.doc_id ORDER BY asset_id""".stripMargin
+
+  /** Declared query `mm_mp4_frag`: the FRAGMENTED (DASH-style)
+    * ISO-BMFF walk — the same video assets re-containerized as
+    * ftyp/moov(mvex/trex)+moof/mdat pairs, which is how streaming
+    * captures actually arrive (the monolithic `mm_mp4` form requires
+    * the writer to know every sample up front). decodeFragmented
+    * verifies the fragment stream structurally (consecutive mfhd
+    * sequence numbers, trun data offsets, EMPTY moov sample tables)
+    * and accounts each fragment's trun sizes against its OWN mdat —
+    * a size-lying or truncated fragment fails loudly. The oracle
+    * replays the closed-form container arithmetic: 372 fixed bytes +
+    * 76 per fragment + 4 per sample + payload, fragments of
+    * [[Mp4Codec.FragSamples]] samples. Map-only per asset, no
+    * shuffle until the final orderBy. */
+  def mmMp4Frag(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val decoded = mp4Assets(spark, d).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = Mp4Codec
+        rows.map { case (id, mp4) =>
+          // re-containerize: monolithic decode yields the sample
+          // table, the fragmented encoder re-wraps the same samples
+          val meta = codec.decode(mp4)
+          val bb = java.nio.ByteBuffer.wrap(mp4)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          // stsz sizes live right before mdat: recover sample payloads
+          val mdatStart = mp4.length - meta.mdatBytes.toInt
+          val stszBase = mdatStart - 8 - 4 * meta.nSamples
+          var off = mdatStart
+          val samples = (0 until meta.nSamples).map { k =>
+            val len = bb.getInt(stszBase + 4 * k)
+            val s = java.util.Arrays.copyOfRange(mp4, off, off + len)
+            off += len
+            s
+          }
+          val frag = codec.encodeFragmented(meta.width, meta.height,
+            meta.timescale, meta.sampleDelta, samples)
+          val m = codec.decodeFragmented(frag)
+          (id, frag.length.toLong, m.width.toLong, m.height.toLong,
+            m.nFragments.toLong, m.nSamples.toLong, m.mdatBytes,
+            m.durationMs, codec.fragPayloadSum(frag))
+        }
+      }
+    decoded.toDF("asset_id", "frag_bytes", "width", "height",
+      "n_fragments", "n_samples", "mdat_bytes", "duration_ms",
+      "payload_sum")
+      .orderBy("asset_id")
+  }
+
+  // Same generation arithmetic as mmMp4Sql plus the fragment closed
+  // form: F = ceil(n/8) fragments, container = 372 + 76*F + 4*n.
+  def mmMp4FragSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS bl, hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |sm AS (
+      |  SELECT b.doc_id, b.bl, b.hx, t.f, 1 + (t.f + b.bl) % 24 AS slen
+      |  FROM base b
+      |  JOIN (SELECT unnest(range(40)) AS f) t ON t.f < 1 + b.bl % 40),
+      |tabs AS (
+      |  SELECT doc_id, bl, 1 + bl % 40 AS n,
+      |    SUM(slen) AS mdat_bytes
+      |  FROM sm GROUP BY doc_id, bl),
+      |pay AS (
+      |  SELECT sm.doc_id, SUM(CASE WHEN sm.bl = 0 THEN 0 ELSE
+      |      ('0x' || substr(sm.hx, ((sm.f * 24 + u.i) % sm.bl) * 2 + 1, 2))::BIGINT
+      |    END) AS psum
+      |  FROM sm JOIN (SELECT unnest(range(24)) AS i) u ON u.i < sm.slen
+      |  GROUP BY sm.doc_id)
+      |SELECT t.doc_id AS asset_id,
+      |  CAST(372 + 76 * ((t.n + 7) // 8) + 4 * t.n + t.mdat_bytes AS BIGINT)
+      |    AS frag_bytes,
+      |  32 + (t.doc_id % 8) * 16 AS width,
+      |  24 + (t.doc_id % 6) * 12 AS height,
+      |  CAST((t.n + 7) // 8 AS BIGINT) AS n_fragments,
+      |  CAST(t.n AS BIGINT) AS n_samples,
+      |  CAST(t.mdat_bytes AS BIGINT) AS mdat_bytes,
+      |  (t.n * 100 * 1000) // (600 * (1 + (t.doc_id // 3) % 3)) AS duration_ms,
+      |  CAST(pay.psum AS BIGINT) AS payload_sum
+      |FROM tabs t JOIN pay ON pay.doc_id = t.doc_id ORDER BY asset_id""".stripMargin
 }

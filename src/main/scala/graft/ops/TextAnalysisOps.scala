@@ -1932,6 +1932,103 @@ object TextAnalysisOps {
       .orderBy("lang")
   }
 
+  /** NFKC-subset mapping table: each row is verbatim
+    * `java.text.Normalizer.normalize(key, NFKC)` (pinned in
+    * TextEdgeSpec — the table IS a subset of the real normalization,
+    * not an approximation of it). Two families:
+    * compatibility singletons (ligatures, superscripts, vulgar
+    * fractions, letterlike symbols, ellipses) and canonical
+    * COMPOSITION pairs (base + combining mark → precomposed — the NFC
+    * half of NFKC, the form decomposed crawls arrive in). Keys never
+    * appear in any value, so chained replacement is order-independent
+    * and idempotent. Built from codepoints (no raw combining chars in
+    * the source file). */
+  private[ops] val NfkcTable: Seq[(String, String)] = {
+    def s(cps: Int*): String = new String(cps.toArray, 0, cps.length)
+    Seq(
+      s(0xFB00) -> "ff", s(0xFB01) -> "fi", s(0xFB02) -> "fl",
+      s(0xFB03) -> "ffi", s(0xFB04) -> "ffl",
+      s(0xB9) -> "1", s(0xB2) -> "2", s(0xB3) -> "3", s(0x2070) -> "0",
+      s(0xBD) -> s('1', 0x2044, '2'), s(0xBC) -> s('1', 0x2044, '4'),
+      s(0xBE) -> s('3', 0x2044, '4'),
+      s(0x2122) -> "TM", s(0x2116) -> "No",
+      s(0x2103) -> s(0xB0, 'C'), s(0x2109) -> s(0xB0, 'F'),
+      s(0xB5) -> s(0x3BC),     // micro sign -> greek mu
+      s(0x2126) -> s(0x3A9),   // ohm sign -> omega
+      s(0x212B) -> s(0xC5),    // angstrom sign -> A-ring
+      s(0x2026) -> "...", s(0x2025) -> "..",
+      s(0x2033) -> s(0x2032, 0x2032),
+      // canonical composition: base + combining mark -> precomposed
+      s('e', 0x301) -> s(0xE9), s('a', 0x301) -> s(0xE1),
+      s('o', 0x301) -> s(0xF3), s('u', 0x308) -> s(0xFC),
+      s('n', 0x303) -> s(0xF1), s('c', 0x327) -> s(0xE7))
+  }
+
+  /** NFKC seed (the [[WidthSeed]]/[[CjkSeed]] deterministic-seeding
+    * stance): every table row appears at least once, mixed into
+    * running text the way compatibility characters actually occur. */
+  private val NfkcSeed: String = {
+    def s(cps: Int*): String = new String(cps.toArray, 0, cps.length)
+    s(0xFB01) + "nance o" + s(0xFB03) + "ce " + s(0xFB02) + "ow e" +
+      s(0xFB00) + "ort su" + s(0xFB04) + "e x" + s(0xB2) + " y" + s(0xB3) +
+      " z" + s(0xB9) + " n" + s(0x2070) + " " + s(0xBD) + " cup " +
+      s(0xBC) + " left " + s(0xBE) + " done Graft" + s(0x2122) + " " +
+      s(0x2116) + "5 20" + s(0x2103) + " 68" + s(0x2109) + " 3" +
+      s(0xB5) + "s 50" + s(0x2126) + " 2" + s(0x212B) + " wait" +
+      s(0x2026) + " gap" + s(0x2025) + " 5" + s(0x2033) + " caf" +
+      s('e', 0x301) + " ma" + s('n', 0x303) + "ana " + s('u', 0x308) +
+      "ber gar" + s('c', 0x327) + "on"
+  }
+
+  /** Declared query `text_nfkc`: deterministic NFKC-subset
+    * normalization — the standard pass before dedup on multilingual
+    * crawls ("ﬁnance" and "finance", "caf" + combining acute and
+    * "café" are different strings until normalized, so near-dup pairs
+    * silently miss). ICU/java.text.Normalizer can't run in DuckDB, so
+    * the op IS an explicit mapping table (the `text_width_fold`
+    * technique scaled up to 1:N replacements and canonical
+    * composition pairs) that both engines replay verbatim as chained
+    * `replace`; TextEdgeSpec pins every row to the real
+    * Normalizer.normalize(NFKC) output. Declared result per lang:
+    * docs, chars before/after, docs changed — one codegen'd map pass,
+    * the only shuffle is the |lang|-keyed aggregate. */
+  def nfkcFold(spark: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(spark, d)
+      .select(col("lang"),
+        when(col("lang") === "fr", concat(col("text"), lit(" " + NfkcSeed)))
+          .otherwise(col("text")).as("txt"))
+    val folded = NfkcTable.foldLeft(col("txt")) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    seeded.select(col("lang"), col("txt"), folded.as("folded"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("txt")).cast("long")).as("chars_before"),
+        sum(length(col("folded")).cast("long")).as("chars_after"),
+        sum(when(col("txt") =!= col("folded"), 1L).otherwise(0L))
+          .as("docs_changed"))
+      .orderBy("lang")
+  }
+
+  def nfkcFoldSql: String = {
+    // mapped chars carry no quotes/backslashes; values are plain ASCII
+    // or BMP letters — both embed verbatim in a DuckDB string literal
+    val folded = NfkcTable.foldLeft("txt") { case (e, (from, to)) =>
+      s"replace($e, '$from', '$to')"
+    }
+    s"""WITH seeded AS (
+       |  SELECT lang,
+       |    CASE WHEN lang = 'fr' THEN text || ' $NfkcSeed' ELSE text END AS txt
+       |  FROM documents),
+       |f AS (SELECT lang, txt, $folded AS folded FROM seeded)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(txt)) AS BIGINT) AS chars_before,
+       |  CAST(SUM(length(folded)) AS BIGINT) AS chars_after,
+       |  CAST(SUM(CASE WHEN txt <> folded THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_changed
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def widthFoldSql: String = {
     // `from` is entirely U+3000..U+FF5E — no ASCII quote/backslash/
     // regex metachars, so it embeds verbatim in both the SQL literal

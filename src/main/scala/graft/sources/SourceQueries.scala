@@ -116,6 +116,99 @@ object SourceQueries {
     docStats(Formats.readJsonl(spark, dir, docSchema))
   }
 
+  /** Declared query `src_jsonl_zst`: the fingerprint over a
+    * ZSTD-compressed JSONL round trip — `.jsonl.zst` is the dominant
+    * modern corpus wire format (gzip-class ratios at several times
+    * the decode speed). This distribution's Hadoop codec path is
+    * physically closed: `ZStandardCodec` raises "native zStandard
+    * library not available: this version of libhadoop was built
+    * without zstd support" (pinned in ZstdSourceSpec), so
+    * `spark.read.text` can never transparently read `.zst` here. The
+    * working route is the zstd-jni streams Spark itself ships for
+    * shuffle/event-log compression: staging writes one
+    * `.jsonl.zst` per input partition through `ZstdOutputStream`
+    * (each line a Spark-JSON record, the exact encoder
+    * `Formats.writeJsonl` uses), and the read is the
+    * [[streamTarEntries]] shape — binaryFile lists PATHS only, each
+    * executor streams `ZstdInputStream` line by line (one record in
+    * memory at a time, a multi-GB member never materializes) into
+    * `from_json` with the explicit schema.
+    *
+    * Scale stance: a plain zstd frame is NOT splittable (no findable
+    * block magic like bzip2's) — each archive is one task, so
+    * parallelism is file-count parallelism, sized here by the
+    * per-partition staging; the upstream fix for giant members is
+    * seekable-zstd or file sizing, same as `src_jsonl_gz`. */
+  def jsonlZstDocStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = stage(spark, d, "jsonlzst") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.toJSON.mapPartitions { lines =>
+        if (lines.isEmpty) Iterator.empty[String]
+        else {
+          val p = java.nio.file.Files.createTempFile(
+            java.nio.file.Paths.get(out), "part-", ".jsonl.zst")
+          val os = new com.github.luben.zstd.ZstdOutputStream(
+            new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(p), 1 << 16), 3)
+          try lines.foreach { l =>
+            os.write(l.getBytes("UTF-8")); os.write('\n')
+          } finally os.close()
+          Iterator(p.toString)
+        }
+      }.collect()
+      ()
+    }
+    docStats(streamZstLines(spark, s"$dir/*.jsonl.zst")
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.lang").as("lang"), col("r.source").as("source"),
+        col("r.n_chars").as("n_chars")))
+  }
+
+  /** Streamed line read of zstd-compressed text files matching
+    * `pattern`: binaryFile lists PATHS only (the content column prunes
+    * away), each executor pulls a `ZstdInputStream` line by line —
+    * one record in memory at a time. Same early-exit hygiene as
+    * [[streamTarEntries]]: one stream open at a time, a completion
+    * listener reaps it if the task dies mid-file (limit, corrupt
+    * frame). */
+  private[sources] def streamZstLines(spark: SparkSession, pattern: String)
+      : DataFrame = {
+    import spark.implicits._
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.read.format("binaryFile").load(pattern)
+      .select(col("path")).as[String]
+      .mapPartitions { paths =>
+        var open: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (open != null) { try open.close() catch { case _: Throwable => () } }
+          })
+        paths.flatMap { p =>
+          val hPath = new org.apache.hadoop.fs.Path(p)
+          val fs = hPath.getFileSystem(confSer.value)
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.BufferedInputStream(fs.open(hPath), 1 << 16))
+          open = in
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
+          new Iterator[String] {
+            private var nextLine = reader.readLine()
+            def hasNext: Boolean = {
+              if (nextLine == null && open != null) { open = null; reader.close() }
+              nextLine != null
+            }
+            def next(): String = {
+              val l = nextLine; nextLine = reader.readLine(); l
+            }
+          }
+        }
+      }
+      .toDF("value")
+  }
+
   /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
     * round trip (quoted embedded newlines/quotes/commas in `text`). */
   def csvDocStats(spark: SparkSession, d: String): DataFrame = {

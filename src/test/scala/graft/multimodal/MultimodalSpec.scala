@@ -916,6 +916,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("free"))
   }
 
+  test("Mp4Codec fragmented round-trip: moof/mdat pairs, trex defaults, per-fragment accounting") {
+    import graft.multimodal.Mp4Codec.Mp4FragMeta
+    // 19 samples -> ceil(19/8) = 3 fragments (8+8+3)
+    val samples = (1 to 19).map(i => Array.tabulate[Byte](i % 5 + 1)(k => (i + k).toByte))
+    val frag = Mp4Codec.encodeFragmented(320, 240, 600, 100, samples)
+    val mdat = samples.map(_.length).sum
+    assert(frag.length === 372 + 76 * 3 + 4 * 19 + mdat) // the closed form
+    val m = Mp4Codec.decodeFragmented(frag)
+    assert(m === Mp4FragMeta(320, 240, 600, 3, 19, mdat.toLong,
+      19L * 100 * 1000 / 600, 100))
+    assert(Mp4Codec.fragPayloadSum(frag) ===
+      samples.flatten.map(b => (b & 0xFF).toLong).sum)
+    // single-fragment file (n <= FragSamples)
+    val one = Mp4Codec.encodeFragmented(64, 48, 1200, 100, samples.take(2))
+    assert(Mp4Codec.decodeFragmented(one).nFragments === 1)
+  }
+
+  test("Mp4Codec fragmented decode fails loudly on adversarial fragment streams") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = (1 to 12).map(i => Array.fill[Byte](3)(i.toByte))
+    val ok = Mp4Codec.encodeFragmented(32, 24, 600, 100, samples)
+    // truncation mid-fragment
+    intercept[IllegalArgumentException](Mp4Codec.decodeFragmented(ok.dropRight(4)))
+    // a monolithic file is NOT a fragmented file (mvhd duration != 0)
+    val mono = Mp4Codec.encode(32, 24, 600, 100, samples)
+    val e0 = intercept[IllegalArgumentException](Mp4Codec.decodeFragmented(mono))
+    assert(e0.getMessage.contains("duration"))
+    // size-lying trun: bump fragment 1's first sample size (trun table
+    // sits right after ftyp(24)+moov(348)+moof hdr(8)+mfhd(16)+traf
+    // hdr(8)+tfhd(16)+trun hdr+flags+count+offset(20))
+    val lying = ok.clone()
+    val trunSizes = 24 + 348 + 8 + 16 + 8 + 16 + 20
+    val buf = ByteBuffer.wrap(lying).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(trunSizes, buf.getInt(trunSizes) + 1)
+    val e1 = intercept[IllegalArgumentException](Mp4Codec.decodeFragmented(lying))
+    assert(e1.getMessage.contains("trun sizes sum"))
+    // sequence-number gap: fragment 2's mfhd (after frag 1 = moof(68+
+    // 4*8)+mdat(8+24)) claims sequence 7
+    val gap = ok.clone()
+    val frag1Len = 68 + 4 * 8 + 8 + 24
+    val mfhdSeq = 24 + 348 + frag1Len + 8 + 12
+    ByteBuffer.wrap(gap).order(ByteOrder.BIG_ENDIAN).putInt(mfhdSeq, 7)
+    val e2 = intercept[IllegalArgumentException](Mp4Codec.decodeFragmented(gap))
+    assert(e2.getMessage.contains("sequence"))
+  }
+
+  test("mm_mp4_frag re-containerizes every mm_mp4 asset losslessly") {
+    import org.apache.spark.sql.functions.col
+    val mono = MultimodalOps.mmMp4(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val frag = MultimodalOps.mmMp4Frag(spark, sf).collect()
+    assert(frag.length === mono.size)
+    frag.foreach { f =>
+      val m = mono(f.getLong(0))
+      // shared columns must agree exactly with the monolithic decode
+      for (c <- Seq("width", "height", "n_samples", "mdat_bytes",
+          "duration_ms", "payload_sum"))
+        assert(f.getAs[Long](c) === m.getAs[Long](c), s"$c asset ${f.getLong(0)}")
+      val n = f.getAs[Long]("n_samples")
+      assert(f.getAs[Long]("n_fragments") === (n + 7) / 8)
+      assert(f.getAs[Long]("frag_bytes") ===
+        372 + 76 * ((n + 7) / 8) + 4 * n + f.getAs[Long]("mdat_bytes"))
+    }
+  }
+
   test("mm_mp4 oracle arithmetic matches a hand-decoded asset") {
     import org.apache.spark.sql.functions.col
     val row = MultimodalOps.mmMp4(spark, sf).where(col("asset_id") === 2L).collect()(0)
