@@ -167,6 +167,96 @@ object SourceQueries {
         col("r.n_chars").as("n_chars")))
   }
 
+  /** Frame size for [[jsonlZstSeekDocStats]]'s seekable archive:
+    * small enough that the sf0.01 corpus yields a few dozen frames
+    * (real parallelism to prove), large enough that zstd still
+    * compresses usefully per frame. At 100 TB the analog is
+    * ~128 MB frames — the same task-sizing knob as parquet row
+    * groups. */
+  private[sources] val ZstSeekFrameLines = 2000
+
+  /** Declared query `src_jsonl_zst_seek`: the SEEKABLE-zstd contrast
+    * to `src_jsonl_zst` — the engineered fix when a giant single
+    * member can't be re-sized upstream. A plain zstd stream is one
+    * task forever; but zstd frames are independent, so an archive
+    * written as one frame per [[ZstSeekFrameLines]] lines plus a
+    * sidecar index of (offset, length, lines) per frame reads back
+    * with one TASK PER FRAME — full cluster fan-out over a single
+    * file, the zstd-seekable-format idea expressed with a plain
+    * sidecar. Staging writes the single member from one task (that's
+    * the premise: upstream handed us one big file), frame-by-frame in
+    * constant memory; the READ is the operator under test and is
+    * embarrassingly parallel: each task opens the file, seeks to its
+    * frame's offset, and decodes only its own bytes. The proof that
+    * it actually splits is in ZstdSourceSpec (partition count equals
+    * frame count); the fingerprint aggregate proves losslessness. */
+  def jsonlZstSeekDocStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = stage(spark, d, "jsonlzstseek") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      // one writer task builds the single member + its frame index —
+      // constant memory (one frame's lines at a time), linear wall
+      df.toJSON.coalesce(1).mapPartitions { lines =>
+        val dataPath = java.nio.file.Paths.get(out, "corpus.jsonl.zst")
+        val idxPath = java.nio.file.Paths.get(out, "corpus.zstidx")
+        val ch = java.nio.file.Files.newOutputStream(dataPath)
+        val idx = new StringBuilder
+        var offset = 0L
+        try {
+          lines.grouped(ZstSeekFrameLines).foreach { frame =>
+            val bos = new java.io.ByteArrayOutputStream(1 << 20)
+            val zo = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+            frame.foreach { l => zo.write(l.getBytes("UTF-8")); zo.write('\n') }
+            zo.close()
+            val bytes = bos.toByteArray
+            ch.write(bytes)
+            idx.append(s"$offset,${bytes.length},${frame.size}\n")
+            offset += bytes.length
+          }
+        } finally ch.close()
+        java.nio.file.Files.write(idxPath,
+          idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Iterator.single(dataPath.toString)
+      }.collect()
+      ()
+    }
+    docStats(readZstSeekLines(spark, dir)
+      .select(from_json(col("value"), docSchema).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.lang").as("lang"), col("r.source").as("source"),
+        col("r.n_chars").as("n_chars")))
+  }
+
+  /** Parallel frame read of a seekable-zstd member staged by
+    * [[jsonlZstSeekDocStats]]: the tiny sidecar index fans out as one
+    * row per frame, `repartition` gives every frame its own task, and
+    * each task seeks + decodes ONLY its frame's bytes. */
+  private[sources] def readZstSeekLines(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dataFile = s"$dir/corpus.jsonl.zst"
+    val frames = spark.read.text(s"$dir/corpus.zstidx").as[String]
+      .map { l =>
+        val Array(off, len, n) = l.split(","); (off.toLong, len.toInt, n.toInt)
+      }.collect() // the index: one small row per ~128 MB frame
+    spark.sparkContext.parallelize(frames.toSeq, math.max(frames.length, 1))
+      .mapPartitions { specs =>
+        specs.flatMap { case (off, len, _) =>
+          val hPath = new org.apache.hadoop.fs.Path(dataFile)
+          val fs = hPath.getFileSystem(confSer.value)
+          val in = fs.open(hPath)
+          val bytes = new Array[Byte](len)
+          try { in.seek(off); in.readFully(bytes) } finally in.close()
+          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            new com.github.luben.zstd.ZstdInputStream(
+              new java.io.ByteArrayInputStream(bytes)), "UTF-8"))
+          Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        }
+      }.toDF("value")
+  }
+
   /** Streamed line read of zstd-compressed text files matching
     * `pattern`: binaryFile lists PATHS only (the content column prunes
     * away), each executor pulls a `ZstdInputStream` line by line —

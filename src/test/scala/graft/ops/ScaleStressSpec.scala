@@ -279,7 +279,16 @@ class ScaleStressSpec extends AnyFunSuite {
       // query rows x linear candidate scan + top-20 window); the
       // greedy is a bounded driver loop over <= 60 collected rows —
       // x8 embeddings must cost ~x8 scan, never x8 greedy
-      ("sim_mmr", d => { SimilarityOps.mmrSelect(spark, d).count(); () }))
+      ("sim_mmr", d => { SimilarityOps.mmrSelect(spark, d).count(); () }),
+      // r15 additions. nfkc: chained-replace map pass + |lang|-keyed
+      // aggregate — O(chars). frag-mp4: per-asset map-only
+      // (decode -> re-fragment -> decode), no shuffle until orderBy.
+      // zst: per-partition staged archives (once, on warmup), then
+      // one streamed decode pass per archive — x8 docs must be ~x8
+      // archive bytes, never a re-stage per timed run.
+      ("text_nfkc", d => { TextAnalysisOps.nfkcFold(spark, d).count(); () }),
+      ("mm_mp4_frag", d => { graft.multimodal.MultimodalOps.mmMp4Frag(spark, d).count(); () }),
+      ("src_jsonl_zst", d => { graft.sources.SourceQueries.jsonlZstDocStats(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run

@@ -55,6 +55,49 @@ class ZstdSourceSpec extends AnyFunSuite {
     SourceQueries.evictStaged()
   }
 
+  test("src_jsonl_zst_seek: ONE archive fans out to one task per frame and round-trips") {
+    val got = SourceQueries.jsonlZstSeekDocStats(spark, sf)
+    val want = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_chars"))
+      .orderBy("lang", "source")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "seekable-zstd round trip must preserve every column of every row")
+    SourceQueries.evictStaged()
+  }
+
+  test("seekable frames restore parallelism a plain zstd stream cannot have") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-zstseek").toString
+    // hand-build a 3-frame member + index: frames are INDEPENDENT zstd
+    // streams, so any frame decodes without touching the others
+    var offset = 0L
+    val idx = new StringBuilder
+    val ch = Files.newOutputStream(Paths.get(s"$dir/corpus.jsonl.zst"))
+    try (1 to 3).foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+      (1 to 10).foreach(i => zo.write(s"frame$f-line$i\n".getBytes("UTF-8")))
+      zo.close()
+      ch.write(bos.toByteArray)
+      idx.append(s"$offset,${bos.size()},10\n")
+      offset += bos.size()
+    } finally ch.close()
+    Files.write(Paths.get(s"$dir/corpus.zstidx"),
+      idx.toString.getBytes("UTF-8"))
+    val lines = SourceQueries.readZstSeekLines(spark, dir)
+    assert(lines.rdd.getNumPartitions === 3,
+      "one task per frame — the whole point of the sidecar index")
+    assert(lines.count() === 30)
+    // spot the frame boundaries survived: first line of each frame
+    val all = lines.collect().map(_.getString(0)).toSet
+    assert(all.contains("frame1-line1") && all.contains("frame3-line10"))
+  }
+
   test("a LIMITed line read exits early (completion listener closes the open stream)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-zst-limit").toString
