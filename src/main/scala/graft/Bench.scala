@@ -258,9 +258,17 @@ object Bench {
     * heuristic only when /proc/stat was unreadable:
     *  - `runAvgExt`: whole-run external cores (the pre-r15 signal —
     *    still the right detector for sustained co-tenancy);
-    *  - `extMaxWin`: max per-query-window external cores over queries
-    *    ≥ [[ExtWindowMinSec]] — the burst detector the r14 artifact
-    *    lacked;
+    *  - `extMaxWin`: max per-query-window external cores over the
+    *    CHOSEN (headline) timings ≥ [[ExtWindowMinSec]] — the burst
+    *    detector the r14 artifact lacked. Chosen-only is deliberate:
+    *    min-of-2 exists to absorb one-pass bursts, and it works — the
+    *    first r15 gate run saw a pass-2 burst inflate ten stream
+    *    queries 3-5× at 3-4.6 external cores while every one of their
+    *    headlines came from its quiet pass-1 window (chosen ext
+    *    ≤ 0.78). A burst in a discarded measurement is min-of-2 doing
+    *    its job, not a contaminated record; a loud window behind a
+    *    RECORDED number is. Both passes' windows stay in
+    *    BENCH_DETAIL (`ext1`/`ext2`) for the audit;
     *  - `passRatio`: pass-2 / pass-1 wall — the workload's own
     *    before/after comparison, immune to sampling blind spots. */
   final case class Contention(runAvgExt: Option[Double],
@@ -284,6 +292,22 @@ object Bench {
     if (windows.isEmpty) None else Some(windows.max)
   }
 
+  /** The one measurement per query the headline reports (the
+    * mergePasses rule, exposed so contention can be judged against
+    * the windows that actually back the record): a clean pass-2
+    * redeems a pass-1 error; a pass-2 error is the freshest run and
+    * stays authoritative; otherwise the faster pass wins. */
+  def chosenTimings(ordered: Seq[String], p1: Map[String, Timing],
+                    p2: Map[String, Timing]): Seq[(String, Timing)] =
+    ordered.map { name =>
+      name -> (p2.get(name) match {
+        case Some(t2) if p1(name).err.isDefined => t2 // redeemed (or still failing)
+        case Some(t2) if t2.err.isDefined => t2       // freshest-run error is fatal
+        case Some(t2) => if (t2.sec < p1(name).sec) t2 else p1(name)
+        case None => p1(name)
+      })
+    }
+
   /** Merge the two timed passes into (headline timings, errors).
     *
     * A clean pass-2 run REDEEMS a transient pass-1 error (that rerun
@@ -295,18 +319,9 @@ object Bench {
   def mergePasses(ordered: Seq[String], p1: Map[String, Timing],
                   p2: Map[String, Timing])
       : (Seq[(String, Double)], Seq[(String, String)]) = {
-    val errors = ordered.flatMap { name =>
-      p2.get(name).fold(p1(name).err)(_.err).map(name -> _)
-    }
-    val failed = errors.map(_._1).toSet
-    val results = ordered.collect { case name if !failed(name) =>
-      val sec = p2.get(name) match {
-        case Some(t) if p1(name).err.isDefined => t.sec
-        case Some(t) => math.min(p1(name).sec, t.sec)
-        case None => p1(name).sec
-      }
-      name -> sec
-    }
+    val chosen = chosenTimings(ordered, p1, p2)
+    val errors = chosen.collect { case (n, t) if t.err.isDefined => n -> t.err.get }
+    val results = chosen.collect { case (n, t) if t.err.isEmpty => n -> t.sec }
     (results, errors)
   }
 
@@ -404,9 +419,10 @@ object Bench {
     // different granularities, so tiny negatives are measurement noise)
     val extCpuCores = for (b0 <- busy0; b1 <- procStatBusySec())
       yield math.max(0.0, (b1 - b0 - cpuSec)) / math.max(wallSec, 1e-9)
+    val chosen = chosenTimings(ordered.map(_._1), p1, p2)
     val contention = Contention(
       runAvgExt = extCpuCores,
-      extMaxWin = extMaxWindow(Seq(p1, p2)),
+      extMaxWin = extMaxWindow(Seq(chosen.toMap)),
       passRatio = if (wallP1 > 0 && rerun.nonEmpty) Some(wallP2 / wallP1) else None)
 
     // Self-describing cache accounting (r7 verdict item 5): the four
@@ -481,15 +497,10 @@ object Bench {
         "\"" + n + "\":" + fmt2(m(n).extCores.get)
     }.mkString("{", ",", "}")
     // stream_* wall vs trigger-execution, taken from the pass that
-    // produced the headline time (same min/redeem rule as mergePasses)
-    // — wall minus exec is trigger waits + drop staging + read-back
-    val streamJson = ordered.collect {
-      case (n, _) if n.startsWith("stream_") && !failed(n) =>
-        val t = p2.get(n) match {
-          case Some(t2) if p1(n).err.isDefined => t2
-          case Some(t2) if t2.sec < p1(n).sec => t2
-          case _ => p1(n)
-        }
+    // produced the headline time (the chosenTimings rule) — wall
+    // minus exec is trigger waits + drop staging + read-back
+    val streamJson = chosen.collect {
+      case (n, t) if n.startsWith("stream_") && t.err.isEmpty =>
         val exec = t.streamExecSec.getOrElse(0.0)
         "\"" + n + "\":{\"wall\":" + fmt2(t.sec) + ",\"exec\":" + fmt2(exec) +
           ",\"non_exec\":" + fmt2(math.max(0.0, t.sec - exec)) + "}"

@@ -126,6 +126,41 @@ class BenchSpec extends AnyFunSuite {
     assert(blind.flag(None, 1.0) && !blind.flag(None, 2.8))
   }
 
+  test("a burst absorbed by min-of-2 does not trip the flag (chosen-window semantics)") {
+    import Bench.Timing
+    // the first r15 gate run: pass-2 burst inflates the query 5x at
+    // 4.6 external cores, but the headline takes quiet pass 1 —
+    // judging CHOSEN windows keeps the record trustworthy
+    val p1 = Map("stream_cdc" -> Timing(2.7, None, extCores = Some(0.43)))
+    val p2 = Map("stream_cdc" -> Timing(12.1, None, extCores = Some(4.61)))
+    val chosen = Bench.chosenTimings(Seq("stream_cdc"), p1, p2).toMap
+    assert(chosen("stream_cdc").sec === 2.7)
+    assert(Bench.extMaxWindow(Seq(chosen)) === Some(0.43),
+      "only the window behind the recorded number counts")
+    // the same burst hitting the CHOSEN pass must still trip
+    val swapped = Bench.chosenTimings(Seq("stream_cdc"), p2, p1).toMap
+    assert(swapped("stream_cdc").sec === 2.7, "min still wins")
+    assert(Bench.extMaxWindow(Seq(swapped)) === Some(0.43))
+    val bothLoud = Map("q" -> Timing(5.0, None, extCores = Some(6.0)))
+    assert(Bench.extMaxWindow(Seq(bothLoud)) === Some(6.0))
+  }
+
+  test("chosenTimings: redeem, fatal pass-2 error, min rule") {
+    import Bench.Timing
+    val p1 = Map(
+      "flaky"  -> Timing(0.01, Some("boom")),
+      "broken" -> Timing(3.0, None),
+      "steady" -> Timing(2.0, None))
+    val p2 = Map(
+      "flaky"  -> Timing(1.4, None),
+      "broken" -> Timing(0.01, Some("fresh failure")),
+      "steady" -> Timing(2.5, None))
+    val c = Bench.chosenTimings(Seq("flaky", "broken", "steady"), p1, p2).toMap
+    assert(c("flaky").sec === 1.4 && c("flaky").err.isEmpty)
+    assert(c("broken").err === Some("fresh failure"), "freshest run is authoritative")
+    assert(c("steady").sec === 2.0, "min rule keeps pass 1")
+  }
+
   test("extMaxWindow ignores short windows and errored queries") {
     import Bench.Timing
     val p1 = Map(
