@@ -1429,9 +1429,25 @@ object MultimodalOps {
           val meta = codec.decode(mp4)
           val bb = java.nio.ByteBuffer.wrap(mp4)
             .order(java.nio.ByteOrder.BIG_ENDIAN)
-          // stsz sizes live right before mdat: recover sample payloads
+          // stsz sizes live right before mdat in Mp4Codec.encode's
+          // layout — but decode() does not enforce box order inside
+          // moov/stbl, so VERIFY the layout before trusting the
+          // arithmetic: the stsz entry table is preceded by its own
+          // 20-byte header (size, 'stsz', version/flags, sample_size=0,
+          // sample_count=n) and mdat's payload by its 8-byte header.
+          // An asset not produced by encode() fails loudly here
+          // instead of silently reading garbage sample lengths.
           val mdatStart = mp4.length - meta.mdatBytes.toInt
           val stszBase = mdatStart - 8 - 4 * meta.nSamples
+          def tag(at: Int) = new String(mp4, at, 4, "ISO-8859-1")
+          require(tag(mdatStart - 4) == "mdat",
+            s"asset $id: expected mdat header before payload, got '${tag(mdatStart - 4)}'")
+          require(tag(stszBase - 16) == "stsz",
+            s"asset $id: expected stsz table before mdat, got '${tag(stszBase - 16)}'")
+          require(bb.getInt(stszBase - 8) == 0,
+            s"asset $id: stsz sample_size must be 0 (per-sample table)")
+          require(bb.getInt(stszBase - 4) == meta.nSamples,
+            s"asset $id: stsz sample_count ${bb.getInt(stszBase - 4)} != stts ${meta.nSamples}")
           var off = mdatStart
           val samples = (0 until meta.nSamples).map { k =>
             val len = bb.getInt(stszBase + 4 * k)

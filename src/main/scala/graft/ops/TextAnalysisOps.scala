@@ -1940,9 +1940,12 @@ object TextAnalysisOps {
     * fractions, letterlike symbols, ellipses) and canonical
     * COMPOSITION pairs (base + combining mark → precomposed — the NFC
     * half of NFKC, the form decomposed crawls arrive in). Keys never
-    * appear in any value, so chained replacement is order-independent
-    * and idempotent. Built from codepoints (no raw combining chars in
-    * the source file). */
+    * appear in any value, so the chain is idempotent UNDER THE FIXED
+    * TABLE ORDER both engines replay (not order-independent in
+    * general: a value's trailing base letter can combine with a
+    * following input mark — e.g. U+2116 "No" + U+0301 composes only
+    * because the composition rows come after the singletons). Built
+    * from codepoints (no raw combining chars in the source file). */
   private[ops] val NfkcTable: Seq[(String, String)] = {
     def s(cps: Int*): String = new String(cps.toArray, 0, cps.length)
     Seq(

@@ -59,6 +59,30 @@ object SourceQueries {
       out
     })
 
+  /** Commit protocol for executor-side staging writes (r15 advice
+    * item 1): tasks that stage archives by side effect write to a
+    * DOT-PREFIXED temp name — Spark's file listing skips dot/
+    * underscore-prefixed paths, so a partial file from a dying task,
+    * a retry, or a speculative attempt can never be double-read by
+    * the later glob — and ATOMIC_MOVE it to a deterministic
+    * partition-numbered name only on success. Rename-on-success makes
+    * retries idempotent (the retry overwrites its own slot) instead
+    * of additive, which is what FileOutputCommitter does for Spark's
+    * own writers. */
+  private[sources] def commitPartFile(out: String, suffix: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(out)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".tmp-part-", suffix)
+    write(tmp)
+    val part = Option(org.apache.spark.TaskContext.get())
+      .map(_.partitionId()).getOrElse(0)
+    val dest = dir.resolve(f"part-$part%05d$suffix")
+    java.nio.file.Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest
+  }
+
   /** The column-covering fingerprint aggregate: per (lang, source)
     * group — doc count, distinct/sum of the key, and two independent
     * character totals over the free-text column. A round trip that
@@ -147,14 +171,14 @@ object SourceQueries {
       df.toJSON.mapPartitions { lines =>
         if (lines.isEmpty) Iterator.empty[String]
         else {
-          val p = java.nio.file.Files.createTempFile(
-            java.nio.file.Paths.get(out), "part-", ".jsonl.zst")
-          val os = new com.github.luben.zstd.ZstdOutputStream(
-            new java.io.BufferedOutputStream(
-              java.nio.file.Files.newOutputStream(p), 1 << 16), 3)
-          try lines.foreach { l =>
-            os.write(l.getBytes("UTF-8")); os.write('\n')
-          } finally os.close()
+          val p = commitPartFile(out, ".jsonl.zst") { tmp =>
+            val os = new com.github.luben.zstd.ZstdOutputStream(
+              new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(tmp), 1 << 16), 3)
+            try lines.foreach { l =>
+              os.write(l.getBytes("UTF-8")); os.write('\n')
+            } finally os.close()
+          }
           Iterator(p.toString)
         }
       }.collect()
@@ -196,11 +220,19 @@ object SourceQueries {
       val spark0 = df.sparkSession
       import spark0.implicits._
       // one writer task builds the single member + its frame index —
-      // constant memory (one frame's lines at a time), linear wall
+      // constant memory (one frame's lines at a time), linear wall.
+      // coalesce(1) is the PREMISE of this fixture, not the scale
+      // stance: the query exists to show how to read a giant member
+      // someone else wrote as one file. At 100 TB the write side is N
+      // seekable members (one per partition, each with its own frame
+      // index — the src_jsonl_gz file-sizing stance at the top of this
+      // file), and the frame-parallel read below applies per member.
+      // Same dot-prefix + rename commit as [[commitPartFile]], so a
+      // retry of the writer task can't leave a partial member behind.
       df.toJSON.coalesce(1).mapPartitions { lines =>
-        val dataPath = java.nio.file.Paths.get(out, "corpus.jsonl.zst")
-        val idxPath = java.nio.file.Paths.get(out, "corpus.zstidx")
-        val ch = java.nio.file.Files.newOutputStream(dataPath)
+        val dataTmp = java.nio.file.Paths.get(out, ".tmp-corpus.jsonl.zst")
+        val idxTmp = java.nio.file.Paths.get(out, ".tmp-corpus.zstidx")
+        val ch = java.nio.file.Files.newOutputStream(dataTmp)
         val idx = new StringBuilder
         var offset = 0L
         try {
@@ -215,8 +247,14 @@ object SourceQueries {
             offset += bytes.length
           }
         } finally ch.close()
-        java.nio.file.Files.write(idxPath,
+        java.nio.file.Files.write(idxTmp,
           idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+        // index first, data last: a reader keys on the data file
+        val idxPath = java.nio.file.Paths.get(out, "corpus.zstidx")
+        val dataPath = java.nio.file.Paths.get(out, "corpus.jsonl.zst")
+        java.nio.file.Files.move(idxTmp, idxPath, ATOMIC_MOVE, REPLACE_EXISTING)
+        java.nio.file.Files.move(dataTmp, dataPath, ATOMIC_MOVE, REPLACE_EXISTING)
         Iterator.single(dataPath.toString)
       }.collect()
       ()
@@ -464,9 +502,8 @@ object SourceQueries {
           }.toSeq
           if (entries.isEmpty) Iterator.empty[String]
           else {
-            val p = java.nio.file.Files.createTempFile(
-              java.nio.file.Paths.get(out), "part-", ".zip")
-            java.nio.file.Files.write(p, ZipCodec.encode(entries))
+            val p = commitPartFile(out, ".zip")(tmp =>
+              java.nio.file.Files.write(tmp, ZipCodec.encode(entries)))
             Iterator(p.toString)
           }
         }.collect() // partition-count path list — bounded driver action
@@ -504,9 +541,8 @@ object SourceQueries {
           }.toSeq
           if (entries.isEmpty) Iterator.empty[String]
           else {
-            val p = java.nio.file.Files.createTempFile(
-              java.nio.file.Paths.get(out), "part-", ".tar")
-            java.nio.file.Files.write(p, TarCodec.encode(entries))
+            val p = commitPartFile(out, ".tar")(tmp =>
+              java.nio.file.Files.write(tmp, TarCodec.encode(entries)))
             Iterator(p.toString)
           }
         }.collect()
@@ -593,11 +629,11 @@ object SourceQueries {
           }.toSeq
           if (entries.isEmpty) Iterator.empty[String]
           else {
-            val p = java.nio.file.Files.createTempFile(
-              java.nio.file.Paths.get(out), "part-", ".tar.gz")
-            val os = new java.util.zip.GZIPOutputStream(
-              java.nio.file.Files.newOutputStream(p), 1 << 16)
-            try os.write(TarCodec.encode(entries)) finally os.close()
+            val p = commitPartFile(out, ".tar.gz") { tmp =>
+              val os = new java.util.zip.GZIPOutputStream(
+                java.nio.file.Files.newOutputStream(tmp), 1 << 16)
+              try os.write(TarCodec.encode(entries)) finally os.close()
+            }
             Iterator(p.toString)
           }
         }.collect()
