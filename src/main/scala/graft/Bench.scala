@@ -26,11 +26,23 @@ object Bench {
   /** One query's measurement: wall seconds, error (if it threw),
     * EXTERNAL cpu cores consumed by other processes during its window
     * (per-query /proc/stat bracket — r14 verdict item 1: the
-    * run-average signal was blind to bursts), and for `stream_*`
+    * run-average signal was blind to bursts), whole-box IOWAIT cores
+    * during the window (r15 verdict item 1: a co-tenant thrashing the
+    * disk is invisible to the CPU signals — cores sitting in iowait
+    * are the direct trace of disk pressure), and for `stream_*`
     * queries the summed trigger-execution seconds (so trigger-wait /
     * staging / read-back can be split from compute — item 7). */
   final case class Timing(sec: Double, err: Option[String],
-      extCores: Option[Double] = None, streamExecSec: Option[Double] = None)
+      extCores: Option[Double] = None, streamExecSec: Option[Double] = None,
+      iowaitCores: Option[Double] = None) {
+    /** The seconds the headline reports: for stream queries the
+      * trigger-EXECUTION time (wall additionally carries clock-trigger
+      * waits and drop staging — r15 verdict item 5: regressions in the
+      * pipeline itself must be attributable at a glance; the wall
+      * stays in BENCH_DETAIL's stream_split/p1/p2). Guarded by > 0 so
+      * a meter that measured nothing can never report a free query. */
+    def headlineSec: Double = streamExecSec.filter(_ > 0).getOrElse(sec)
+  }
 
   /** Pass-2 re-measure cutoff: queries at or above this pass-1 cost
     * (and any that errored) get a second timing and report the min;
@@ -88,13 +100,65 @@ object Bench {
     * changed under the run, whatever the averages say. */
   val PassRatioFloor = 1.5
 
+  /** IOWAIT contention threshold (r15 verdict item 1, the detector's
+    * last blind spot): max per-query-window iowait cores over ≥
+    * [[ExtWindowMinSec]] CHOSEN windows. iowait is whole-box (it
+    * cannot be attributed to a process the way CPU can), so the floor
+    * must clear this workload's OWN disk use — shuffle spill, archive
+    * staging, stream checkpoints — which measures ≤ ~1 core on a
+    * quiet box (parquet inputs are page-cached after the warmup
+    * pass). A co-tenant thrashing the disk parks MANY cores in iowait
+    * (the r15 incident: rec_item_cosine 13.46 s vs 4.72 s clean with
+    * ≈0 external CPU — only disk pressure explains it). */
+  val IowaitWindowFloor = 6.0
+
+  /** Clean-gate cross-check (r15 verdict item 1, second prong): a ≥
+    * [[ExtWindowMinSec]] query whose chosen timing sits above this
+    * multiple of its last CLEAN-GATE record (BENCH_CLEAN.json, written
+    * by tools/ci.sh from a non-contended full run) is re-measured once
+    * more — quiet-looking windows notwithstanding, since iowait bursts
+    * between the two samples and sub-signal co-tenancy both evade the
+    * per-window brackets. The retake either clears the suspect (min
+    * wins) or confirms the slowdown attributably in the artifact. */
+  val CleanGateRatio = 2.0
+
+  /** Per-query headline seconds from the last clean `tools/ci.sh`
+    * bench (committed as BENCH_CLEAN.json) — empty when absent, so
+    * the cross-check degrades to a no-op on a fresh checkout. */
+  def loadCleanBaseline(): Map[String, Double] =
+    try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_CLEAN_BASELINE",
+        sys.props.getOrElse("user.dir", ".") + "/BENCH_CLEAN.json")
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val qs = node.get("queries")
+      if (qs == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        qs.properties.asScala.iterator
+          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Total busy CPU seconds across all cores since boot (user+nice+
     * system+irq+softirq+steal, i.e. everything but idle+iowait), from
     * /proc/stat; None off-Linux. Two samples bracketing the timed
     * section give whole-box CPU, and subtracting this process's own
     * CPU isolates EXTERNAL load — the direct, query-mix-independent
     * contention signal. */
-  def procStatBusySec(): Option[Double] =
+  def procStatBusySec(): Option[Double] = procStatField8.map { f =>
+    (f.sum - f(3) - f(4)) / 100.0 // USER_HZ=100 on every mainstream linux
+  }
+
+  /** Whole-box IOWAIT seconds since boot (field 5 of the aggregate cpu
+    * line) — cores idle ONLY because a disk read/write is outstanding.
+    * The busy signal above deliberately excludes it (an iowaiting core
+    * is not computing), which is exactly why disk-pressure co-tenancy
+    * was invisible until r16: these two samples per query window make
+    * it a fourth, ORed signal. */
+  def procStatIowaitSec(): Option[Double] = procStatField8.map(_(4) / 100.0)
+
+  private def procStatField8: Option[Array[Double]] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -103,9 +167,7 @@ object Bench {
         // steal): guest/guest_nice (fields 9-10) are ALREADY counted
         // inside user/nice by the kernel — summing them double-counts
         // VM guest time and can flip the contention flag spuriously
-        val first8 = f.take(8)
-        val idle = first8(3) + (if (first8.length > 4) first8(4) else 0.0)
-        Some((first8.sum - idle) / 100.0) // USER_HZ=100 on every mainstream linux
+        if (f.length >= 8) Some(f.take(8)) else None
       } finally src.close()
     } catch { case _: Throwable => None }
 
@@ -128,6 +190,7 @@ object Bench {
       val isStream = name.startsWith("stream_")
       if (isStream) graft.streaming.StreamMeter.reset()
       val busy0 = procStatBusySec()
+      val iow0 = procStatIowaitSec()
       val own0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val err =
@@ -139,9 +202,11 @@ object Bench {
       val ownSec = (osBean.getProcessCpuTime - own0) / 1e9
       val ext = for (b0 <- busy0; b1 <- procStatBusySec())
         yield math.max(0.0, b1 - b0 - ownSec) / math.max(wall, 1e-9)
+      val iow = for (i0 <- iow0; i1 <- procStatIowaitSec())
+        yield math.max(0.0, i1 - i0) / math.max(wall, 1e-9)
       val streamExec =
         if (isStream) Some(graft.streaming.StreamMeter.execMs / 1000.0) else None
-      name -> Timing(wall, err, ext, streamExec)
+      name -> Timing(wall, err, ext, streamExec, iow)
     }.toMap
 
   /** Drop EVERYTHING the block manager holds: the shared op caches,
@@ -213,6 +278,7 @@ object Bench {
         s""""cpu_wall_ratio":${fmt2(ratio)},""" +
         extCpuCores.map(e => s""""ext_cpu_cores":${fmt2(e)},""").getOrElse("") +
         contention.extMaxWin.map(e => s""""ext_max_win":${fmt2(e)},""").getOrElse("") +
+        contention.iowMaxWin.map(e => s""""iow_max_win":${fmt2(e)},""").getOrElse("") +
         contention.passRatio.map(r => s""""pass_ratio":${fmt2(r)},""").getOrElse("") +
         s""""contended":$contended,""" +
         s""""sf":"${jsonEscape(sfDir)}"}"""
@@ -252,7 +318,7 @@ object Bench {
     line
   }
 
-  /** The three contention signals, each None when unmeasurable —
+  /** The four contention signals, each None when unmeasurable —
     * [[flag]] ORs whichever are present (any one tripping means the
     * recorded numbers can't be trusted), falling back to the cpu/wall
     * heuristic only when /proc/stat was unreadable:
@@ -269,14 +335,20 @@ object Bench {
     *    its job, not a contaminated record; a loud window behind a
     *    RECORDED number is. Both passes' windows stay in
     *    BENCH_DETAIL (`ext1`/`ext2`) for the audit;
+    *  - `iowMaxWin`: max per-query-window IOWAIT cores over the same
+    *    chosen windows (r15 verdict item 1) — the disk-pressure signal
+    *    the CPU pair is structurally blind to, since an iowaiting core
+    *    is counted busy by neither;
     *  - `passRatio`: pass-2 / pass-1 wall — the workload's own
     *    before/after comparison, immune to sampling blind spots. */
   final case class Contention(runAvgExt: Option[Double],
-      extMaxWin: Option[Double], passRatio: Option[Double]) {
+      extMaxWin: Option[Double], passRatio: Option[Double],
+      iowMaxWin: Option[Double] = None) {
     def flag(extCpuCores: Option[Double], cpuWallRatio: Double): Boolean = {
       val signals = Seq(
         extCpuCores.orElse(runAvgExt).map(_ > ExtCpuCoresFloor),
         extMaxWin.map(_ > ExtCpuWindowFloor),
+        iowMaxWin.map(_ > IowaitWindowFloor),
         passRatio.map(_ > PassRatioFloor)).flatten
       if (signals.nonEmpty) signals.contains(true)
       else cpuWallRatio < ContendedRatioFloor
@@ -285,10 +357,18 @@ object Bench {
 
   /** Max external-cores over the per-query windows long enough to
     * trust (≥ [[ExtWindowMinSec]]), across any number of passes. */
-  def extMaxWindow(passes: Seq[Map[String, Timing]]): Option[Double] = {
+  def extMaxWindow(passes: Seq[Map[String, Timing]]): Option[Double] =
+    maxWindow(passes, _.extCores)
+
+  /** Max iowait-cores over the same trustworthy windows. */
+  def iowMaxWindow(passes: Seq[Map[String, Timing]]): Option[Double] =
+    maxWindow(passes, _.iowaitCores)
+
+  private def maxWindow(passes: Seq[Map[String, Timing]],
+      sel: Timing => Option[Double]): Option[Double] = {
     val windows = passes.flatMap(_.values)
       .filter(t => t.err.isEmpty && t.sec >= ExtWindowMinSec)
-      .flatMap(_.extCores)
+      .flatMap(sel)
     if (windows.isEmpty) None else Some(windows.max)
   }
 
@@ -303,7 +383,10 @@ object Bench {
       name -> (p2.get(name) match {
         case Some(t2) if p1(name).err.isDefined => t2 // redeemed (or still failing)
         case Some(t2) if t2.err.isDefined => t2       // freshest-run error is fatal
-        case Some(t2) => if (t2.sec < p1(name).sec) t2 else p1(name)
+        // min over the HEADLINE metric (wall; trigger-exec for
+        // stream_*), so the chosen pass is the one whose number the
+        // record actually reports
+        case Some(t2) => if (t2.headlineSec < p1(name).headlineSec) t2 else p1(name)
         case None => p1(name)
       })
     }
@@ -321,7 +404,7 @@ object Bench {
       : (Seq[(String, Double)], Seq[(String, String)]) = {
     val chosen = chosenTimings(ordered, p1, p2)
     val errors = chosen.collect { case (n, t) if t.err.isDefined => n -> t.err.get }
-    val results = chosen.collect { case (n, t) if t.err.isEmpty => n -> t.sec }
+    val results = chosen.collect { case (n, t) if t.err.isEmpty => n -> t.headlineSec }
     (results, errors)
   }
 
@@ -412,6 +495,33 @@ object Bench {
     val wallMid = System.nanoTime()
     val p2 = timedPass(spark, rerun, sfDir)
     val wallP2 = (System.nanoTime() - wallMid) / 1e9
+
+    // Clean-gate cross-check (r15 verdict item 1): a chosen timing
+    // > CleanGateRatio × its last clean-gate record is re-measured
+    // ONCE more, however quiet its windows looked — the r15 incident
+    // (rec_item_cosine 13.46 s recorded vs 4.72 s clean, ≈0 external
+    // CPU in both windows) was disk pressure the per-window brackets
+    // could not see. Capped to the worst 12 suspects so a stale
+    // baseline can never trigger a full third pass.
+    val chosen12 = chosenTimings(ordered.map(_._1), p1, p2)
+    val cleanBase = loadCleanBaseline()
+    val suspects = chosen12.collect {
+      case (n, t) if t.err.isEmpty && t.headlineSec >= ExtWindowMinSec &&
+        cleanBase.get(n).exists(b => b > 0 && t.headlineSec > CleanGateRatio * b) =>
+        (n, t.headlineSec / cleanBase(n))
+    }.sortBy(-_._2).take(12).map(_._1)
+    val p3 =
+      if (suspects.isEmpty) Map.empty[String, Timing]
+      else {
+        freeBlocks(spark)
+        timedPass(spark, ordered.filter(q => suspects.contains(q._1)), sfDir)
+      }
+    val chosen = chosenTimings(ordered.map(_._1), chosen12.toMap, p3)
+    val cleared = suspects.filter { n =>
+      chosen.toMap.get(n).exists(t =>
+        t.err.isEmpty && t.headlineSec <= CleanGateRatio * cleanBase(n))
+    }
+
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     // external load over the timed section, in cores: whole-box busy
@@ -419,11 +529,11 @@ object Bench {
     // different granularities, so tiny negatives are measurement noise)
     val extCpuCores = for (b0 <- busy0; b1 <- procStatBusySec())
       yield math.max(0.0, (b1 - b0 - cpuSec)) / math.max(wallSec, 1e-9)
-    val chosen = chosenTimings(ordered.map(_._1), p1, p2)
     val contention = Contention(
       runAvgExt = extCpuCores,
       extMaxWin = extMaxWindow(Seq(chosen.toMap)),
-      passRatio = if (wallP1 > 0 && rerun.nonEmpty) Some(wallP2 / wallP1) else None)
+      passRatio = if (wallP1 > 0 && rerun.nonEmpty) Some(wallP2 / wallP1) else None,
+      iowMaxWin = iowMaxWindow(Seq(chosen.toMap)))
 
     // Self-describing cache accounting (r7 verdict item 5): the four
     // queries sharing the build-once caches are re-probed with BOTH
@@ -460,7 +570,10 @@ object Bench {
     val pWarm = timedPass(spark,
       ordered.filter { case (n, _) => cacheCoupled.contains(n) }, sfDir)
 
-    val (results, errors) = mergePasses(ordered.map(_._1), p1, p2)
+    // final record off the three-pass chosen timings (mergePasses'
+    // rules, with the clean-gate retake folded in as the freshest pass)
+    val errors = chosen.collect { case (n, t) if t.err.isDefined => n -> t.err.get }
+    val results = chosen.collect { case (n, t) if t.err.isEmpty => n -> t.headlineSec }
     val failed = errors.map(_._1).toSet
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -496,6 +609,16 @@ object Bench {
       case (n, _) if m.get(n).exists(t => t.err.isEmpty && t.extCores.isDefined) =>
         "\"" + n + "\":" + fmt2(m(n).extCores.get)
     }.mkString("{", ",", "}")
+    // per-query IOWAIT cores per pass (r16): the disk-pressure audit
+    // trail next to the CPU one
+    val iowJson = (m: Map[String, Timing]) => ordered.collect {
+      case (n, _) if m.get(n).exists(t => t.err.isEmpty && t.iowaitCores.isDefined) =>
+        "\"" + n + "\":" + fmt2(m(n).iowaitCores.get)
+    }.mkString("{", ",", "}")
+    val cleanGateJson =
+      s"""{"baseline_n":${cleanBase.size},"ratio":$CleanGateRatio,""" +
+        s""""suspects":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""cleared":[${cleared.map("\"" + _ + "\"").mkString(",")}]}"""
     // stream_* wall vs trigger-execution, taken from the pass that
     // produced the headline time (the chosenTimings rule) — wall
     // minus exec is trigger waits + drop staging + read-back
@@ -506,8 +629,10 @@ object Bench {
           ",\"non_exec\":" + fmt2(math.max(0.0, t.sec - exec)) + "}"
     }.mkString("{", ",", "}")
     val detail = s"""{"bench_detail":1,"total_sec":$total,"queries":$qs,""" +
-      s""""p1":${passJson(p1)},"p2":${passJson(p2)},""" +
-      s""""ext1":${extJson(p1)},"ext2":${extJson(p2)},""" +
+      s""""p1":${passJson(p1)},"p2":${passJson(p2)},"p3":${passJson(p3)},""" +
+      s""""ext1":${extJson(p1)},"ext2":${extJson(p2)},"ext3":${extJson(p3)},""" +
+      s""""iow1":${iowJson(p1)},"iow2":${iowJson(p2)},"iow3":${iowJson(p3)},""" +
+      s""""clean_gate":$cleanGateJson,""" +
       s""""stream_split":$streamJson,""" +
       s""""pass2":{"threshold_sec":$Pass2ThresholdSec,"n":${rerun.size}},""" +
       s""""cache":$cacheJson,""" +
@@ -517,6 +642,7 @@ object Bench {
       f""""pass_sec":[$wallP1%.1f,$wallP2%.1f],"cpu_wall_ratio":$ratio%.2f,""" +
       extCpuCores.map(e => f""""ext_cpu_cores":$e%.2f,""").getOrElse("") +
       contention.extMaxWin.map(e => s""""ext_max_win":${fmt2(e)},""").getOrElse("") +
+      contention.iowMaxWin.map(e => s""""iow_max_win":${fmt2(e)},""").getOrElse("") +
       contention.passRatio.map(r => s""""pass_ratio":${fmt2(r)},""").getOrElse("") +
       s""""contended":${contention.flag(extCpuCores, ratio)},""" +
       s""""sf":"$sfDir"}"""

@@ -145,6 +145,46 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.extMaxWindow(Seq(bothLoud)) === Some(6.0))
   }
 
+  test("iowait window trips the flag the CPU signals are blind to (r15 item 1)") {
+    import Bench.Contention
+    // the r15 shape: rec_item_cosine 13.46 s with ~0 external CPU in
+    // both windows — only disk pressure explains it; the iowait
+    // window is the signal that finally sees it
+    val diskThrash = Contention(Some(0.3), Some(1.1), Some(0.8),
+      iowMaxWin = Some(14.0))
+    assert(diskThrash.flag(Some(0.3), 2.6), "iowait window must trip the flag")
+    // our own staging/checkpoint IO stays well under the floor
+    val selfIo = Contention(Some(0.3), Some(1.1), Some(0.8), iowMaxWin = Some(1.2))
+    assert(!selfIo.flag(Some(0.3), 2.6))
+  }
+
+  test("iowMaxWindow judges the same trustworthy windows as extMaxWindow") {
+    import Bench.Timing
+    val m = Map(
+      "short" -> Timing(0.4, None, iowaitCores = Some(30.0)), // jiffy noise
+      "boom"  -> Timing(9.0, Some("err"), iowaitCores = Some(25.0)),
+      "long"  -> Timing(3.0, None, iowaitCores = Some(7.5)))
+    assert(Bench.iowMaxWindow(Seq(m)) === Some(7.5))
+    assert(Bench.iowMaxWindow(Seq(Map("q" -> Timing(3.0, None)))) === None)
+  }
+
+  test("stream headline is trigger-exec seconds; wall stays the fallback (r15 item 5)") {
+    import Bench.Timing
+    val t = Timing(7.06, None, streamExecSec = Some(5.18))
+    assert(t.headlineSec === 5.18, "exec is the headline, not the trigger-wait wall")
+    // a meter that measured nothing can never report a free query
+    assert(Timing(7.06, None, streamExecSec = Some(0.0)).headlineSec === 7.06)
+    assert(Timing(3.0, None).headlineSec === 3.0)
+    // min-of-2 chooses by the headline metric: pass 1 has the worse
+    // wall but the better exec — it must win
+    val p1 = Map("stream_x" -> Timing(7.0, None, streamExecSec = Some(4.0)))
+    val p2 = Map("stream_x" -> Timing(6.5, None, streamExecSec = Some(6.0)))
+    val c = Bench.chosenTimings(Seq("stream_x"), p1, p2).toMap
+    assert(c("stream_x").headlineSec === 4.0)
+    val (results, _) = Bench.mergePasses(Seq("stream_x"), p1, p2)
+    assert(results === Seq("stream_x" -> 4.0))
+  }
+
   test("chosenTimings: redeem, fatal pass-2 error, min rule") {
     import Bench.Timing
     val p1 = Map(

@@ -61,3 +61,16 @@ if echo "$LINE" | grep -q '"contended":true'; then
     exit 1
   fi
 fi
+
+# Refresh the clean-gate baseline from this non-contended full run:
+# Bench's r16 cross-check re-measures any query that records >2x its
+# entry here (the r15 rec_item_cosine incident — disk-pressure
+# inflation invisible to the CPU windows). Committed with the round.
+python3 - <<'EOF'
+import json
+d = json.load(open("BENCH_DETAIL.json"))
+with open("BENCH_CLEAN.json", "w") as f:
+    json.dump({"sf": d.get("sf"), "queries": d["queries"]}, f, sort_keys=True)
+    f.write("\n")
+print(f"== BENCH_CLEAN.json refreshed ({len(d['queries'])} queries)")
+EOF
