@@ -2056,4 +2056,204 @@ object TextAnalysisOps {
        |    AS BIGINT) AS fullwidth_chars
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // text_stem: Porter stemming over the corpus vocabulary
+  // ---------------------------------------------------------------
+
+  /** Inflection-family seed for `text_stem` (the [[NfkcSeed]]
+    * deterministic-seeding stance): the synthetic corpus vocabulary is
+    * 31 uninflected words, so without seeding no stem would ever unify
+    * two surface forms and the gate would compare empty sets. The seed
+    * exercises every step of the cascade — plurals (1a), ed/ing with
+    * all three cleanups (1b), y→i (1c), the double-suffix map (2),
+    * -alize/-iciti (3), single-suffix deletion incl. ION (4), final-e
+    * and -ll (5) — appended to every `en` document identically in both
+    * engines. */
+  private val StemSeed: String =
+    "connect connected connecting connection connections " +
+      "argue argued arguing argument arguments " +
+      "hope hoping hopeful hopefulness hopping hopped " +
+      "relate relational adjust adjustable adjusted adjustment " +
+      "generalize generalization generalizations " +
+      "control controlled controlling caress caresses poni ponies " +
+      "formal formaliti formalize electrical electriciti " +
+      "valence valenci depend dependent happy happier file filing"
+
+  /** Declared query `text_stem`: Porter (1980) stemming — the
+    * standard normalization before token-level dedup / TF-IDF, where
+    * "connect", "connected", "connecting", "connection" must count as
+    * one term. The whole algorithm is a SQL rewrite cascade generated
+    * from one shared rule table ([[PorterSql]] — the `text_nfkc`
+    * replay technique scaled to a conditional rewrite system), so the
+    * DuckDB oracle recomputes the identical stems independently;
+    * PorterSpec pins every step against the paper's own example
+    * tables. Cascade runs over the DISTINCT VOCABULARY (sublinear in
+    * the corpus by Heaps' law), never the token stream; output = the
+    * stems that actually unified ≥ 2 surface forms, top 100 by token
+    * mass. Spark side enters through SQL TEXT over a dir-scoped temp
+    * view (the q6_forecast entry-path precedent). */
+  def textStem(spark: SparkSession, d: String): DataFrame = {
+    val view = "documents_stem_" + java.lang.Long.toHexString(
+      java.security.MessageDigest.getInstance("MD5").digest(
+        d.getBytes("UTF-8")).take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)))
+    Tables.documents(spark, d).createOrReplaceTempView(view)
+    val seeded = s"CASE WHEN lang = 'en' THEN text || ' $StemSeed' ELSE text END"
+    spark.sql(PorterSql.fullSql(PorterSql.SparkDia,
+      s"SELECT explode(filter(split(lower($seeded), '\\\\s+'), t -> t <> '')) AS tok " +
+        s"FROM $view"))
+  }
+
+  def textStemSql: String = {
+    val seeded = s"CASE WHEN lang = 'en' THEN text || ' $StemSeed' ELSE text END"
+    PorterSql.fullSql(PorterSql.DuckDia,
+      s"SELECT unnest(${tokensSql(seeded)}) AS tok FROM documents")
+  }
+
+  // ---------------------------------------------------------------
+  // text_url_norm: URL canonicalization + host-level aggregation
+  // ---------------------------------------------------------------
+
+  /** Tracking query parameters the canonicalizer strips — the
+    * standard CommonCrawl-curation set (campaign/click identifiers
+    * that vary per impression while pointing at the same resource). */
+  private val TrackingParamRe = "^(utm_[a-z0-9_]*|gclid|fbclid)="
+
+  /** Declared query `text_url_norm`: URL canonicalization + host-level
+    * stats — the pass every web-corpus curation pipeline runs BEFORE
+    * host aggregation and URL-level dedup (RFC 3986 §6 normalization:
+    * without it "HTTP://WWW.Site.org:80/a?utm_source=x&id=1#top" and
+    * "http://site.org/a?id=1" count as different pages). The tables
+    * carry no URL column, so each document deterministically derives
+    * TWO messy variants of the same logical URL (case-mangled scheme/
+    * host, www. prefix, explicit default ports — with a NON-default
+    * :8080 that must survive — tracking params, shuffled param order,
+    * trailing slash, fragment; both engines build the identical
+    * strings, the src_csv_corrupt planted-input precedent). The
+    * OPERATOR is the canonicalizer, a pure codegen'd expression chain
+    * over the url string alone: drop fragment, lowercase scheme +
+    * authority, strip leading www., strip scheme-default port only,
+    * strip trailing path slash (empty path → "/"), drop
+    * [[TrackingParamRe]] params, SORT surviving params. Output per
+    * canonical host: url count, distinct canonical URLs (the dedup
+    * win: 2 variants collapse to 1), tracking-tainted count, lex-min
+    * example. Map-side compute; the only shuffle is the |hosts|-keyed
+    * aggregate — at 100 TB this is one pass over the scan. */
+  def urlNorm(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array(lit(0L), lit(1L))).as("v"))
+    // --- messy construction (mirrored literally in the oracle) ---
+    val scheme0 = when(col("doc_id") % 2 === 0, "http").otherwise("https")
+    val scheme = when((col("doc_id") + col("v")) % 3 === 0, upper(scheme0))
+      .otherwise(scheme0)
+    val hostCore = concat(col("source"), lit(".example.org"))
+    val host0 = when((col("doc_id") + col("v")) % 2 === 0,
+      concat(lit("WWW."), hostCore)).otherwise(hostCore)
+    val host = when(col("doc_id") % 3 === 0, upper(host0)).otherwise(host0)
+    val defPort = when(col("doc_id") % 2 === 0, ":80").otherwise(":443")
+    val port = when((col("doc_id") + col("v")) % 5 === 0, defPort)
+      .otherwise(when(col("doc_id") % 11 === 0, ":8080").otherwise(""))
+    val path = concat(lit("/a/"), (col("doc_id") % 97).cast("string"),
+      when(col("v") === 1, "/").otherwise(""))
+    val utm = when(col("doc_id") % 4 === 0, "&utm_campaign=x").otherwise("")
+    val idp = concat(lit("id="), (col("doc_id") % 50).cast("string"))
+    val qry = when(col("v") === 0,
+        concat(lit("?"), idp, lit("&lang="), col("lang"), utm))
+      .otherwise(concat(lit("?lang="), col("lang"),
+        lit("&utm_source=news&"), idp, utm))
+    val frag = when((col("doc_id") + col("v")) % 7 === 0, "#top").otherwise("")
+    val urls = base.select(
+      concat(scheme, lit("://"), host, port, path, qry, frag).as("url"))
+    // --- the canonicalizer (operates on the url string alone) ---
+    val noFrag = regexp_extract(col("url"), "^([^#]*)", 1)
+    val schemeC = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val hostC = when(schemeC === "http", regexp_replace(auth, ":80$", ""))
+      .when(schemeC === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val pathRaw = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathTrim = regexp_replace(pathRaw, "/+$", "")
+    val pathC = when(pathTrim === "", "/").otherwise(pathTrim)
+    val qKept = array_sort(filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val qC = array_join(qKept, "&")
+    val canon = concat(schemeC, lit("://"), hostC, pathC,
+      when(qC === "", "").otherwise(concat(lit("?"), qC)))
+    urls.select(col("url"), hostC.as("host"), canon.as("canonical_url"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical_url")).as("n_canonical"),
+        sum(when(col("url").rlike("[?&](utm_[a-z0-9_]*|gclid|fbclid)="), 1L)
+          .otherwise(0L)).as("n_tracking"),
+        min(col("canonical_url")).as("example_url"))
+      .orderBy("host")
+  }
+
+  def urlNormSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, t.v
+       |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v) t),
+       |messy AS (
+       |  SELECT
+       |    (CASE WHEN (doc_id + v) % 3 = 0
+       |       THEN upper(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+       |       ELSE CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END END)
+       |    || '://' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |       THEN upper(CASE WHEN (doc_id + v) % 2 = 0
+       |              THEN 'WWW.' || source || '.example.org'
+       |              ELSE source || '.example.org' END)
+       |       ELSE CASE WHEN (doc_id + v) % 2 = 0
+       |              THEN 'WWW.' || source || '.example.org'
+       |              ELSE source || '.example.org' END END)
+       |    || (CASE WHEN (doc_id + v) % 5 = 0
+       |          THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+       |          ELSE CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END END)
+       |    || '/a/' || CAST(doc_id % 97 AS VARCHAR)
+       |    || (CASE WHEN v = 1 THEN '/' ELSE '' END)
+       |    || (CASE WHEN v = 0
+       |          THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&lang=' || lang
+       |          ELSE '?lang=' || lang || '&utm_source=news&id='
+       |               || CAST(doc_id % 50 AS VARCHAR) END)
+       |    || (CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END)
+       |    || (CASE WHEN (doc_id + v) % 7 = 0 THEN '#top' ELSE '' END) AS url
+       |  FROM base),
+       |parts AS (
+       |  SELECT url, regexp_extract(url, '^([^#]*)', 1) AS nofrag FROM messy),
+       |canon AS (
+       |  SELECT url,
+       |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(
+       |      lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+       |      '^www\\.', '') AS auth,
+       |    regexp_replace(
+       |      regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |      '/+$$', '') AS path_trim,
+       |    array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$TrackingParamRe'))), '&') AS q
+       |  FROM parts),
+       |c2 AS (
+       |  SELECT url,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |         ELSE auth END AS host,
+       |    scheme, path_trim, q FROM canon),
+       |c3 AS (
+       |  SELECT url, host,
+       |    scheme || '://' || host
+       |      || (CASE WHEN path_trim = '' THEN '/' ELSE path_trim END)
+       |      || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+       |  FROM c2)
+       |SELECT host, COUNT(*) AS n_urls,
+       |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       |  CAST(SUM(CASE WHEN regexp_matches(url,
+       |    '[?&](utm_[a-z0-9_]*|gclid|fbclid)=') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tracking,
+       |  min(canonical_url) AS example_url
+       |FROM c3 GROUP BY host ORDER BY host""".stripMargin
 }
