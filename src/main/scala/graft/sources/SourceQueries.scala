@@ -337,6 +337,89 @@ object SourceQueries {
       .toDF("value")
   }
 
+  /** Declared query `src_sequencefile`: the fingerprint over Hadoop
+    * SequenceFile round trips — the canonical container of the
+    * reference's own lineage (the framework pipes the line format
+    * Hadoop-Streaming used BEFORE SequenceFile replaced it for
+    * intermediate data; `/root/reference/mapreduce/worker/__main__.py:140`),
+    * closing the ecosystem loop. One query covers BOTH on-disk
+    * layouts: `plain` (uncompressed) and `record_zlib`
+    * (RECORD-compressed with DefaultCodec — pure-java zlib, so unlike
+    * zstd it needs no native libhadoop). Records are (Text key =
+    * doc_id, Text value = the row as Spark JSON), written through
+    * `saveAsSequenceFile` and read back via `sc.sequenceFile[String,
+    * String]` (the Writable converters copy each reused Text — the
+    * classic mutable-Writable trap never reaches the caller).
+    *
+    * Scale stance: SequenceFile is SPLITTABLE in every layout — sync
+    * markers every few KB let a reader start mid-file, which is
+    * precisely why Hadoop replaced gzipped text with it; a single
+    * multi-TB member still fans out. Per-partition staging here, so
+    * parallelism holds either way. */
+  private[sources] def writeSeq(compress: Boolean)(df: DataFrame, out: String): Unit = {
+    import org.apache.hadoop.io.Text
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val rdd = df.select(col("doc_id").cast("string"),
+        to_json(struct(df.columns.map(col): _*)))
+      .as[(String, String)].rdd
+      .map { case (k, v) => (new Text(k), new Text(v)) }
+    // saveAsSequenceFile(path, Some(codec)) would hardcode BLOCK
+    // compression; RECORD (one deflate stream per value — the layout
+    // under test) needs the explicit JobConf route
+    val conf = new org.apache.hadoop.mapred.JobConf(
+      spark0.sparkContext.hadoopConfiguration)
+    if (compress) {
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.type", "RECORD")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec",
+        classOf[org.apache.hadoop.io.compress.DefaultCodec].getName)
+    }
+    rdd.saveAsHadoopFile(s"$out/data", classOf[Text], classOf[Text],
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Text, Text]],
+      conf)
+  }
+
+  private[sources] def readSeq(spark: SparkSession, dir: String,
+      layout: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](s"$dir/data")
+      .toDF("k", "value")
+      .select(lit(layout).as("layout"),
+        from_json(col("value"), docSchema).as("r"))
+      .select(col("layout"), col("r.doc_id").as("doc_id"),
+        col("r.text").as("text"), col("r.lang").as("lang"),
+        col("r.source").as("source"), col("r.n_chars").as("n_chars"))
+  }
+
+  def sequenceFileDocStats(spark: SparkSession, d: String): DataFrame = {
+    val dirPlain = stage(spark, d, "seqplain")(writeSeq(compress = false))
+    val dirZlib = stage(spark, d, "seqzlib")(writeSeq(compress = true))
+    val both = readSeq(spark, dirPlain, "plain")
+      .unionAll(readSeq(spark, dirZlib, "record_zlib"))
+    both.groupBy(col("layout"), col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_chars"))
+      .orderBy("layout", "lang", "source")
+  }
+
+  /** Oracle: the identical aggregate off raw parquet, one copy per
+    * layout label — equality proves BOTH SequenceFile layouts
+    * round-tripped every column. */
+  def sequenceFileDocStatsSql: String =
+    """SELECT t.layout, lang, source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents
+      |CROSS JOIN (SELECT unnest(['plain', 'record_zlib']) AS layout) t
+      |GROUP BY t.layout, lang, source ORDER BY t.layout, lang, source""".stripMargin
+
   /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
     * round trip (quoted embedded newlines/quotes/commas in `text`). */
   def csvDocStats(spark: SparkSession, d: String): DataFrame = {

@@ -41,6 +41,42 @@ class FormatsSpec extends AnyFunSuite {
     assert(msgs.contains("overflow"), msgs.take(500))
   }
 
+  test("SequenceFile round-trip preserves documents; record compression is real zlib") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en", "src1", 10L),
+      (2L, "tabs\tand\nnewlines", "de", "src2", 17L),
+      (3L, "", "fr", "src3", 0L), // empty text
+      (4L, "unicode: café 中文", "zh", "src4", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val want = docs.select(lit("x").as("layout"), col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    for (compress <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"graft-seq-$compress").toString
+      SourceQueries.writeSeq(compress)(docs, dir)
+      val back = SourceQueries.readSeq(spark, dir, "x")
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        s"compress=$compress")
+      // prove the on-disk layout, not just the read-back: header says
+      // RECORD-compressed DefaultCodec (pure-java zlib) when asked,
+      // uncompressed otherwise — and never BLOCK
+      val part = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val conf = spark.sparkContext.hadoopConfiguration
+      val reader = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+        org.apache.hadoop.io.SequenceFile.Reader.file(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath)))
+      try {
+        assert(reader.isCompressed === compress)
+        assert(!reader.isBlockCompressed)
+        if (compress)
+          assert(reader.getCompressionCodec.getClass.getSimpleName === "DefaultCodec")
+        assert(reader.getKeyClassName.endsWith("Text")
+          && reader.getValueClassName.endsWith("Text"))
+      } finally reader.close()
+    }
+  }
+
   test("XML round-trip preserves documents incl. entities, quotes, and newlines") {
     import spark.implicits._
     val docs = Seq(
