@@ -720,4 +720,128 @@ object DedupOps {
        |  ${cosine9Sql("a.v", "b.v")} AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY cos_sim DESC, v1, v2 LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_substring: exact substring dedup (Lee et al. 2022 style)
+  // ---------------------------------------------------------------
+
+  /** Minimum duplicated run, in tokens: a substring must repeat at
+    * least this many tokens (anywhere in the corpus) to count. Lee et
+    * al. use 50 BPE tokens at web scale; 8 fits the synthetic docs
+    * (10-99 tokens) while exercising the same machinery. */
+  private val SubK = 8
+
+  /** Declared query `dedup_substring`: EXACT substring deduplication
+    * in the style of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") — find every maximal token run of
+    * length ≥ [[SubK]] that occurs more than once anywhere in the
+    * corpus, and emit a per-document removal manifest. Where
+    * `dedup_span` ([[CurationOps.dedupSpan]]) hashes NON-overlapping
+    * fixed windows (C4's recipe — a duplicate straddling a window
+    * boundary is missed), this hashes the k-gram at EVERY token
+    * position, so runs of unbounded length are recovered exactly:
+    * consecutive duplicated positions chain, and a repeated
+    * 500-token passage reports as one 500-token run.
+    *
+    * NOT a suffix array: Lee et al. build one giant suffix array,
+    * which is the single-machine formulation. The distributed
+    * equivalent here is hashed shingle buckets — one row per token
+    * position carrying a 60-bit hash (the shuffle is hash-only,
+    * linear in corpus tokens, same family as dedup_span), a
+    * duplicate-bucket aggregate, and a per-document window pass that
+    * merges surviving positions into maximal runs (positions ≤ K
+    * apart cover contiguous tokens, so their intervals union). The
+    * per-doc window state is bounded by the doc's own duplicated
+    * positions. Output per document: duplicated-gram positions,
+    * merged runs, exact duplicated-token coverage (interval union,
+    * never double-counted), the longest run, and the removal
+    * fraction. */
+  def dedupSubstring(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tokens"))
+      .localCheckpoint(false) // tokenize once: grams + per-doc totals share it
+    // one row per token position: (doc, position, 60-bit gram hash)
+    val grams = toks
+      .select(col("doc_id"), col("tk"),
+        when(size(col("tk")) >= SubK,
+          sequence(lit(0L), (size(col("tk")) - SubK).cast("long")))
+          .otherwise(array().cast("array<bigint>")).as("ps"))
+      .select(col("doc_id"), col("tk"), explode_outer(col("ps")).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("doc_id"), col("p"),
+        xhash60(concat_ws(" ",
+          slice(col("tk"), (col("p") + 1).cast("int"), lit(SubK))), 37).as("gh"))
+      .localCheckpoint(false) // gram hashes feed the dup aggregate AND the join back
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("gh"))
+    val marked = grams.join(dup, Seq("gh"), "left_semi")
+    // merge marked positions into maximal covered runs: two K-token
+    // intervals [p, p+K-1] union iff the next start is ≤ p + K
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = marked
+      .withColumn("new_run",
+        when(col("p") - lag(col("p"), 1).over(wDoc) <= SubK, 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        (max(col("p")) - min(col("p")) + SubK).as("run_len"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_dup_grams"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("dup_tokens"),
+        max(col("run_len")).as("longest_run"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 9).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstringSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, p, ${xhash60Sql(
+             s"array_to_string(tk[(p + 1):(p + $SubK)], ' ')", 37)} AS gh
+       |  FROM (
+       |    SELECT doc_id, tk, unnest(range(len(tk) - $SubK + 1)) AS p
+       |    FROM toks WHERE len(tk) >= $SubK)),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+       |marked AS (SELECT g.doc_id, g.p FROM grams g
+       |           WHERE g.gh IN (SELECT gh FROM dup)),
+       |flagged AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $SubK
+       |         THEN 0 ELSE 1 END AS new_run
+       |  FROM marked),
+       |runident AS (
+       |  SELECT doc_id, p,
+       |    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM flagged),
+       |runs AS (
+       |  SELECT doc_id, run_id, count(*) AS n_pos,
+       |    max(p) - min(p) + $SubK AS run_len
+       |  FROM runident GROUP BY doc_id, run_id),
+       |per_doc AS (
+       |  SELECT doc_id, SUM(n_pos) AS n_dup_grams, count(*) AS n_runs,
+       |    SUM(run_len) AS dup_tokens, MAX(run_len) AS longest_run
+       |  FROM runs GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.tk) AS n_tokens,
+       |  CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+       |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(p.longest_run, 0) AS BIGINT) AS longest_run,
+       |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.tk), 9)
+       |    AS dup_frac
+       |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

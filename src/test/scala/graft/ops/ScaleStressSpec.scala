@@ -288,7 +288,19 @@ class ScaleStressSpec extends AnyFunSuite {
       // archive bytes, never a re-stage per timed run.
       ("text_nfkc", d => { TextAnalysisOps.nfkcFold(spark, d).count(); () }),
       ("mm_mp4_frag", d => { graft.multimodal.MultimodalOps.mmMp4Frag(spark, d).count(); () }),
-      ("src_jsonl_zst", d => { graft.sources.SourceQueries.jsonlZstDocStats(spark, d).count(); () }))
+      ("src_jsonl_zst", d => { graft.sources.SourceQueries.jsonlZstDocStats(spark, d).count(); () }),
+      // r16 additions. substring dedup: one hash row per token
+      // position (linear in corpus tokens), a duplicate-bucket
+      // aggregate, and per-doc windows over ONLY marked positions —
+      // the salted near-dup copies multiply duplicated positions ~×8,
+      // never pairwise (a suffix-array-style global sort would also
+      // trip the budget). stem: the cascade runs on the DISTINCT
+      // vocabulary, which the salted corpus barely grows — ×8 tokens
+      // must cost ~one extra tokenize pass, nowhere near ×8 rewrite
+      // work. url_norm: pure map pass + |hosts|-keyed aggregate.
+      ("dedup_substring", d => { DedupOps.dedupSubstring(spark, d).count(); () }),
+      ("text_stem", d => { TextAnalysisOps.textStem(spark, d).count(); () }),
+      ("text_url_norm", d => { TextAnalysisOps.urlNorm(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
