@@ -337,6 +337,52 @@ object SourceQueries {
       .toDF("value")
   }
 
+  /** Declared query `src_pdf`: the fingerprint over a PDF round trip
+    * through the from-scratch [[PdfCodec]] (r15 verdict missing #1 —
+    * the most common document format in real LLM corpora the source
+    * family didn't cover). Staging writes one multi-page PDF per
+    * input partition (page k = document k: text in a FlateDecode'd
+    * content stream shown through WinAnsi literals and Identity-H
+    * UTF-16BE hex strings, the other columns as /Graft* page keys);
+    * the read walks startxref → xref → pages tree and runs the
+    * content-stream text interpreter on every page. The fingerprint
+    * aggregate proves EXACT text recovery — any lost escape, broken
+    * font switch, or mis-joined line breaks the hash.
+    *
+    * Scale stance: a PDF is read TAIL-FIRST (startxref at EOF), so a
+    * file is the split unit, exactly like ZIP and unlike tar — and
+    * real corpora arrive as millions of one-document PDFs, so
+    * parallelism is file-count parallelism; the per-partition staging
+    * here sizes multi-page files to the partition budget instead. */
+  def pdfDocStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = stage(spark, d, "pdf") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+        .mapPartitions { rows =>
+          val docs = rows.map { case (id, t, l, s, n) =>
+            PdfCodec.PdfDoc(id, t, l, s, n)
+          }.toSeq
+          if (docs.isEmpty) Iterator.empty[String]
+          else {
+            val p = commitPartFile(out, ".pdf")(tmp =>
+              java.nio.file.Files.write(tmp, PdfCodec.encode(docs)))
+            Iterator(p.toString)
+          }
+        }.collect()
+      ()
+    }
+    val rows = spark.read.format("binaryFile").load(s"$dir/*.pdf")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => PdfCodec.decode(b).map(p =>
+        (p.docId, p.text, p.lang, p.source, p.nChars)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docStats(rows)
+  }
+
   /** Declared query `src_sequencefile`: the fingerprint over Hadoop
     * SequenceFile round trips — the canonical container of the
     * reference's own lineage (the framework pipes the line format
