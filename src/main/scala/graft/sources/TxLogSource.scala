@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared query `src_txlog`: a Delta-Lake-protocol-style
+  * TRANSACTION-LOG table built and read from scratch — the lakehouse
+  * mechanism an incremental training-data pipeline actually needs for
+  * atomic ingest: readers see a SNAPSHOT (a set of parquet files
+  * named by a log), never a half-written directory listing, and old
+  * versions stay readable (time travel) until vacuumed.
+  *
+  * The protocol, as the public Delta spec defines it (and as
+  * implemented here without any Delta library): a `_txlog/` directory
+  * of zero-padded commit files `00000000000000000000.json`, each a
+  * JSON-lines list of actions — `{"add": {"path": …, "numRecords"}}`
+  * and `{"remove": {"path": …}}`. A snapshot at version V = replay
+  * commits 0..V in order, adding and removing paths; the live set is
+  * read as plain parquet. Commits become visible ATOMICALLY via the
+  * same dot-prefix + rename pattern as [[SourceQueries.commitPartFile]]
+  * — a reader never observes a partially written commit, which is the
+  * entire ACID story on an object store with atomic rename.
+  *
+  * The staged history exercises all three commit shapes:
+  *   v0  initial load   — docs with doc_id % 10 ≤ 5 (two add files);
+  *   v1  append         — docs with doc_id % 10 ≥ 6 (one add file);
+  *   v2  rewrite+delete — v0's files REMOVED and replaced by one
+  *       compacted file that drops doc_id % 10 == 3 (a DELETE
+  *       expressed as copy-on-write rewrite, exactly how Delta/
+  *       Iceberg execute row deletes without mutating files).
+  *
+  * The declared result reads ALL THREE versions through the log
+  * replay and fingerprints each — time travel under the hash gate.
+  * The oracle recomputes every version's membership from the raw
+  * table via the staging predicates (pure arithmetic, so DuckDB
+  * agrees bit-for-bit only if the log replay selected exactly the
+  * right files).
+  *
+  * Scale stance: a snapshot read lists the LOG, not the data
+  * directory — O(commits) driver work plus a parquet scan of only
+  * live files (at real scale the spec adds parquet checkpoints of
+  * the log every N commits; out of scope here and stated). Removed
+  * files stay on disk for time travel until a vacuum horizon — the
+  * v2 read proves they are invisible to the newest snapshot while
+  * v0/v1 reads still see them. */
+object TxLogSource {
+
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
+
+  private def jesc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Atomically publish one commit: write dot-prefixed, rename into
+    * the zero-padded slot (the Delta naming convention). */
+  private def writeCommit(logDir: java.nio.file.Path, version: Long,
+      actions: Seq[String]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(logDir, ".tmp-commit-", ".json")
+    java.nio.file.Files.write(tmp,
+      (actions.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, logDir.resolve(f"$version%020d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` as parquet under `table/data-<tag>/` and return the
+    * written part-file paths relative to the table root. */
+  private def writeGroup(df: DataFrame, table: String, tag: String): Seq[String] = {
+    val dir = s"$table/data-$tag"
+    df.write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"data-$tag/${f.getName}").sorted.toSeq
+  }
+
+  /** Stage the 3-version history once per (session, sf dir). */
+  private def stageTable(spark: SparkSession, d: String): String =
+    staged.computeIfAbsent((System.identityHashCode(spark), d), _ => {
+      val table = java.nio.file.Files.createTempDirectory("graft-txlog").toString
+      val logDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(table, "_txlog"))
+      val docs = graft.Tables.documents(spark, d)
+      def add(paths: Seq[String]) =
+        paths.map(p => s"""{"add":{"path":"${jesc(p)}"}}""")
+      def remove(paths: Seq[String]) =
+        paths.map(p => s"""{"remove":{"path":"${jesc(p)}"}}""")
+      // v0: initial load, two files so the v2 remove is a real multi-file set
+      val g0a = writeGroup(docs.where(col("doc_id") % 10 <= 2), table, "v0a")
+      val g0b = writeGroup(docs.where(col("doc_id") % 10 > 2 && col("doc_id") % 10 <= 5),
+        table, "v0b")
+      writeCommit(logDir, 0L, add(g0a ++ g0b))
+      // v1: append
+      val g1 = writeGroup(docs.where(col("doc_id") % 10 >= 6), table, "v1")
+      writeCommit(logDir, 1L, add(g1))
+      // v2: copy-on-write delete of doc_id % 10 == 3 (rewrites v0's files)
+      val g2 = writeGroup(docs.where(col("doc_id") % 10 <= 5 && col("doc_id") % 10 =!= 3),
+        table, "v2")
+      writeCommit(logDir, 2L, remove(g0a ++ g0b) ++ add(g2))
+      table
+    })
+
+  /** Replay the log to version `v` and return the live file set —
+    * O(commits) driver work on the tiny log, never a data listing. */
+  private[sources] def liveFiles(table: String, v: Long): Seq[String] = {
+    val logDir = java.nio.file.Paths.get(table, "_txlog")
+    // ONLY canonical 20-digit commit names: an in-flight dot-prefixed
+    // temp commit (or any stray file) must be invisible, not a crash
+    val commits = new java.io.File(logDir.toString).listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map(f => f.getName.stripSuffix(".json").toLong -> f)
+      .filter(_._1 <= v).sortBy(_._1)
+    require(commits.nonEmpty, s"txlog: no commits at or below version $v")
+    require(commits.map(_._1).toSeq == (0L to commits.last._1),
+      s"txlog: commit sequence has gaps — refusing a torn snapshot")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    commits.foreach { case (_, f) =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty).foreach { line =>
+        val addIdx = line.indexOf("\"add\"")
+        val remIdx = line.indexOf("\"remove\"")
+        val path = {
+          val k = line.indexOf("\"path\":\"")
+          require(k >= 0, s"txlog: action without path in ${f.getName}: $line")
+          val start = k + 8
+          val sb = new StringBuilder
+          var i = start
+          while (line.charAt(i) != '"') {
+            if (line.charAt(i) == '\\') { sb.append(line.charAt(i + 1)); i += 2 }
+            else { sb.append(line.charAt(i)); i += 1 }
+          }
+          sb.toString
+        }
+        if (addIdx >= 0 && (remIdx < 0 || addIdx < remIdx)) {
+          require(live.add(path), s"txlog: duplicate add of $path")
+        } else {
+          require(live.remove(path), s"txlog: remove of unknown file $path")
+        }
+      }
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read at version `v`: log replay → plain parquet scan of
+    * exactly the live files. */
+  private[sources] def readSnapshot(spark: SparkSession, table: String,
+      v: Long): DataFrame = {
+    val files = liveFiles(table, v).map(p => s"$table/$p")
+    spark.read.parquet(files: _*)
+  }
+
+  /** The declared query: fingerprint every version of the history —
+    * time travel itself under the hash gate. */
+  def txlogDocStats(spark: SparkSession, d: String): DataFrame = {
+    val table = stageTable(spark, d)
+    (0L to 2L).map { v =>
+      readSnapshot(spark, table, v)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("n_distinct"),
+          col("sum_doc_id"), col("sum_n_chars"), col("sum_text_chars"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** Oracle: each version's membership from the staging predicates —
+    * v0: doc_id%10 ≤ 5; v1: all; v2: all except doc_id%10 == 3. */
+  def txlogDocStatsSql: String =
+    """SELECT v.version, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents
+      |CROSS JOIN (SELECT unnest([0, 1, 2]) AS version) v
+      |WHERE (v.version = 0 AND doc_id % 10 <= 5)
+      |   OR (v.version = 1)
+      |   OR (v.version = 2 AND doc_id % 10 <> 3)
+      |GROUP BY v.version ORDER BY v.version""".stripMargin
+
+  /** Drop staged tables (mirrors [[SourceQueries.evictStaged]]). */
+  def evictStaged(): Unit = {
+    staged.values().forEach(t => graft.ops.OpsUtil.deleteRecursively(t))
+    staged.clear()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => evictStaged()))
+  }
+}

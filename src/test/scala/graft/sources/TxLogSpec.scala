@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Transaction-log table semantics: snapshot isolation, atomic commit
+  * visibility, and loud failure on a torn or inconsistent log. */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** A tiny hand-built table: v0 adds two files, v1 removes one and
+    * adds another — enough to exercise every replay rule. */
+  private def buildTable(): String = {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-txlog-spec").toString
+    val logDir = Files.createDirectory(Paths.get(table, "_txlog"))
+    def writeFile(tag: String, ids: Seq[Long]): String = {
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$table/d-$tag")
+      val part = new java.io.File(s"$table/d-$tag").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getName
+      s"d-$tag/$part"
+    }
+    val f0 = writeFile("a", Seq(1L, 2L))
+    val f1 = writeFile("b", Seq(3L, 4L))
+    val f2 = writeFile("c", Seq(5L))
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      s"""{"add":{"path":"$f0"}}\n{"add":{"path":"$f1"}}\n""".getBytes("UTF-8"))
+    Files.write(logDir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"$f0"}}\n{"add":{"path":"$f2"}}\n""".getBytes("UTF-8"))
+    table
+  }
+
+  private def ids(table: String, v: Long): Set[Long] =
+    TxLogSource.readSnapshot(spark, table, v)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("snapshot isolation: each version sees exactly its own file set") {
+    val t = buildTable()
+    assert(ids(t, 0L) === Set(1L, 2L, 3L, 4L))
+    assert(ids(t, 1L) === Set(3L, 4L, 5L)) // f0 removed, f2 added
+    // time travel: the removed file's rows are still readable at v0
+    assert(ids(t, 0L).contains(1L))
+  }
+
+  test("an in-flight temp commit is invisible, not a crash or a torn read") {
+    val t = buildTable()
+    // a writer mid-commit: dot-prefixed temp file in the log dir
+    Files.write(Paths.get(t, "_txlog", ".tmp-commit-xyz.json"),
+      """{"add":{"path":"d-a/garbage.parquet"}}""".getBytes("UTF-8"))
+    assert(ids(t, 1L) === Set(3L, 4L, 5L), "pending commit must be ignored")
+  }
+
+  test("a gap in the commit sequence fails loudly (torn snapshot)") {
+    val t = buildTable()
+    Files.delete(Paths.get(t, "_txlog", f"${0L}%020d.json"))
+    val e = intercept[IllegalArgumentException] { TxLogSource.liveFiles(t, 1L) }
+    assert(e.getMessage.contains("gap"), e.getMessage)
+  }
+
+  test("removing an unknown file or re-adding a live one fails loudly") {
+    val t = buildTable()
+    Files.write(Paths.get(t, "_txlog", f"${2L}%020d.json"),
+      """{"remove":{"path":"d-z/never-added.parquet"}}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { TxLogSource.liveFiles(t, 2L) }
+    assert(e.getMessage.contains("unknown"), e.getMessage)
+    Files.write(Paths.get(t, "_txlog", f"${2L}%020d.json"),
+      """{"add":{"path":"d-b/REPLACE.parquet"}}""".getBytes("UTF-8"))
+    // make it a duplicate of a live path
+    val live = TxLogSource.liveFiles(t, 1L)
+    Files.write(Paths.get(t, "_txlog", f"${2L}%020d.json"),
+      s"""{"add":{"path":"${live.head}"}}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] { TxLogSource.liveFiles(t, 2L) }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+}
