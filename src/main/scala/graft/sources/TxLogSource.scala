@@ -63,14 +63,26 @@ object TxLogSource {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Write `df` as parquet under `table/data-<tag>/` and return the
-    * written part-file paths relative to the table root. */
-  private def writeGroup(df: DataFrame, table: String, tag: String): Seq[String] = {
+  /** Write `df` as parquet under `table/data-<tag>/` — range-
+    * partitioned on doc_id into a few files so per-file stats are
+    * selective — and return (relative path, min doc_id, max doc_id)
+    * per written file. The stats ride in the commit's add actions
+    * (the Delta/Iceberg file-statistics idea), collected here with
+    * one grouped scan per commit; at real scale the WRITER reports
+    * them from its own footer, stats never cost a second read. */
+  private def writeGroup(df: DataFrame, table: String, tag: String)
+      : Seq[(String, Long, Long)] = {
     val dir = s"$table/data-$tag"
-    df.write.mode("overwrite").parquet(dir)
-    new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"data-$tag/${f.getName}").sorted.toSeq
+    df.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect() // bounded: one row per written file of one commit
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        (s"data-$tag/$name", r.getLong(1), r.getLong(2))
+      }.sortBy(_._1).toSeq
   }
 
   /** Stage the 3-version history once per (session, sf dir). */
@@ -80,10 +92,12 @@ object TxLogSource {
       val logDir = java.nio.file.Files.createDirectory(
         java.nio.file.Paths.get(table, "_txlog"))
       val docs = graft.Tables.documents(spark, d)
-      def add(paths: Seq[String]) =
-        paths.map(p => s"""{"add":{"path":"${jesc(p)}"}}""")
-      def remove(paths: Seq[String]) =
-        paths.map(p => s"""{"remove":{"path":"${jesc(p)}"}}""")
+      def add(files: Seq[(String, Long, Long)]) =
+        files.map { case (p, lo, hi) =>
+          s"""{"add":{"path":"${jesc(p)}","minId":$lo,"maxId":$hi}}"""
+        }
+      def remove(files: Seq[(String, Long, Long)]) =
+        files.map { case (p, _, _) => s"""{"remove":{"path":"${jesc(p)}"}}""" }
       // v0: initial load, two files so the v2 remove is a real multi-file set
       val g0a = writeGroup(docs.where(col("doc_id") % 10 <= 2), table, "v0a")
       val g0b = writeGroup(docs.where(col("doc_id") % 10 > 2 && col("doc_id") % 10 <= 5),
@@ -100,8 +114,16 @@ object TxLogSource {
     })
 
   /** Replay the log to version `v` and return the live file set —
-    * O(commits) driver work on the tiny log, never a data listing. */
-  private[sources] def liveFiles(table: String, v: Long): Seq[String] = {
+    * O(commits) driver work on the tiny log, never a data listing.
+    * Files added without stats carry the full range (never prunable,
+    * always correct). */
+  private[sources] def liveFiles(table: String, v: Long): Seq[String] =
+    liveFilesWithStats(table, v).map(_._1)
+
+  private val StatRe = """"(minId|maxId)":(-?\d+)""".r
+
+  private[sources] def liveFilesWithStats(table: String, v: Long)
+      : Seq[(String, Long, Long)] = {
     val logDir = java.nio.file.Paths.get(table, "_txlog")
     // ONLY canonical 20-digit commit names: an in-flight dot-prefixed
     // temp commit (or any stray file) must be invisible, not a crash
@@ -112,7 +134,7 @@ object TxLogSource {
     require(commits.nonEmpty, s"txlog: no commits at or below version $v")
     require(commits.map(_._1).toSeq == (0L to commits.last._1),
       s"txlog: commit sequence has gaps — refusing a torn snapshot")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     commits.foreach { case (_, f) =>
       scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty).foreach { line =>
         val addIdx = line.indexOf("\"add\"")
@@ -130,13 +152,18 @@ object TxLogSource {
           sb.toString
         }
         if (addIdx >= 0 && (remIdx < 0 || addIdx < remIdx)) {
-          require(live.add(path), s"txlog: duplicate add of $path")
+          val stats = StatRe.findAllMatchIn(line)
+            .map(m => m.group(1) -> m.group(2).toLong).toMap
+          require(!live.contains(path), s"txlog: duplicate add of $path")
+          live(path) = (stats.getOrElse("minId", Long.MinValue),
+            stats.getOrElse("maxId", Long.MaxValue))
         } else {
-          require(live.remove(path), s"txlog: remove of unknown file $path")
+          require(live.remove(path).isDefined,
+            s"txlog: remove of unknown file $path")
         }
       }
     }
-    live.toSeq
+    live.toSeq.map { case (p, (lo, hi)) => (p, lo, hi) }
   }
 
   /** Snapshot read at version `v`: log replay → plain parquet scan of
@@ -145,6 +172,29 @@ object TxLogSource {
       v: Long): DataFrame = {
     val files = liveFiles(table, v).map(p => s"$table/$p")
     spark.read.parquet(files: _*)
+  }
+
+  /** Data skipping off the commit statistics (the Iceberg/Delta
+    * manifest-pruning idea): files whose [minId, maxId] misses the
+    * requested doc_id range are never opened — the planner's file
+    * list itself shrinks, which at 100 TB is the difference between
+    * scanning one shard and the whole table. Correctness does not
+    * depend on the stats (a stats-less file keeps the full range and
+    * is always read). */
+  private[sources] def prunedFiles(table: String, v: Long,
+      lo: Long, hi: Long): Seq[String] =
+    liveFilesWithStats(table, v)
+      .filter { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
+      .map(_._1)
+
+  private[sources] def readSnapshotPruned(spark: SparkSession, table: String,
+      v: Long, lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(table, v, lo, hi).map(p => s"$table/$p")
+    require(files.nonEmpty, s"txlog: no files overlap [$lo, $hi] at v$v")
+    // the residual predicate still applies: stats prune FILES, the
+    // filter prunes rows within the survivors
+    spark.read.parquet(files: _*)
+      .where(col("doc_id") >= lo && col("doc_id") <= hi)
   }
 
   /** The declared query: fingerprint every version of the history —
@@ -178,6 +228,32 @@ object TxLogSource {
       |   OR (v.version = 1)
       |   OR (v.version = 2 AND doc_id % 10 <> 3)
       |GROUP BY v.version ORDER BY v.version""".stripMargin
+
+  /** Declared query `src_txlog_prune`: a doc_id-range snapshot read
+    * at the newest version THROUGH the commit statistics — the file
+    * list shrinks before any parquet footer is opened (TxLogSpec pins
+    * that fewer files than the live set are scanned; correctness here
+    * is the hash against the pure-predicate oracle). */
+  def txlogPruneStats(spark: SparkSession, d: String): DataFrame = {
+    val table = stageTable(spark, d)
+    readSnapshotPruned(spark, table, 2L, 10L, 99L)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_chars"))
+  }
+
+  /** Oracle: v2 membership (doc_id%10 <> 3) restricted to the range. */
+  def txlogPruneStatsSql: String =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 10 AND 99 AND doc_id % 10 <> 3""".stripMargin
 
   /** Drop staged tables (mirrors [[SourceQueries.evictStaged]]). */
   def evictStaged(): Unit = {

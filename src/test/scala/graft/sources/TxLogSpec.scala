@@ -53,6 +53,42 @@ class TxLogSpec extends AnyFunSuite {
     assert(ids(t, 1L) === Set(3L, 4L, 5L), "pending commit must be ignored")
   }
 
+  test("commit statistics actually prune files; stats-less adds never prune") {
+    import spark.implicits._
+    // stats-less commits (buildTable): every live file survives any
+    // range — pruning degrades to correct, never to wrong
+    val t = buildTable()
+    assert(TxLogSource.prunedFiles(t, 1L, 100L, 200L).size
+      === TxLogSource.liveFiles(t, 1L).size)
+    // statted table: three files with disjoint id ranges
+    val t2 = Files.createTempDirectory("graft-txlog-stat").toString
+    val logDir = Files.createDirectory(Paths.get(t2, "_txlog"))
+    def writeFile(tag: String, ids: Seq[Long]): String = {
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$t2/d-$tag")
+      val part = new java.io.File(s"$t2/d-$tag").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getName
+      s"d-$tag/$part"
+    }
+    val adds = Seq(
+      (writeFile("a", Seq(1L, 2L)), 1L, 2L),
+      (writeFile("b", Seq(3L, 4L)), 3L, 4L),
+      (writeFile("c", Seq(10L, 11L)), 10L, 11L))
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      adds.map { case (p, lo, hi) =>
+        s"""{"add":{"path":"$p","minId":$lo,"maxId":$hi}}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(TxLogSource.liveFiles(t2, 0L).size === 3)
+    // the range [3,4] must open exactly ONE file, and the answer is
+    // identical to filtering the full snapshot
+    assert(TxLogSource.prunedFiles(t2, 0L, 3L, 4L).size === 1)
+    val pruned = TxLogSource.readSnapshotPruned(spark, t2, 0L, 3L, 4L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(pruned === Set(3L, 4L))
+    // a range spanning a gap in the stats ([5,9]) overlaps nothing
+    assert(TxLogSource.prunedFiles(t2, 0L, 5L, 9L).isEmpty)
+  }
+
   test("a gap in the commit sequence fails loudly (torn snapshot)") {
     val t = buildTable()
     Files.delete(Paths.get(t, "_txlog", f"${0L}%020d.json"))
