@@ -63,6 +63,30 @@ object TxLogSource {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The EXACTLY-ONCE commit: publish version `version` only if no
+    * commit holds that slot yet — a retried writer (task retry,
+    * driver restart replaying a micro-batch) loses the rename race
+    * and backs off, leaving its data files as invisible orphans (the
+    * vacuum story) instead of double-counting. Returns whether THIS
+    * caller won the slot. This put-if-absent on the version number is
+    * the entire exactly-once contract of Delta-style streaming sinks. */
+  private[graft] def commitIfAbsent(logDir: java.nio.file.Path, version: Long,
+      actions: Seq[String]): Boolean = {
+    val dest = logDir.resolve(f"$version%020d.json")
+    if (java.nio.file.Files.exists(dest)) return false
+    val tmp = java.nio.file.Files.createTempFile(logDir, ".tmp-commit-", ".json")
+    java.nio.file.Files.write(tmp,
+      (actions.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); false
+    }
+  }
+
   /** Write `df` as parquet under `table/data-<tag>/` — range-
     * partitioned on doc_id into a few files so per-file stats are
     * selective — and return (relative path, min doc_id, max doc_id)
@@ -117,7 +141,7 @@ object TxLogSource {
     * O(commits) driver work on the tiny log, never a data listing.
     * Files added without stats carry the full range (never prunable,
     * always correct). */
-  private[sources] def liveFiles(table: String, v: Long): Seq[String] =
+  private[graft] def liveFiles(table: String, v: Long): Seq[String] =
     liveFilesWithStats(table, v).map(_._1)
 
   private val StatRe = """"(minId|maxId)":(-?\d+)""".r
@@ -168,7 +192,7 @@ object TxLogSource {
 
   /** Snapshot read at version `v`: log replay → plain parquet scan of
     * exactly the live files. */
-  private[sources] def readSnapshot(spark: SparkSession, table: String,
+  private[graft] def readSnapshot(spark: SparkSession, table: String,
       v: Long): DataFrame = {
     val files = liveFiles(table, v).map(p => s"$table/$p")
     spark.read.parquet(files: _*)

@@ -972,6 +972,82 @@ object EventStreams {
       |  MAX(ts) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Declared query `stream_txlog_sink`: exactly-once streaming
+    * ingest into a [[graft.sources.TxLogSource]]-style transaction-log
+    * table — each micro-batch writes its rows as parquet files and
+    * publishes ONE commit whose version IS the batch id, through the
+    * put-if-absent rename ([[graft.sources.TxLogSource.commitIfAbsent]]).
+    * That version==batchId rule is the entire exactly-once contract of
+    * Delta-style streaming sinks: a replayed batch (driver restart,
+    * retry) loses the commit race and its data files become invisible
+    * orphans instead of duplicate rows. The run INJECTS that failure —
+    * batch 1 stages and attempts to commit TWICE; the second attempt
+    * must be rejected — and the declared result is the final
+    * snapshot's fingerprint, which the whole-table oracle only matches
+    * if no batch was double-counted and none was lost. Multi-batch is
+    * asserted (4 drops, maxFilesPerTrigger=1), so the log really
+    * accumulates one commit per batch. */
+  def streamTxlogSink(spark: SparkSession, d: String): DataFrame = {
+    val n = sinkSeq.incrementAndGet()
+    val ss = streamingSession(spark)
+    val drop = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-txsink-$n").toString
+    graft.Tables.events(ss, d).repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(drop)
+    val table = java.nio.file.Files
+      .createTempDirectory(s"graft-txsink-table-$n").toString
+    val logDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(table, "_txlog"))
+    val nCommits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retried = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q: StreamingQuery = readEvents(ss, drop, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        def attempt(tryNo: Int): Boolean = {
+          val tag = s"b$batchId-t$tryNo"
+          batch.write.mode("overwrite").parquet(s"$table/data-$tag")
+          val files = new java.io.File(s"$table/data-$tag").listFiles()
+            .filter(f => f.getName.startsWith("part-")
+              && f.getName.endsWith(".parquet"))
+            .map(f => s"data-$tag/${f.getName}").sorted.toSeq
+          graft.sources.TxLogSource.commitIfAbsent(logDir, batchId,
+            files.map(p => s"""{"add":{"path":"$p"}}"""))
+        }
+        require(attempt(0), s"batch $batchId: first commit attempt must win")
+        if (batchId == 1L) { // injected replay of an already-committed batch
+          require(!attempt(1),
+            "a replayed batch's duplicate commit must be rejected")
+          retried.set(true)
+        }
+        nCommits.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamMeter.addQuery(q)
+    dropStaged(drop)
+    require(nCommits.get() >= 2,
+      s"txlog sink expected multiple micro-batches, saw ${nCommits.get()}")
+    require(retried.get(), "the injected batch-1 replay never ran")
+    val prevRoot = lastSink.put("stream-txsink", table)
+    if (prevRoot != null && prevRoot != table) deleteRecursively(prevRoot)
+    graft.sources.TxLogSource.readSnapshot(spark, table, nCommits.get() - 1L)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        dsum(col("value")).as("total_value"),
+        max(col("ts")).as("last_ts"))
+  }
+
+  /** Oracle: the whole table, once — a double-committed replay or a
+    * lost batch breaks count, distinct count, and sum together. */
+  def streamTxlogSinkSql: String =
+    """SELECT COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  MAX(ts) AS last_ts
+      |FROM events""".stripMargin
+
   /** Run a streaming DataFrame to completion and land each batch's
     * (Complete-mode) result in a parquet sink via foreachBatch — the
     * executors write the result DISTRIBUTED and the final batch's
