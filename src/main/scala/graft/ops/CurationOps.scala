@@ -435,4 +435,85 @@ object CurationOps {
        |    AS dsir_score
        |FROM tok t JOIN llr l ON t.bucket = l.bucket
        |GROUP BY t.doc_id, t.lang ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // score_ppl_kn: interpolated Kneser–Ney bigram log-perplexity
+  // ---------------------------------------------------------------
+
+  /** The KN absolute discount (Chen & Goodman's fixed-D variant). */
+  private val KnD = 0.75
+
+  /** Declared query `score_ppl_kn`: interpolated KNESER–NEY bigram
+    * log-perplexity per document — the published best practice for
+    * n-gram curation scoring (Chen & Goodman 1998; the smoothing
+    * KenLM defaults to), and the real-LM upgrade over the two
+    * existing scorers: `score_ppl` is a hashed UNIGRAM model and
+    * `text_bigram_lm` is add-1 smoothing, which systematically
+    * over-penalizes unseen-but-plausible bigrams. KN's insight is the
+    * CONTINUATION count: the backoff weight of a word is how many
+    * distinct contexts it follows, not how often it occurs —
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *            + D·N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|.
+    * Every term is a plain aggregate: bigram counts, history counts,
+    * distinct-follower and distinct-context counts, one global
+    * bigram-type total — so both engines replay the model exactly
+    * (per-bigram log rounded to 6 decimals, decimal-summed per doc,
+    * the bigramLm float recipe).
+    *
+    * Scale shape: one corpus tokenize, bigram/unigram-keyed count
+    * shuffles (linear, map-side combined), a 1-row type total
+    * broadcast, and a doc-keyed average. Never a per-pair or
+    * per-vocab² stage. */
+  def scorePplKn(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val bg = tok.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .localCheckpoint(false) // one bigram explode feeds model AND scoring
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val cu = cb.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f")) // N1+(w1·)
+    val cw = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1b")) // N1+(·w2)
+    val bt = cb.agg(count(lit(1)).as("bt")) // |distinct bigrams|
+    val model = cb.join(cu, Seq("w1")).join(cw, Seq("w2"))
+      .crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"),
+        round(log(
+          greatest(col("c12") - lit(KnD), lit(0.0)) / col("c1") +
+            lit(KnD) * col("n1f") / col("c1") * col("n1b") / col("bt")), 6)
+          .as("lp"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("kn_logppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scorePplKnSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+       |  FROM tok WHERE len(tk) >= 2),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |cu AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM cb GROUP BY 1),
+       |cw AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY 1),
+       |bt AS (SELECT COUNT(*) AS bt FROM cb),
+       |model AS (
+       |  SELECT cb.w1, cb.w2,
+       |    round(ln(greatest(cb.c12 - $KnD, 0.0) / cu.c1
+       |      + $KnD * cu.n1f / cu.c1 * cw.n1b / bt.bt), 6) AS lp
+       |  FROM cb JOIN cu USING (w1) JOIN cw USING (w2), bt)
+       |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |  round(-CAST(SUM(CAST(m.lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+       |    AS kn_logppl
+       |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 }

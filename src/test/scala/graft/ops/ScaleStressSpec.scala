@@ -300,7 +300,12 @@ class ScaleStressSpec extends AnyFunSuite {
       // work. url_norm: pure map pass + |hosts|-keyed aggregate.
       ("dedup_substring", d => { DedupOps.dedupSubstring(spark, d).count(); () }),
       ("text_stem", d => { TextAnalysisOps.textStem(spark, d).count(); () }),
-      ("text_url_norm", d => { TextAnalysisOps.urlNorm(spark, d).count(); () }))
+      ("text_url_norm", d => { TextAnalysisOps.urlNorm(spark, d).count(); () }),
+      // txlog: staging (once, on warmup) is a few parquet writes; the
+      // timed snapshot read lists the LOG (O(commits)) and scans only
+      // live files — ×8 docs must be ~×8 parquet bytes, never a
+      // data-directory listing or a rewrite per read
+      ("src_txlog", d => { graft.sources.TxLogSource.txlogDocStats(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
