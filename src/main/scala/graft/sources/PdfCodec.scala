@@ -86,6 +86,10 @@ object PdfCodec {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
+        // n == 0 with needsDictionary would loop forever (FDICT
+        // streams from a foreign producer) — every stall must throw
+        require(!inf.needsDictionary(),
+          "FlateDecode: preset-dictionary (FDICT) streams unsupported")
         require(n > 0 || inf.finished() || !inf.needsInput(),
           "FlateDecode: truncated deflate stream")
         out.write(buf, 0, n)
@@ -146,13 +150,16 @@ object PdfCodec {
     cs.toByteArray
   }
 
-  private def pdfStr(s: String): String =
-    "(" + s.flatMap {
-      case '(' => "\\("
-      case ')' => "\\)"
-      case '\\' => "\\\\"
-      case c => c.toString
-    } + ")"
+  /** Dictionary-string (metadata) encoding: the same WinAnsi literal
+    * path the text content uses — raw ISO-8859-1 getBytes would
+    * silently turn WinAnsi-but-not-Latin-1 chars (Œ, €, …) into '?';
+    * anything outside WinAnsi fails loudly like every other
+    * malformed-input path here. */
+  private def pdfStr(s: String): String = {
+    require(s.forall(charToWinAnsi.contains),
+      s"metadata string not WinAnsi-encodable: '$s'")
+    new String(literal(s), "ISO-8859-1")
+  }
 
   /** One multi-page PDF: page k carries document k (text in the
     * content stream; the other columns as /Graft* page-dict entries —

@@ -51,39 +51,41 @@ object TxLogSource {
   private def jesc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  /** Atomically publish one commit: write dot-prefixed, rename into
-    * the zero-padded slot (the Delta naming convention). */
+  /** Atomically publish one commit into a version slot the caller
+    * KNOWS is free (staging writes a fresh table) — one protocol, the
+    * put-if-absent below. */
   private def writeCommit(logDir: java.nio.file.Path, version: Long,
-      actions: Seq[String]): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(logDir, ".tmp-commit-", ".json")
-    java.nio.file.Files.write(tmp,
-      (actions.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, logDir.resolve(f"$version%020d.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      actions: Seq[String]): Unit =
+    require(commitIfAbsent(logDir, version, actions),
+      s"txlog: version $version unexpectedly already committed")
 
   /** The EXACTLY-ONCE commit: publish version `version` only if no
     * commit holds that slot yet — a retried writer (task retry,
-    * driver restart replaying a micro-batch) loses the rename race
-    * and backs off, leaving its data files as invisible orphans (the
-    * vacuum story) instead of double-counting. Returns whether THIS
-    * caller won the slot. This put-if-absent on the version number is
-    * the entire exactly-once contract of Delta-style streaming sinks. */
+    * driver restart replaying a micro-batch) loses the race and backs
+    * off, leaving its data files as invisible orphans (the vacuum
+    * story) instead of double-counting. Returns whether THIS caller
+    * won the slot.
+    *
+    * The atomic primitive is `Files.createLink` (hard-link the fully
+    * written temp file into the slot), NOT a rename: POSIX rename(2)
+    * silently REPLACES an existing target — `Files.move` with
+    * ATOMIC_MOVE alone would let two racing committers both "win",
+    * one overwriting the other. link(2) fails with EEXIST atomically,
+    * which is the true create-if-absent a log commit needs (object
+    * stores expose the same primitive as if-none-match puts). */
   private[graft] def commitIfAbsent(logDir: java.nio.file.Path, version: Long,
       actions: Seq[String]): Boolean = {
     val dest = logDir.resolve(f"$version%020d.json")
-    if (java.nio.file.Files.exists(dest)) return false
+    if (java.nio.file.Files.exists(dest)) return false // fast path
     val tmp = java.nio.file.Files.createTempFile(logDir, ".tmp-commit-", ".json")
-    java.nio.file.Files.write(tmp,
-      (actions.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp); false
+      java.nio.file.Files.write(tmp,
+        (actions.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try { java.nio.file.Files.createLink(dest, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp); ()
     }
   }
 

@@ -97,6 +97,19 @@ class PdfSpec extends AnyFunSuite {
         || m.toLowerCase.contains("invalid")), s"${e.getClass}: ${e.getMessage}")
   }
 
+  test("metadata strings take the WinAnsi path: Œ/€ round-trip, CJK fails loudly") {
+    // WinAnsi-but-not-Latin-1 metadata must survive (raw ISO-8859-1
+    // would silently turn Œ and € into '?')
+    val ok = Seq(PdfDoc(1L, "t", "fr", "Œuvre–€dition", 1L))
+    val back = PdfCodec.decode(PdfCodec.encode(ok)).head
+    assert(back.source === "Œuvre–€dition")
+    // metadata outside WinAnsi cannot be represented — loud, not '?'
+    val e = intercept[IllegalArgumentException] {
+      PdfCodec.encode(Seq(PdfDoc(2L, "t", "zh", "中文源", 1L)))
+    }
+    assert(e.getMessage.contains("WinAnsi"), e.getMessage)
+  }
+
   test("bad magic fails loudly") {
     val bad = pdf.clone()
     bad(1) = 'X'

@@ -89,6 +89,37 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLogSource.prunedFiles(t2, 0L, 5L, 9L).isEmpty)
   }
 
+  test("racing committers: exactly one wins the slot, winner's content survives intact") {
+    val logDir = Files.createTempDirectory("graft-txlog-race")
+    // 8 threads race the same version with distinct payloads — the
+    // createLink primitive must admit exactly one (rename would let
+    // a later committer silently replace the winner)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (0 until 8).map { k =>
+      Future {
+        gate.await()
+        k -> TxLogSource.commitIfAbsent(logDir, 7L,
+          Seq(s"""{"add":{"path":"d/committer-$k.parquet"}}"""))
+      }
+    }
+    gate.countDown()
+    val results = Await.result(Future.sequence(attempts), 60.seconds)
+    val winners = results.filter(_._2)
+    assert(winners.size === 1, s"exactly one committer must win, got $results")
+    val content = new String(Files.readAllBytes(
+      logDir.resolve(f"${7L}%020d.json")), "UTF-8")
+    assert(content.contains(s"committer-${winners.head._1}.parquet"),
+      "the slot must hold the WINNER's payload, not a later overwrite")
+    // a later attempt on the same slot also loses
+    assert(!TxLogSource.commitIfAbsent(logDir, 7L, Seq("""{"add":{"path":"x"}}""")))
+    // no temp litter left behind
+    assert(new java.io.File(logDir.toString).listFiles()
+      .forall(!_.getName.startsWith(".tmp-")))
+  }
+
   test("a gap in the commit sequence fails loudly (torn snapshot)") {
     val t = buildTable()
     Files.delete(Paths.get(t, "_txlog", f"${0L}%020d.json"))
