@@ -466,6 +466,65 @@ object SourceQueries {
       |CROSS JOIN (SELECT unnest(['plain', 'record_zlib']) AS layout) t
       |GROUP BY t.layout, lang, source ORDER BY t.layout, lang, source""".stripMargin
 
+  /** Declared query `src_tfrecord`: the fingerprint over a TFRecord /
+    * `tf.train.Example` round trip — the canonical container ML
+    * training corpora ship in (TFDS, C4, most TPU-era pipelines), via
+    * the from-scratch [[TfRecordCodec]] (masked-CRC32C framing +
+    * minimal protobuf wire codec; no TensorFlow). Each document row
+    * becomes one Example `{doc_id: int64, lang/source/text: bytes,
+    * n_chars: int64}`; staging writes one `.tfrecord` shard per input
+    * partition executor-side under the [[commitPartFile]] commit
+    * protocol, and the read verifies BOTH per-record CRCs before any
+    * field is trusted.
+    *
+    * Scale stance: TFRecord has no sync markers — a shard is NOT
+    * splittable, so reader parallelism is shard-count parallelism.
+    * That is the format's own documented posture (the TF ecosystem
+    * shards corpora as `train-00000-of-01024` at ~100 MB apiece,
+    * matching `maxPartitionBytes`-sized tasks); per-partition staging
+    * reproduces it by construction, same stance as `src_jsonl_gz`. */
+  def tfrecordDocStats(spark: SparkSession, d: String): DataFrame = {
+    import TfRecordCodec._
+    val dir = stage(spark, d, "tfrecord") { (df, out) =>
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+        .mapPartitions { rows =>
+          val payloads = rows.map { case (id, text, lang, source, nChars) =>
+            encodeExample(Map(
+              "doc_id"  -> Int64List(Seq(id)),
+              "text"    -> BytesList(Seq(text.getBytes("UTF-8"))),
+              "lang"    -> BytesList(Seq(lang.getBytes("UTF-8"))),
+              "source"  -> BytesList(Seq(source.getBytes("UTF-8"))),
+              "n_chars" -> Int64List(Seq(nChars))))
+          }
+          if (!payloads.hasNext) Iterator.empty[String]
+          else {
+            val shard = encodeRecords(payloads)
+            val p = commitPartFile(out, ".tfrecord")(tmp =>
+              java.nio.file.Files.write(tmp, shard))
+            Iterator(p.toString)
+          }
+        }.collect() // partition-count path list — bounded driver action
+      ()
+    }
+    import spark.implicits._
+    def str(f: Feature): String = new String(
+      f.asInstanceOf[BytesList].values.head, "UTF-8")
+    def i64(f: Feature): Long = f.asInstanceOf[Int64List].values.head
+    val rows = spark.read.format("binaryFile").load(s"$dir/*.tfrecord")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => decodeRecords(bytes).map { payload =>
+        val ex = decodeExample(payload)
+        (i64(ex("doc_id")), str(ex("text")), str(ex("lang")),
+          str(ex("source")), i64(ex("n_chars")))
+      })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docStats(rows)
+  }
+
   /** Declared query `src_csv`: same fingerprint over an RFC-4180 CSV
     * round trip (quoted embedded newlines/quotes/commas in `text`). */
   def csvDocStats(spark: SparkSession, d: String): DataFrame = {
