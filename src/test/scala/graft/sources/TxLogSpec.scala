@@ -142,4 +142,63 @@ class TxLogSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] { TxLogSource.liveFiles(t, 2L) }
     assert(e2.getMessage.contains("duplicate"), e2.getMessage)
   }
+
+  test("checkpoint resolution matches full replay and reads only the tail") {
+    val t = buildTable()
+    TxLogSource.writeCheckpoint(spark, t, 0L)
+    // same live set either way, at and after the checkpoint version
+    for (v <- 0L to 1L) {
+      val res = TxLogSource.resolveSnapshot(spark, t, v)
+      assert(res.usedCheckpoint, s"v$v should resolve via checkpoint")
+      assert(res.replayedCommits == v.toInt, s"v$v tail length")
+      assert(res.files.toSet == TxLogSource.liveFilesWithStats(t, v).toSet,
+        s"v$v checkpoint read diverges from full replay")
+    }
+    // snapshot CONTENT through the checkpoint path matches too
+    val files = TxLogSource.resolveSnapshot(spark, t, 1L).files
+      .map(f => s"$t/${f._1}")
+    val got = spark.read.parquet(files: _*)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L, 5L))
+  }
+
+  test("checkpoint advances; time travel below it falls back to full replay") {
+    val t = buildTable()
+    TxLogSource.writeCheckpoint(spark, t, 0L)
+    TxLogSource.writeCheckpoint(spark, t, 1L) // REPLACE of the pointer
+    assert(TxLogSource.lastCheckpointVersion(t).contains(1L))
+    val at1 = TxLogSource.resolveSnapshot(spark, t, 1L)
+    assert(at1.usedCheckpoint && at1.replayedCommits == 0)
+    // v0 predates the newest checkpoint: correctness wins, full replay
+    val at0 = TxLogSource.resolveSnapshot(spark, t, 0L)
+    assert(!at0.usedCheckpoint)
+    assert(at0.files.toSet == TxLogSource.liveFilesWithStats(t, 0L).toSet)
+  }
+
+  test("a torn or dangling _last_checkpoint degrades to full replay, not a crash") {
+    val t = buildTable()
+    // garbage pointer
+    Files.write(Paths.get(t, "_txlog", "_last_checkpoint"),
+      "not json at all".getBytes("UTF-8"))
+    val r1 = TxLogSource.resolveSnapshot(spark, t, 1L)
+    assert(!r1.usedCheckpoint &&
+      r1.files.toSet == TxLogSource.liveFilesWithStats(t, 1L).toSet)
+    // pointer names a checkpoint file that does not exist
+    Files.write(Paths.get(t, "_txlog", "_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    val r2 = TxLogSource.resolveSnapshot(spark, t, 1L)
+    assert(!r2.usedCheckpoint, "dangling pointer must be ignored")
+  }
+
+  test("a gap in the tail after the checkpoint still fails loudly") {
+    val t = buildTable()
+    TxLogSource.writeCheckpoint(spark, t, 0L)
+    // commit v3 exists but v2 is missing: torn tail
+    Files.write(Paths.get(t, "_txlog", f"${3L}%020d.json"),
+      """{"add":{"path":"d-c/extra.parquet"}}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TxLogSource.resolveSnapshot(spark, t, 3L)
+    }
+    assert(e.getMessage.contains("gap"), e.getMessage)
+  }
 }
