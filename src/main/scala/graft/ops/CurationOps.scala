@@ -516,4 +516,129 @@ object CurationOps {
        |    AS kn_logppl
        |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // score_nb: multinomial Naive Bayes domain classifier
+  // ---------------------------------------------------------------
+
+  private val NbB = 1024       // hashed feature buckets (fixed)
+  private val NbHoldMod = 5    // doc_id % 5 == 0 → held-out fold
+
+  /** Declared query `score_nb`: a MULTINOMIAL NAIVE BAYES domain
+    * classifier trained and evaluated corpus-side — the fastText-
+    * style "quality/domain classifier" every published curation
+    * pipeline (CCNet, LLaMA, RedPajama) trains to route documents,
+    * here with `source` as the label. Deterministic 80/20 fold on
+    * `doc_id % 5`; training fits per-class token counts over the
+    * FIXED [[NbB]]-bucket hashed feature space (the DSIR space, new
+    * salt); the held-out fold is scored with add-1 smoothing:
+    *   loglik(c | doc) = ln P(c) + Σ_tok ln (n[c,bucket]+1)/(n[c]+B)
+    * and the prediction is the argmax (ties → lexicographically
+    * smallest class, pinned by the row_number ordering in BOTH
+    * engines). Output: the held-out confusion matrix with per-cell
+    * mean log-likelihood — the eval artifact a classifier gate ships.
+    *
+    * Replayability: per-token and prior logs are rounded to 6
+    * decimals then summed as DECIMAL (order-independent, exact), so
+    * the argmax compares identical exact numerics in both engines;
+    * the only double division is the final per-cell mean
+    * (half-boundary-safe floor quantize, the evt_did recipe).
+    *
+    * Scale shape: the model is DENSE classes×[[NbB]] (built by cross
+    * join against `spark.range(B)` so unseen buckets score their
+    * smoothed floor instead of silently dropping) — constant-size at
+    * any corpus scale, BROADCAST to both joins; the corpus streams
+    * twice (fit pass with map-side combine onto ≤C·B rows, score
+    * pass), and the only corpus-keyed shuffle is the per-(doc, class)
+    * reduction. Never a vocabulary-sized state. */
+  def scoreNb(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0) // a token-less doc has no NB evidence
+    val trainDocs = base.where(col("doc_id") % NbHoldMod =!= 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val classes = trainDocs.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("n_docs_c"))
+    val priors = classes
+      .withColumn("n_docs_tot", sum(col("n_docs_c")).over(wAll))
+      .select(col("cls"),
+        round(log(col("n_docs_c").cast("double") / col("n_docs_tot")), 6)
+          .cast("decimal(18,6)").as("logprior"))
+    val counts = trainDocs
+      .select(col("source").as("cls"), explode(col("tk")).as("tok"))
+      .select(col("cls"), (xhash60(col("tok"), 53) % NbB).as("bucket"))
+      .groupBy(col("cls"), col("bucket")).agg(count(lit(1)).as("n_cb"))
+    val ctot = counts.groupBy(col("cls")).agg(sum(col("n_cb")).as("n_c"))
+    val model = ctot
+      .crossJoin(spark.range(NbB).select(col("id").as("bucket")))
+      .join(counts, Seq("cls", "bucket"), "left")
+      .select(col("cls"), col("bucket"),
+        round(log((coalesce(col("n_cb"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + NbB)), 6).cast("decimal(18,6)").as("logp"))
+    val heldTok = base.where(col("doc_id") % NbHoldMod === 0)
+      .select(col("doc_id"), col("source").as("actual"), explode(col("tk")).as("tok"))
+      .select(col("doc_id"), col("actual"),
+        (xhash60(col("tok"), 53) % NbB).as("bucket"))
+    val scores = heldTok.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg(sum(col("logp")).as("sum_logp"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("logprior") + col("sum_logp")).as("loglik"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("loglik").desc, col("cls"))
+    scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("actual"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum(col("loglik")).cast("double") / count(lit(1)) * lit(1e9)
+          + lit(0.5)) / lit(1e9)).as("avg_loglik"))
+      .select(col("actual"), col("cls").as("predicted"), col("n_docs"),
+        col("avg_loglik"))
+      .orderBy("actual", "predicted")
+  }
+
+  def scoreNbSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, ${tokensSql("text")} AS tk FROM documents
+       |  WHERE len(${tokensSql("text")}) > 0),
+       |train AS (SELECT * FROM base WHERE doc_id % $NbHoldMod <> 0),
+       |classes AS (SELECT source AS cls, COUNT(*) AS n_docs_c
+       |  FROM train GROUP BY source),
+       |tot AS (SELECT SUM(n_docs_c) AS n_docs_tot FROM classes),
+       |priors AS (SELECT cls,
+       |    CAST(round(ln(CAST(n_docs_c AS DOUBLE) / n_docs_tot), 6)
+       |      AS DECIMAL(18,6)) AS logprior
+       |  FROM classes, tot),
+       |counts AS (
+       |  SELECT source AS cls, ${xhash60Sql("tok", 53)} % $NbB AS bucket,
+       |    COUNT(*) AS n_cb
+       |  FROM (SELECT source, unnest(tk) AS tok FROM train)
+       |  GROUP BY 1, 2),
+       |ctot AS (SELECT cls, SUM(n_cb) AS n_c FROM counts GROUP BY cls),
+       |model AS (
+       |  SELECT t.cls, b.range AS bucket,
+       |    CAST(round(ln(CAST(COALESCE(n.n_cb, 0) + 1 AS DOUBLE)
+       |      / (t.n_c + $NbB)), 6) AS DECIMAL(18,6)) AS logp
+       |  FROM ctot t CROSS JOIN range($NbB) b
+       |  LEFT JOIN counts n ON n.cls = t.cls AND n.bucket = b.range),
+       |held AS (
+       |  SELECT doc_id, source AS actual, ${xhash60Sql("tok", 53)} % $NbB AS bucket
+       |  FROM (SELECT doc_id, source, unnest(tk) AS tok FROM base
+       |        WHERE doc_id % $NbHoldMod = 0)),
+       |scores AS (
+       |  SELECT h.doc_id, h.actual, m.cls,
+       |    ANY_VALUE(p.logprior) + SUM(m.logp) AS loglik
+       |  FROM held h JOIN model m ON h.bucket = m.bucket
+       |  JOIN priors p ON p.cls = m.cls
+       |  GROUP BY h.doc_id, h.actual, m.cls),
+       |pred AS (
+       |  SELECT actual, cls AS predicted, loglik,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY loglik DESC, cls) AS rn
+       |  FROM scores)
+       |SELECT actual, predicted, COUNT(*) AS n_docs,
+       |  floor(CAST(SUM(loglik) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9
+       |    AS avg_loglik
+       |FROM pred WHERE rn = 1
+       |GROUP BY actual, predicted ORDER BY actual, predicted""".stripMargin
 }

@@ -98,6 +98,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0.0)
   }
 
+  test("score_nb: disjoint-vocabulary classes classify perfectly; empty docs excluded") {
+    // train folds (doc_id % 5 != 0) carry each class's private vocabulary;
+    // held-out docs (doc_id % 5 == 0) reuse it → NB must go diagonal
+    val news = "election senate policy vote ballot"
+    val code = "function compile variable pointer syntax"
+    val d = corpus(Seq(
+      (1L, news, "en", "news", 1L), (2L, news, "en", "news", 1L),
+      (3L, news, "en", "news", 1L), (4L, news, "en", "news", 1L),
+      (6L, code, "en", "code", 1L), (7L, code, "en", "code", 1L),
+      (8L, code, "en", "code", 1L), (9L, code, "en", "code", 1L),
+      (5L, "senate ballot vote", "en", "news", 1L),   // held-out news
+      (10L, "policy election", "en", "news", 1L),     // held-out news
+      (15L, "compile pointer syntax", "en", "code", 1L), // held-out code
+      (20L, "variable function", "en", "code", 1L),   // held-out code
+      (25L, "   ", "en", "news", 1L)))                // token-less: excluded
+    val rows = CurationOps.scoreNb(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("news", "news", 2L), ("code", "code", 2L)),
+      rows.toString)
+    // every cell's mean loglik is negative (it is a log-probability)
+    assert(CurationOps.scoreNb(spark, d).collect()
+      .forall(_.getDouble(3) < 0.0))
+  }
+
   test("curate_kappa: cells and kappa equal a pure-Scala replay of the two filters") {
     val sf = "/root/testdata/sf0.001"
     val qa = TextAnalysisOps.qualityScore(spark, sf).collect()
