@@ -162,10 +162,12 @@ object TxLogSource {
       .sortBy(_._1).toSeq
   }
 
-  /** Replay one commit file's actions into the live map. */
+  /** Replay one commit file's actions into the live map; `onAdd`
+    * observes every add (vacuum's added-ever trace). */
   private def applyCommitFile(
       live: scala.collection.mutable.LinkedHashMap[String, (Long, Long)],
-      f: java.io.File): Unit =
+      f: java.io.File,
+      onAdd: String => Unit = _ => ()): Unit =
     scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty).foreach { line =>
       val addIdx = line.indexOf("\"add\"")
       val remIdx = line.indexOf("\"remove\"")
@@ -185,6 +187,7 @@ object TxLogSource {
         val stats = StatRe.findAllMatchIn(line)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
         require(!live.contains(path), s"txlog: duplicate add of $path")
+        onAdd(path)
         live(path) = (stats.getOrElse("minId", Long.MinValue),
           stats.getOrElse("maxId", Long.MaxValue))
       } else {
@@ -392,29 +395,34 @@ object TxLogSource {
   private def stageCkTable(spark: SparkSession, d: String): String =
     stagedCk.computeIfAbsent((System.identityHashCode(spark), d), _ => {
       val table = java.nio.file.Files.createTempDirectory("graft-txlog-ck-tbl").toString
-      val logDir = java.nio.file.Files.createDirectory(
-        java.nio.file.Paths.get(table, "_txlog"))
-      val docs = graft.Tables.documents(spark, d)
-      val m = col("doc_id") % 10
-      def add(files: Seq[(String, Long, Long)]) =
-        files.map { case (p, lo, hi) =>
-          s"""{"add":{"path":"${jesc(p)}","minId":$lo,"maxId":$hi}}"""
-        }
-      def remove(files: Seq[(String, Long, Long)]) =
-        files.map { case (p, _, _) => s"""{"remove":{"path":"${jesc(p)}"}}""" }
-      val g0 = writeGroup(docs.where(m <= 3), table, "v0")
-      writeCommit(logDir, 0L, add(g0))
-      val g1 = writeGroup(docs.where(m >= 4 && m <= 6), table, "v1")
-      writeCommit(logDir, 1L, add(g1))
-      val g2 = writeGroup(docs.where(m >= 7), table, "v2")
-      writeCommit(logDir, 2L, add(g2))
-      writeCheckpoint(spark, table, 2L)
-      val g3 = writeGroup(docs.where(m <= 3 && m =!= 1), table, "v3")
-      writeCommit(logDir, 3L, remove(g0) ++ add(g3))
-      val g4 = writeGroup(docs.where(m >= 4 && m <= 6 && m =!= 5), table, "v4")
-      writeCommit(logDir, 4L, remove(g1) ++ add(g4))
+      buildCkHistory(spark, d, table)
       table
     })
+
+  private def buildCkHistory(spark: SparkSession, d: String,
+      table: String): Unit = {
+    val logDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(table, "_txlog"))
+    val docs = graft.Tables.documents(spark, d)
+    val m = col("doc_id") % 10
+    def add(files: Seq[(String, Long, Long)]) =
+      files.map { case (p, lo, hi) =>
+        s"""{"add":{"path":"${jesc(p)}","minId":$lo,"maxId":$hi}}"""
+      }
+    def remove(files: Seq[(String, Long, Long)]) =
+      files.map { case (p, _, _) => s"""{"remove":{"path":"${jesc(p)}"}}""" }
+    val g0 = writeGroup(docs.where(m <= 3), table, "v0")
+    writeCommit(logDir, 0L, add(g0))
+    val g1 = writeGroup(docs.where(m >= 4 && m <= 6), table, "v1")
+    writeCommit(logDir, 1L, add(g1))
+    val g2 = writeGroup(docs.where(m >= 7), table, "v2")
+    writeCommit(logDir, 2L, add(g2))
+    writeCheckpoint(spark, table, 2L)
+    val g3 = writeGroup(docs.where(m <= 3 && m =!= 1), table, "v3")
+    writeCommit(logDir, 3L, remove(g0) ++ add(g3))
+    val g4 = writeGroup(docs.where(m >= 4 && m <= 6 && m =!= 5), table, "v4")
+    writeCommit(logDir, 4L, remove(g1) ++ add(g4))
+  }
 
   /** Declared query `src_txlog_checkpoint`: fingerprint versions 2-4
     * of the checkpointed history, every snapshot resolved THROUGH the
@@ -440,6 +448,82 @@ object TxLogSource {
     }.reduce(_ unionAll _).orderBy("version")
   }
 
+  // ---- vacuum (src_txlog_vacuum) ---------------------------------------
+
+  /** Physically delete every data file whose REMOVE was committed at
+    * or below `horizon` — Delta's VACUUM. Such a file cannot be live
+    * at any version ≥ horizon (a removed path never comes back: re-add
+    * is rejected as a duplicate only while live, and the staging
+    * protocol writes fresh paths per commit), so snapshots from the
+    * horizon forward are untouched while time travel BEFORE it
+    * becomes a loud missing-file error instead of a quiet wrong
+    * answer. Returns the number of files deleted.
+    *
+    * Scale stance: one O(commits ≤ horizon) metadata replay computes
+    * the delete list (added-ever minus live-at-horizon); the deletes
+    * themselves are embarrassingly parallel (a real cluster fans them
+    * out; here a driver loop over the staged table's handful). */
+  private[sources] def vacuum(table: String, horizon: Long): Int = {
+    val live = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val added = scala.collection.mutable.LinkedHashSet[String]()
+    val commits = commitFiles(table, 0L, horizon)
+    require(commits.nonEmpty && commits.map(_._1) == (0L to commits.last._1),
+      s"txlog: vacuum needs a contiguous log through $horizon")
+    commits.foreach { case (_, f) => applyCommitFile(live, f, added += _) }
+    val deletable = (added -- live.keys).toSeq
+    deletable.foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, p)); ()
+    }
+    deletable.size
+  }
+
+  private val stagedVac =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
+
+  /** Same 5-commit checkpointed history as [[stageCkTable]], but on a
+    * PRIVATE copy (vacuum mutates the table) and vacuumed to
+    * horizon 4 right after staging. */
+  private def stageVacTable(spark: SparkSession, d: String): String =
+    stagedVac.computeIfAbsent((System.identityHashCode(spark), d), _ => {
+      val table = java.nio.file.Files.createTempDirectory("graft-txlog-vac-tbl").toString
+      buildCkHistory(spark, d, table)
+      val n = vacuum(table, 4L)
+      require(n > 0, "txlog: vacuum deleted nothing — staging broke")
+      table
+    })
+
+  /** Declared query `src_txlog_vacuum`: the post-vacuum contract,
+    * both halves asserted — the newest snapshot (v4) is byte-identical
+    * to its pre-vacuum membership (hash gate vs the pure-predicate
+    * oracle), and a pre-horizon read (v2) now FAILS LOUDLY at file
+    * access because its data is physically gone. */
+  def txlogVacuumStats(spark: SparkSession, d: String): DataFrame = {
+    val table = stageVacTable(spark, d)
+    // pre-horizon time travel must now throw when the scan touches
+    // the vacuumed files (metadata still resolves — the log survives)
+    val v2 = resolveSnapshot(spark, table, 2L)
+    val gone = v2.files.map(f => s"$table/${f._1}")
+      .count(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    require(gone > 0, "txlog: vacuum left every v2 file on disk")
+    val res = resolveSnapshot(spark, table, 4L)
+    spark.read.parquet(res.files.map(f => s"$table/${f._1}"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_chars"))
+  }
+
+  /** Oracle: v4 membership (%10 ∉ {1,5}) — survival of the vacuum. */
+  def txlogVacuumStatsSql: String =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+      |FROM documents WHERE doc_id % 10 NOT IN (1, 5)""".stripMargin
+
   /** Oracle: each version's membership from the staging predicates —
     * v2: all · v3: %10 ≠ 1 · v4: %10 ∉ {1,5}. */
   def txlogCheckpointStatsSql: String =
@@ -461,6 +545,8 @@ object TxLogSource {
     staged.clear()
     stagedCk.values().forEach(t => graft.ops.OpsUtil.deleteRecursively(t))
     stagedCk.clear()
+    stagedVac.values().forEach(t => graft.ops.OpsUtil.deleteRecursively(t))
+    stagedVac.clear()
   }
 
   locally {

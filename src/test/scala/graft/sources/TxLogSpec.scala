@@ -190,6 +190,24 @@ class TxLogSpec extends AnyFunSuite {
     assert(!r2.usedCheckpoint, "dangling pointer must be ignored")
   }
 
+  test("vacuum deletes exactly the pre-horizon removes; later snapshots intact") {
+    val t = buildTable() // v0 adds f0,f1; v1 removes f0, adds f2
+    val f0 = TxLogSource.liveFiles(t, 0L)
+      .filterNot(TxLogSource.liveFiles(t, 1L).toSet).head
+    assert(Files.exists(Paths.get(t, f0)))
+    // horizon 0: nothing removed at or below v0 → no-op
+    assert(TxLogSource.vacuum(t, 0L) == 0)
+    assert(Files.exists(Paths.get(t, f0)))
+    // horizon 1: f0's remove is in scope → deleted, once
+    assert(TxLogSource.vacuum(t, 1L) == 1)
+    assert(!Files.exists(Paths.get(t, f0)))
+    assert(TxLogSource.vacuum(t, 1L) == 1, "idempotent replay, file already gone")
+    // the newest snapshot still reads (its files untouched)
+    assert(ids(t, 1L) === Set(3L, 4L, 5L))
+    // time travel to v0 now fails at scan time — loudly, not wrong
+    intercept[Exception] { ids(t, 0L) }
+  }
+
   test("a gap in the tail after the checkpoint still fails loudly") {
     val t = buildTable()
     TxLogSource.writeCheckpoint(spark, t, 0L)
