@@ -805,6 +805,94 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // dedup_lines: corpus-wide line-level exact dedup (first-seen wins)
+  // ---------------------------------------------------------------
+
+  /** Lines shorter than this never participate in dedup — the
+    * published practice (Dolma/RefinedWeb exempt short lines: "yes",
+    * "", headers) AND the scale guard: the empty line would otherwise
+    * be the hottest key in the corpus. */
+  private val LineMinChars = 10
+  /** Lines-per-document bound that makes doc_id·2^20+pos order-
+    * preserving; enforced loudly, never silently wrong. */
+  private val LinePosBound = 1 << 20
+
+  /** Declared query `dedup_lines`: LINE-level exact dedup across the
+    * whole corpus, first occurrence wins — the Dolma/RefinedWeb
+    * boilerplate-removal stage (navigation bars, cookie banners,
+    * license footers repeat across millions of pages; span dedup
+    * ([[graft.ops.CurationOps]] dedup_span) sees fixed token windows,
+    * this one dedups on the document's own line structure). Each doc
+    * splits on `\n`; every line of ≥ [[LineMinChars]] chars is hashed
+    * and the corpus-wide first occurrence (smallest (doc_id, pos))
+    * is kept; later copies are dropped. Output per document: line
+    * counts, kept-char total, and the duplicate-line fraction.
+    *
+    * Scale shape: first-seen resolution is a `min` GROUP BY on the
+    * line hash — partial-aggregatable (map-side combine), so a
+    * boilerplate line repeated a billion times ships ONE candidate
+    * row per map partition, not a skewed window; the join back is a
+    * hash equi-join on the same key (AQE splits any residual hot
+    * bucket), and the per-doc rollup is doc-keyed. Never a window
+    * over the hot hash. */
+  def dedupLines(spark: SparkSession, d: String): DataFrame = {
+    val lines = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"),
+        when(col("pos") >= LinePosBound,
+          raise_error(lit("dedup_lines: doc exceeds line bound")))
+          .otherwise(col("doc_id") * LinePosBound + col("pos")).as("k"),
+        (length(col("line")) >= LineMinChars).as("elig"))
+      .withColumn("h", when(col("elig"), xhash60(col("line"), 71)))
+    val firsts = lines.where(col("elig"))
+      .groupBy(col("h")).agg(min(col("k")).as("fk"))
+    lines.join(firsts, Seq("h"), "left")
+      .select(col("doc_id"), col("line"),
+        (!col("elig") || col("k") === col("fk")).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        coalesce(sum(when(col("kept"), length(col("line")).cast("long"))), lit(0L))
+          .as("kept_chars"),
+        (floor(count(when(!col("kept"), 1)).cast("double") / count(lit(1))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def dedupLinesSql: String =
+    s"""WITH ls AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+       |lines AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(l) + 1)) - 1 AS pos,
+       |    unnest(l) AS line
+       |  FROM ls),
+       |flagged AS (
+       |  SELECT doc_id, line,
+       |    CASE WHEN pos >= $LinePosBound
+       |      THEN error('dedup_lines: doc exceeds line bound')
+       |      ELSE doc_id * $LinePosBound + pos END AS k,
+       |    length(line) >= $LineMinChars AS elig,
+       |    CASE WHEN length(line) >= $LineMinChars
+       |      THEN ${xhash60Sql("line", 71)} END AS h
+       |  FROM lines),
+       |firsts AS (
+       |  SELECT h, MIN(k) AS fk FROM flagged WHERE elig GROUP BY h),
+       |kept AS (
+       |  SELECT f.doc_id, f.line, (NOT f.elig) OR f.k = fi.fk AS kept
+       |  FROM flagged f LEFT JOIN firsts fi ON f.h = fi.h)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(CASE WHEN NOT kept THEN 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(COALESCE(SUM(CASE WHEN kept THEN length(line) END), 0) AS BIGINT)
+       |    AS kept_chars,
+       |  floor(CAST(COUNT(CASE WHEN NOT kept THEN 1 END) AS DOUBLE) / COUNT(*)
+       |    * 1e9 + 0.5) / 1e9 AS dup_frac
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def dedupSubstringSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),

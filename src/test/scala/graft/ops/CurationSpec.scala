@@ -98,6 +98,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0.0)
   }
 
+  test("dedup_lines: first occurrence wins corpus-wide; short lines exempt") {
+    val boiler = "the common boilerplate line" // ≥10 chars, repeated
+    val d = corpus(Seq(
+      (1L, s"$boiler\nunique alpha content line\nshort", "en", "s", 1L),
+      (2L, s"$boiler\nunique beta content line", "en", "s", 1L),
+      (3L, "short\nshort", "en", "s", 1L))) // <10 chars: never deduped
+    val rows = DedupOps.dedupLines(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 3L, 0L, 0.0),       // owns the first boilerplate copy
+      (2L, 2L, 1L, 1L, 0.5),       // later copy dropped
+      (3L, 2L, 2L, 0L, 0.0)),      // short lines exempt even when repeated
+      rows.toString)
+  }
+
   test("score_nb: disjoint-vocabulary classes classify perfectly; empty docs excluded") {
     // train folds (doc_id % 5 != 0) carry each class's private vocabulary;
     // held-out docs (doc_id % 5 == 0) reuse it → NB must go diagonal
