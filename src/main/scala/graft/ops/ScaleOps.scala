@@ -456,4 +456,63 @@ object ScaleOps {
       |FROM src CROSS JOIN bits
       |GROUP BY l_orderkey, l_linenumber, x, y
       |ORDER BY z, l_orderkey, l_linenumber, x, y""".stripMargin
+
+  /** Declared query `layout_hilbert`: the HILBERT clustering key over
+    * the same (partkey, suppkey) slice as [[zorderKeys]] — the layout
+    * Z-order's successor uses (Databricks liquid clustering), because
+    * the curve has NO seams: consecutive keys are always grid
+    * neighbors (HilbertProps proves unit-step adjacency across the
+    * full 2^32 walk by sampling plus exhaustive order-6 sweep), so a
+    * key-contiguous file is a connected blob with a tight min/max box
+    * on BOTH dimensions. Backed by the codegen'd
+    * [[graft.functions.HilbertIndexExpr]] — the rotation state that
+    * makes Hilbert better than Morton is also what makes it a custom
+    * Expression rather than a bitwise Column fold (the fold's (x,y)
+    * terms double per bit level). The oracle replays the walk as 16
+    * generated CTE steps, one per bit level, each carrying the
+    * rotated (x, y) frame — the state machine itself is what the
+    * hash gate checks. */
+  def hilbertKeys(spark: SparkSession, d: String): DataFrame = {
+    val l = graft.Tables.lineitem(spark, d)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536).cast("long").as("x"),
+        (col("l_suppkey") % 65536).cast("long").as("y"))
+    l.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+      graft.functions.Hilbert.hilbert16(col("x"), col("y")).as("h"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"))
+  }
+
+  def hilbertKeysSql: String = {
+    // one CTE per bit level i = 15..0, consuming the previous level's
+    // rotated frame (x{i+1}, y{i+1}) and accumulated d{i+1}
+    val steps = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val (px, py, pd, prev) =
+        if (i == 15) ("x", "y", "CAST(0 AS BIGINT)", "src")
+        else (s"x${i + 1}", s"y${i + 1}", s"d${i + 1}", s"h${i + 1}")
+      s"""h$i AS (
+         |  SELECT l_orderkey, l_linenumber, x, y,
+         |    $pd + ${s * s} * xor(
+         |      3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+         |      CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS d$i,
+         |    CASE WHEN ($py & $s) = 0
+         |      THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END)
+         |      ELSE $px END AS x$i,
+         |    CASE WHEN ($py & $s) = 0
+         |      THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END)
+         |      ELSE $py END AS y$i
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH src AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_partkey % 65536 AS BIGINT) AS x,
+       |    CAST(l_suppkey % 65536 AS BIGINT) AS y
+       |  FROM lineitem WHERE l_orderkey < 2000),
+       |${steps.mkString(",\n")}
+       |SELECT l_orderkey, l_linenumber, x, y, CAST(d0 AS BIGINT) AS h
+       |FROM h0
+       |ORDER BY h, l_orderkey, l_linenumber, x, y""".stripMargin
+  }
 }
