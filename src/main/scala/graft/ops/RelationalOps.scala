@@ -2075,4 +2075,154 @@ object RelationalOps {
          |  COUNT(*) - COUNT($c) AS n_null,
          |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  // ---------------------------------------------------------------
+  // rec_als: rank-2 alternating least squares, trained in-engine
+  // ---------------------------------------------------------------
+
+  private val AlsLambda = 0.1
+  private val AlsIters = 2 // full user+item rounds; oracle unrolls exactly 2
+
+  private def alsQ6(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** One ALS half-step: re-solve the `outKey` side's rank-2 factors
+    * against the fixed `factors` table (keyed by `joinKey`). Normal
+    * equations per key are FIVE quantized sums (the 2×2 Gram matrix +
+    * the 2-vector), then the closed-form regularized solve — pure
+    * column arithmetic, replayed verbatim by the oracle. */
+  private def alsSolve(ratings: DataFrame, factors: DataFrame,
+      joinKey: String, outKey: String): DataFrame = {
+    def qi(c: org.apache.spark.sql.Column) = sum(floor(c * lit(1e6) + lit(0.5)))
+    val s = ratings.join(factors, Seq(joinKey))
+      .groupBy(col(outKey))
+      .agg(
+        (qi(col("f1") * col("f1")).cast("double") / lit(1e6)).as("a11"),
+        (qi(col("f1") * col("f2")).cast("double") / lit(1e6)).as("a12"),
+        (qi(col("f2") * col("f2")).cast("double") / lit(1e6)).as("a22"),
+        (qi(col("r") * col("f1")).cast("double") / lit(1e6)).as("b1"),
+        (qi(col("r") * col("f2")).cast("double") / lit(1e6)).as("b2"))
+    val l = lit(AlsLambda)
+    val det = (col("a11") + l) * (col("a22") + l) - col("a12") * col("a12")
+    s.select(col(outKey),
+        alsQ6((col("b1") * (col("a22") + l) - col("b2") * col("a12")) / det)
+          .as("f1"),
+        alsQ6((col("b2") * (col("a11") + l) - col("b1") * col("a12")) / det)
+          .as("f2"))
+      .localCheckpoint(false) // bound the 4-half-step lineage (logreg stance)
+  }
+
+  /** Declared query `rec_als`: RANK-2 ALTERNATING LEAST SQUARES
+    * matrix factorization trained inside the engine over the
+    * customer×part purchase matrix (r = ln(1+Σqty), decimal-summed) —
+    * the collaborative-filtering TRAINER to [[itemCosine]]'s
+    * neighborhood scorer, and the classic Spark workload shape (ALS
+    * was MLlib's flagship): [[AlsIters]] alternating rounds from a
+    * deterministic hash-seeded item init, each half-step one
+    * join + one grouped aggregate solving every row's 2×2 normal
+    * equations in closed form. Output: matrix dimensions and the
+    * training RMSE.
+    *
+    * Cross-engine determinism (the [[graft.ops.EventOps.logreg]]
+    * discipline): every Gram/moment term floor-quantizes to an
+    * integer at 1e-6 scale and sums as BIGINT (order-independent);
+    * factor solves and the final RMSE are identical IEEE double
+    * expressions over those exact sums, re-quantized at 1e-6 per
+    * factor so drift cannot compound across rounds.
+    *
+    * Scale shape: factors live DISTRIBUTED keyed by their id — no
+    * driver-side model, no O(users·rank) collect (contrast logreg's
+    * 4-scalar gradient: here the model IS big data). A half-step is
+    * shuffle-on-joinKey + shuffle-on-outKey, both linear in ratings —
+    * the same movement MLlib's blocked ALS optimizes with in/out-
+    * block routing tables; at 100 TB you'd add that blocking, the
+    * algebra is already this. */
+  def recAls(spark: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(alsQ6(log(lit(1.0) +
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double"))).as("r"))
+      .localCheckpoint(false) // one ratings build feeds all half-steps
+    val itemF0 = ratings.select(col("part")).distinct()
+      .select(col("part"), lit(1.0).as("f1"),
+        alsQ6((col("part") * lit(2654435761L) % 1000).cast("double")
+          / lit(1000.0) - lit(0.5)).as("f2"))
+    val (userF, itemF) = (1 to AlsIters).foldLeft((null: DataFrame, itemF0)) {
+      case ((_, itF), _) =>
+        val uF = alsSolve(ratings, itF, "part", "cust")
+        val iF = alsSolve(ratings, uF, "cust", "part")
+        (uF, iF)
+    }
+    val joined = ratings
+      .join(userF.select(col("cust"), col("f1").as("uf1"), col("f2").as("uf2")),
+        Seq("cust"))
+      .join(itemF.select(col("part"), col("f1").as("if1"), col("f2").as("if2")),
+        Seq("part"))
+      .select(col("cust"), col("part"),
+        (col("r") - ((col("uf1") * col("if1")) + (col("uf2") * col("if2"))))
+          .as("resid"))
+    joined.agg(
+      countDistinct(col("cust")).as("n_users"),
+      countDistinct(col("part")).as("n_items"),
+      count(lit(1)).as("n_ratings"),
+      (floor(sqrt(sum(floor(col("resid") * col("resid") * lit(1e6) + lit(0.5)))
+          .cast("double") / lit(1e6) / count(lit(1))) * lit(1e9) + lit(0.5))
+        / lit(1e9)).as("rmse"))
+  }
+
+  /** DuckDB replay: the identical ratings build, hash-seeded init,
+    * and [[AlsIters]] unrolled rounds of materialized solve CTEs with
+    * the same quantized algebra. */
+  def recAlsSql: String = {
+    def q6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def qiSum(e: String) =
+      s"CAST(SUM(CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6"
+    def solve(out: String, outKey: String, inKey: String, fT: String) = {
+      val det = s"((a11 + $AlsLambda) * (a22 + $AlsLambda) - a12 * a12)"
+      s"""${out}_s AS MATERIALIZED (
+         |  SELECT r.$outKey,
+         |    ${qiSum("f.f1 * f.f1")} AS a11,
+         |    ${qiSum("f.f1 * f.f2")} AS a12,
+         |    ${qiSum("f.f2 * f.f2")} AS a22,
+         |    ${qiSum("r.r * f.f1")} AS b1,
+         |    ${qiSum("r.r * f.f2")} AS b2
+         |  FROM ratings r JOIN $fT f ON r.$inKey = f.$inKey
+         |  GROUP BY r.$outKey),
+         |$out AS MATERIALIZED (
+         |  SELECT $outKey,
+         |    ${q6(s"(b1 * (a22 + $AlsLambda) - b2 * a12) / $det")} AS f1,
+         |    ${q6(s"(b2 * (a11 + $AlsLambda) - b1 * a12) / $det")} AS f2
+         |  FROM ${out}_s)""".stripMargin
+    }
+    val rounds = (1 to AlsIters).map { k =>
+      val prevItem = if (k == 1) "itemF0" else s"itemF${k - 1}"
+      solve(s"userF$k", "cust", "part", prevItem) + ",\n" +
+        solve(s"itemF$k", "part", "cust", s"userF$k")
+    }.mkString(",\n")
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+       |    ${q6("ln(1.0 + CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE))")} AS r
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |itemF0 AS MATERIALIZED (
+       |  SELECT part, CAST(1.0 AS DOUBLE) AS f1,
+       |    ${q6("CAST((part * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5")} AS f2
+       |  FROM (SELECT DISTINCT part FROM ratings)),
+       |$rounds,
+       |res AS (
+       |  SELECT r.cust, r.part,
+       |    r.r - ((u.f1 * i.f1) + (u.f2 * i.f2)) AS resid
+       |  FROM ratings r
+       |  JOIN userF$AlsIters u ON r.cust = u.cust
+       |  JOIN itemF$AlsIters i ON r.part = i.part)
+       |SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users,
+       |  CAST(COUNT(DISTINCT part) AS BIGINT) AS n_items,
+       |  COUNT(*) AS n_ratings,
+       |  floor(sqrt(CAST(SUM(CAST(floor(resid * resid * 1e6 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / 1e6 / COUNT(*)) * 1e9 + 0.5) / 1e9 AS rmse
+       |FROM res""".stripMargin
+  }
 }
