@@ -305,7 +305,22 @@ class ScaleStressSpec extends AnyFunSuite {
       // timed snapshot read lists the LOG (O(commits)) and scans only
       // live files — ×8 docs must be ~×8 parquet bytes, never a
       // data-directory listing or a rewrite per read
-      ("src_txlog", d => { graft.sources.TxLogSource.txlogDocStats(spark, d).count(); () }))
+      ("src_txlog", d => { graft.sources.TxLogSource.txlogDocStats(spark, d).count(); () }),
+      // r16 session-2 additions. dedup_lines: one hash row per line,
+      // first-seen via a map-side-combinable MIN groupBy + equi-join
+      // back — the salted copies multiply duplicate lines ~×8, and the
+      // boilerplate hot key must stay a combine, never a window spill.
+      // score_nb: two corpus passes onto a FIXED classes×1024
+      // broadcast model — ×8 tokens is ~×8 map work. rec_als: the
+      // key-offset copies multiply the ratings BUILD's fan-in ×8 while
+      // the (cust, part) key space stays fixed, so the map-side
+      // combine must absorb it; the four solve half-steps then run on
+      // the unchanged ratings table. tfrecord: staging (once,
+      // on warmup) then one CRC-verified decode pass per shard.
+      ("dedup_lines", d => { DedupOps.dedupLines(spark, d).count(); () }),
+      ("score_nb", d => { CurationOps.scoreNb(spark, d).count(); () }),
+      ("rec_als", d => { RelationalOps.recAls(spark, d).count(); () }),
+      ("src_tfrecord", d => { graft.sources.SourceQueries.tfrecordDocStats(spark, d).count(); () }))
     for ((name, run) <- ops) {
       run(dirX1); run(dirX8) // warmup both
       // min-of-2 like Bench: the box is shared (driver jobs run
