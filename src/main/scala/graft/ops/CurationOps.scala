@@ -552,8 +552,19 @@ object CurationOps {
     * pass), and the only corpus-keyed shuffle is the per-(doc, class)
     * reduction. Never a vocabulary-sized state. */
   def scoreNb(spark: SparkSession, d: String): DataFrame = {
+    // single-tokenize (r16 opt): `base` feeds THREE consumers (class
+    // priors, token counts, held-out scoring). Un-checkpointed, each
+    // consumer re-ran the tokenize regex over its slice of the corpus
+    // — tokenization is the dominant CPU here, exactly the multiplied
+    // corpus pass the dedup family already checkpoints away. Lazy
+    // localCheckpoint: one materialized token table, three readers.
+    // The filter sits ABOVE the checkpoint barrier: filtering on
+    // size(tk) below it would let PushDownPredicates inline the
+    // tokenize into the pushed Filter and run it twice per row (the
+    // shingledOf recompute trap).
     val base = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .localCheckpoint(false)
       .where(size(col("tk")) > 0) // a token-less doc has no NB evidence
     val trainDocs = base.where(col("doc_id") % NbHoldMod =!= 0)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

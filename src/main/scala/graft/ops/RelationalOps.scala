@@ -1644,15 +1644,30 @@ object RelationalOps {
     * broadcast at small SF from runtime stats; top-20 is TakeOrdered.
     * Lift divides exact counts once, rounded to 9. */
   def basketLift(spark: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val total = items.agg(countDistinct(col("l_orderkey"))
-      .cast("double").as("total"))
-    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .where(col("pa") < col("pb"))
+    // r16 opt (guide §2.3/§2.4), same rewrite as [[itemCosine]]: one
+    // shuffle of lineitem by order into sorted per-order part-sets
+    // (collect_set dedupes map-side — this exchange replaces the old
+    // distinct + the order-keyed self-join's two sorted sides), then
+    // the ≤(7 choose 2) pairs per order come from a codegen'd in-array
+    // expansion instead of a join. The basket count and per-part
+    // frequencies are derived from the same checkpointed set table, so
+    // the old COUNT(DISTINCT l_orderkey) expand disappears too.
+    val sets = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint(false) // read by total, freq, and the pair path
+    // one row per order → the basket count is a plain count
+    val total = sets.agg(count(lit(1)).cast("double").as("total"))
+    // arrays are per-order sets → count over the explode = the old
+    // distinct-incidence per-part frequency
+    val freq = sets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val pairCol = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val pairs = sets.select(explode(pairCol).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
     pairs
       .join(freq.select(col("l_partkey").as("pa"), col("n").as("n_a")), Seq("pa"))
@@ -2032,19 +2047,41 @@ object RelationalOps {
       .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
-    val marg = inc.groupBy(col("part")).agg(count(lit(1)).as("n"))
+    // r16 opt (guide §2.3/§2.4): the old shape was distinct → semi-join
+    // prune → SELF-JOIN on cust → pair groupBy — the full incidence
+    // crossed an exchange for the distinct, again for the semi-join,
+    // and again (sorted, twice-canonically) for the self-join. Here
+    // the incidence is shuffled by cust exactly ONCE into per-customer
+    // sorted part-sets (collect_set dedupes map-side, so the exchange
+    // carries partially-deduped sets, not raw rows), and the quadratic
+    // pair stage is a codegen'd in-array expansion — no join. Pair
+    // volume is identical (same (parts-per-customer)² bound); the
+    // single-buyer prune is preserved below.
+    val sets0 = inc.groupBy(col("cust"))
+      .agg(sort_array(collect_set(col("part"))).as("ps"))
+      .localCheckpoint(false) // read by the marginals AND the pair path
+    // marginals: n = number of customers holding the part — arrays are
+    // per-cust sets, so a plain count over the explode IS the distinct
+    // count (identical to the old distinct→groupBy marg).
+    val marg = sets0.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
     // single-buyer items can never reach co ≥ 2 — prune them BEFORE
     // the quadratic pair stage (marginals for the cosine stay
     // unpruned, so results are identical). On a real catalog the
-    // rare-item long tail is most of the volume; here it just trims
-    // the pair join's input.
-    val inc2 = inc.join(marg.where(col("n") >= 2).select(col("part")),
-      Seq("part"), "left_semi")
-    val co = inc2.as("a")
-      .join(inc2.as("b"),
-        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+    // rare-item long tail is most of the volume; without the prune the
+    // pair expansion would still emit their (basket-size) pairs only
+    // to drop every one at the co ≥ 2 filter.
+    val sets = sets0.select(col("cust"), explode(col("ps")).as("part"))
+      .join(marg.where(col("n") >= 2).select(col("part")), Seq("part"), "left_semi")
+      .groupBy(col("cust")).agg(sort_array(collect_set(col("part"))).as("ps"))
+    // all ordered pairs (p1 < p2) within each sorted set: for element
+    // i (0-based), pair with every later element (slice is 1-based).
+    val pairCol = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("p1"), y.as("p2")))))
+    val co = sets.select(explode(pairCol).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= 2)
     co.join(marg.select(col("part").as("p1"), col("n").as("n1")), Seq("p1"))
@@ -2094,7 +2131,16 @@ object RelationalOps {
   private def alsSolve(ratings: DataFrame, factors: DataFrame,
       joinKey: String, outKey: String): DataFrame = {
     def qi(c: org.apache.spark.sql.Column) = sum(floor(c * lit(1e6) + lit(0.5)))
-    val s = ratings.join(factors, Seq(joinKey))
+    // broadcast the FACTOR side (r16 opt, guide §3.1): rank-2 factors
+    // are 3 numbers per entity; un-hinted, the checkpointed tables
+    // have unknown stats and every half-step sort-merge-joined —
+    // shuffling + sorting the RATINGS table four times per run. With
+    // the hint, ratings never move: each half-step is a broadcast
+    // probe + one partial-aggregated exchange of ≤|entities| rows.
+    // 100 TB stance: rank-2 factors fit the 8 GB broadcast cap to
+    // ~300 M entities; past that you add MLlib's in/out-block routing
+    // (see recAls scaladoc) — the algebra here is unchanged by it.
+    val s = ratings.join(broadcast(factors), Seq(joinKey))
       .groupBy(col(outKey))
       .agg(
         (qi(col("f1") * col("f1")).cast("double") / lit(1e6)).as("a11"),
@@ -2157,20 +2203,32 @@ object RelationalOps {
         (uF, iF)
     }
     val joined = ratings
-      .join(userF.select(col("cust"), col("f1").as("uf1"), col("f2").as("uf2")),
+      .join(broadcast(userF.select(col("cust"), col("f1").as("uf1"), col("f2").as("uf2"))),
         Seq("cust"))
-      .join(itemF.select(col("part"), col("f1").as("if1"), col("f2").as("if2")),
+      .join(broadcast(itemF.select(col("part"), col("f1").as("if1"), col("f2").as("if2"))),
         Seq("part"))
       .select(col("cust"), col("part"),
         (col("r") - ((col("uf1") * col("if1")) + (col("uf2") * col("if2"))))
           .as("resid"))
+    // n_users/n_items WITHOUT countDistinct over the ratings (r16 opt):
+    // the two distinct counts planned as an Expand (×3 row blowup) +
+    // a (cust, part, gid)-keyed shuffle of the whole ratings table.
+    // But both inner joins above are key-covering by construction —
+    // userF groups the same ratings by cust, itemF by part, so every
+    // rating survives and every factor row appears — hence
+    // COUNT(DISTINCT cust) ≡ |userF| and COUNT(DISTINCT part) ≡
+    // |itemF|: three scalar aggregates cross-joined, no Expand, no
+    // wide shuffle. Oracle equivalence: identical values by the
+    // covering argument; the oracle SQL keeps its COUNT(DISTINCT)
+    // form and the hash gate proves the numbers match.
     joined.agg(
-      countDistinct(col("cust")).as("n_users"),
-      countDistinct(col("part")).as("n_items"),
-      count(lit(1)).as("n_ratings"),
-      (floor(sqrt(sum(floor(col("resid") * col("resid") * lit(1e6) + lit(0.5)))
-          .cast("double") / lit(1e6) / count(lit(1))) * lit(1e9) + lit(0.5))
-        / lit(1e9)).as("rmse"))
+        count(lit(1)).as("n_ratings"),
+        (floor(sqrt(sum(floor(col("resid") * col("resid") * lit(1e6) + lit(0.5)))
+            .cast("double") / lit(1e6) / count(lit(1))) * lit(1e9) + lit(0.5))
+          / lit(1e9)).as("rmse"))
+      .crossJoin(broadcast(userF.agg(count(lit(1)).as("n_users"))))
+      .crossJoin(broadcast(itemF.agg(count(lit(1)).as("n_items"))))
+      .select(col("n_users"), col("n_items"), col("n_ratings"), col("rmse"))
   }
 
   /** DuckDB replay: the identical ratings build, hash-seeded init,

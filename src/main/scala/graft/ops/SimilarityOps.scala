@@ -359,14 +359,26 @@ object SimilarityOps {
   /** Nearest-centroid assignment: broadcast the (≤ IvfMaxCells-row)
     * centroid table against the streaming corpus; ties break to the
     * lower cell id. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    // struct-min argmin, NOT a window (r16 opt, guide §2.3): the old
+    // row_number-over-(vec_id) form shuffled the ENTIRE k-way
+    // cross-join fan-out — k×N rows, each carrying the full vector —
+    // to sort out one winner per vector. The aggregate form collapses
+    // the fan-out map-side (partial min per vec_id before the
+    // exchange), so only N rows cross the wire per assignment pass —
+    // and the IVF build runs this [[IvfRounds]]+1 times. Identical
+    // semantics: min(struct(dist, cell)) = lowest dist, ties to the
+    // lower cell — the [[assignCellsCoarseOn]] pattern (its
+    // SortAggregate note applies here too: the sorts are
+    // partition-local over fan-out-contiguous runs). first(v) is
+    // deterministic: every row in a vec_id group carries the
+    // identical v (cross-join fan-out), it grabs the one value.
     e.crossJoin(broadcast(cents))
       .withColumn("dist", sqdist2(col("n2"), col("v"), col("c"), col("cn2")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("p"),
+        first(col("v")).as("nv"))
+      .select(col("vec_id"), col("nv").as("v"), col("p.cell").as("cell"))
 
   /** New centroids from an assignment: per (cell, dim) an exact BIGINT
     * sum of 1e-6-quantized components (order-independent across any
@@ -1056,7 +1068,12 @@ object SimilarityOps {
 
   private def pqCodebook(e: DataFrame): DataFrame = {
     val train = pqTrain(e)
-    val sub = pqSub(train)
+    // materialize the training subvectors ONCE (r16 opt): `sub` feeds
+    // the seed join plus every Lloyd round, and each round's codebook
+    // is built inside a broadcast whose job re-ran the whole
+    // scan+slice+norm pipeline — (PqRounds+1) corpus-sample passes.
+    // Checkpointed, each pass reads the materialized blocks instead.
+    val sub = pqSub(train).localCheckpoint(false)
     var cents = pqSeeds(sub, train)
     for (_ <- 1 to PqRounds) cents = pqRecompute(pqAssign(sub, cents))
     cents
@@ -1719,16 +1736,22 @@ object SimilarityOps {
 
   /** Broadcast-assign: each vector to its nearest centroid (rounded
     * L2², centroid-id tie-break). */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c"))
-          + norm2(col("c")), 9).as("dist2"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
-      .where(col("rk") === 1)
-  }
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    // struct-min argmin, NOT a window (r16 opt): same rewrite as
+    // [[assignCells]] — the window form shuffled the k×N cross-join
+    // fan-out (vectors included) every Lloyd round; the aggregate
+    // collapses it map-side to N rows. min(struct(dist2, cid)) =
+    // lowest dist2, ties to the lower cid — byte-identical to the old
+    // row_number ordering; first(v) reads the one identical v per
+    // group.
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(round(norm2(col("v")) - lit(2.0) * dotd(col("v"), col("c"))
+          + norm2(col("c")), 9).as("dist2"), col("cid").as("cid")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("p")).as("p"), first(col("v")).as("nv"))
+      .select(col("vec_id"), col("nv").as("v"), col("p.cid").as("cid"),
+        col("p.dist2").as("dist2"))
 
   def embKmeans(spark: SparkSession, d: String): DataFrame = {
     val e = kmVectors(spark, d)
