@@ -60,6 +60,20 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+  /** documents/embeddings fan out to the session's core count right
+    * after the scan (r16 opt, guide §2.5; [[graft.ops.OpsUtil.fanOut]]
+    * scaladoc has the full stance): the sf fixtures are
+    * single-row-group parquet, so every corpus scan is ONE task and
+    * every tokenize/shingle/vector kernel — the dominant CPU of the
+    * text, dedup, similarity and curation families — serialized on one
+    * core. fanOut is a no-op whenever the scan already splits to ≥
+    * default parallelism (any real table at scale), so production
+    * plans never pay the extra exchange; locally it costs one ~MB-ish
+    * round-robin shuffle and unlocks the other 31 cores. Results are
+    * partitioning-independent (every declared query aggregates or
+    * sorts; the 287-query oracle gate pins it). */
+  def documents(spark: SparkSession, d: String): DataFrame =
+    graft.ops.OpsUtil.fanOut(table(spark, d, "documents"))
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    graft.ops.OpsUtil.fanOut(table(spark, d, "embeddings"))
 }

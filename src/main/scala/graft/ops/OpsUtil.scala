@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared expression helpers for the declared-query surface.
@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   * the driver's hash compare.
   */
 object OpsUtil {
+
+  /** Scale-adaptive fan-out for COMPUTE-HEAVY map stages (r16 opt,
+    * guide §2.5 "one huge unsplittable file … repartition immediately
+    * after the read"): the sf fixtures are single-row-group parquet
+    * files, so every scan is ONE task and every expensive per-row
+    * kernel (shingle+md5, pair expansion, tokenize) serializes on one
+    * core while the other 31 idle — measured cpu/wall 2.5 on
+    * local[32] across the whole bench. A round-robin repartition to
+    * the session's core count right after the pruned read unlocks the
+    * map parallelism for the price of one exchange of the (projected)
+    * input bytes.
+    *
+    * Scale stance: the fan-out applies ONLY when the plan's physical
+    * partition count is below the session's default parallelism — at
+    * 100 TB any real table scans as thousands of splits and this is a
+    * no-op, so no production query ever pays a gratuitous full-table
+    * shuffle. The threshold derives from the session (local[N] and
+    * cluster alike), never a constant. Round-robin repartition is
+    * retry-deterministic (sortBeforeRepartition, SPARK-23207). Apply
+    * AFTER projecting the needed columns so the exchange carries the
+    * narrow rows, and only on operators whose per-row work dwarfs one
+    * small exchange — never on scan→aggregate trivia. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Recursively delete a directory tree (no-op if absent) — the ONE
     * walk-and-delete used by every temp-artifact owner (staged

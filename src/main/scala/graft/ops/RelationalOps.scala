@@ -1652,8 +1652,10 @@ object RelationalOps {
     // expansion instead of a join. The basket count and per-part
     // frequencies are derived from the same checkpointed set table, so
     // the old COUNT(DISTINCT l_orderkey) expand disappears too.
-    val sets = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_partkey"))
+    // fanOut (guide §2.5): single-row-group fixture → one-task scan;
+    // the collect_set partials are the whole map pass.
+    val sets = fanOut(Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .localCheckpoint(false) // read by total, freq, and the pair path
@@ -1663,11 +1665,13 @@ object RelationalOps {
     // distinct-incidence per-part frequency
     val freq = sets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val pairCol = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("pa"), y.as("pb")))))
-    val pairs = sets.select(explode(pairCol).as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+    // two chained codegen'd Generates — see the itemCosine pair-stage
+    // comment (the nested-lambda expansion this replaces was
+    // interpreted per element)
+    val pairs = sets
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
     pairs
       .join(freq.select(col("l_partkey").as("pa"), col("n").as("n_a")), Seq("pa"))
@@ -2057,7 +2061,10 @@ object RelationalOps {
     // pair stage is a codegen'd in-array expansion — no join. Pair
     // volume is identical (same (parts-per-customer)² bound); the
     // single-buyer prune is preserved below.
-    val sets0 = inc.groupBy(col("cust"))
+    // fanOut (guide §2.5): the incidence scan is one task on the
+    // single-row-group fixture, so the collect_set partials — the
+    // whole 600k-row map pass — ran on one core.
+    val sets0 = fanOut(inc).groupBy(col("cust"))
       .agg(sort_array(collect_set(col("part"))).as("ps"))
       .localCheckpoint(false) // read by the marginals AND the pair path
     // marginals: n = number of customers holding the part — arrays are
@@ -2074,13 +2081,19 @@ object RelationalOps {
     val sets = sets0.select(col("cust"), explode(col("ps")).as("part"))
       .join(marg.where(col("n") >= 2).select(col("part")), Seq("part"), "left_semi")
       .groupBy(col("cust")).agg(sort_array(collect_set(col("part"))).as("ps"))
-    // all ordered pairs (p1 < p2) within each sorted set: for element
-    // i (0-based), pair with every later element (slice is 1-based).
-    val pairCol = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("p1"), y.as("p2")))))
-    val co = sets.select(explode(pairCol).as("p"))
-      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+    // all ordered pairs (p1 < p2) within each sorted set, as TWO
+    // chained Generates: posexplode picks p1 at 0-based index i,
+    // explode(slice(ps, i+2, …)) pairs it with every later element
+    // (slice is 1-based and clamps at the end). Both explodes are
+    // codegen'd operators — the first cut of this stage built the
+    // pairs with nested transform/slice/flatten lambdas, and that
+    // interpreted O(set²) struct churn measured ~2× the whole query
+    // (13.3 s vs the 7.1 s pre-rewrite record; this shape benches
+    // ~4 s). Pair volume is unchanged.
+    val co = sets
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= 2)

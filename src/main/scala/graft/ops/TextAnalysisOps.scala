@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -51,31 +51,65 @@ object TextAnalysisOps {
   private def stopwordsValuesSql: String =
     Stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
-  /** Language ID: argmax of stopword hits per language (ties → first
-    * language alphabetically; zero hits → 'und'). The heuristic is a
-    * broadcast dictionary join + argmax — the n-gram-profile classic
-    * with a word-level profile. */
-  def langId(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val dict = Stopwords.toDF("sl_lang", "sl_word")
-    val docs = Tables.documents(spark, d)
-    val tok = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("tokn"))
-      .where(col("tokn").isNotNull) // see TextOps.wordCount: avoids tokens() re-eval in an inferred pushed filter
-    val hits = tok.join(broadcast(dict), tok("tokn") === dict("sl_word"))
-      .groupBy(col("doc_id"), col("sl_lang")).agg(count("*").as("n_hits"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("n_hits").desc, col("sl_lang"))
-    val best = hits.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("doc_id"), col("sl_lang").as("pred_lang"), col("n_hits"))
-    docs.select(col("doc_id"), col("lang").as("meta_lang"))
-      .join(best, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("meta_lang"))
-      .orderBy("doc_id")
+  /** Per-doc argmax of stopword hits as ONE map-side expression —
+    * struct(n_hits, lang), zero hits → (0, 'und'). The dictionary is
+    * a compile-time constant, so each language's occurrence count is
+    * a filter+size over the token array and the argmax is a fold in
+    * alphabetical language order (strict `>` keeps the earlier
+    * language on ties — exactly the old row_number(n_hits DESC, lang
+    * ASC) rule). r16 opt (guide §2.3/§2.4): the previous shape
+    * exploded every token of the corpus, broadcast-joined the
+    * dictionary, shuffled (doc, lang) hit counts, ran a per-doc
+    * window, and left-joined back to documents — four corpus-sized
+    * exchanges for a decision that only ever needed the doc's own
+    * row. */
+
+  private[graft] def bestStopLang(tk: Column): Column = {
+    val langs = Stopwords.map(_._1).distinct.sorted
+    val words = langs.map(l => Stopwords.collect { case (`l`, w) => w })
+    val allWords = Stopwords.map(_._2).distinct
+    // ONE pass over the token array: pre-filter to dictionary hits
+    // (duplicates kept — these are occurrence counts), fold the hits
+    // into a per-language count vector, then argmax the vector in the
+    // aggregate's finish lambda. Every subexpression is referenced
+    // once, so nothing re-evaluates per language or per comparison
+    // (the naive per-language filter() or a reduceLeft-of-when argmax
+    // both re-scan the tokens per language — measured 2-5× this
+    // query). The (0, 'und') argmax zero loses every tie, so zero
+    // hits everywhere yields 'und' exactly like the old left-join
+    // coalesce; strict `>` over the lang-ascending candidates is the
+    // old row_number(n_hits DESC, lang ASC) rule.
+    aggregate(
+      filter(tk, t => t.isInCollection(allWords)),
+      array_repeat(lit(0L), langs.size),
+      (acc, t) => array(langs.indices.map(i =>
+        element_at(acc, i + 1) +
+          when(t.isInCollection(words(i)), 1L).otherwise(0L)): _*),
+      counts => aggregate(
+        array(langs.indices.map(i =>
+          struct(element_at(counts, i + 1).as("n_hits"),
+            lit(langs(i)).as("lang"))): _*),
+        struct(lit(0L).as("n_hits"), lit("und").as("lang")),
+        (acc, x) => when(x.getField("n_hits") > acc.getField("n_hits"), x)
+          .otherwise(acc)))
   }
+
+  /** Language ID: argmax of stopword hits per language (ties → first
+    * language alphabetically; zero hits → 'und') — the per-doc
+    * [[bestStopLang]] expression over one corpus scan. */
+  def langId(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang").as("meta_lang"), col("text"))
+      // tk in its OWN projection: bestStopLang references its input
+      // once per language, so an inline tokens(text) would be copied
+      // (and tokenized) per language; 5 references also keep
+      // CollapseProject from re-inlining the materialized column
+      .select(col("doc_id"), col("meta_lang"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), bestStopLang(col("tk")).as("b"),
+        col("meta_lang"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"),
+        col("b.n_hits").as("n_hits"), col("meta_lang"))
+      .orderBy("doc_id")
 
   def langIdSql: String =
     s"""WITH dict(sl_lang, sl_word) AS (VALUES $stopwordsValuesSql),
@@ -105,68 +139,129 @@ object TextAnalysisOps {
     * pass at 100 TB, and a content-hash sample is partitioning- and
     * engine-independent so the oracle reproduces it exactly. Only the
     * scoring pass touches the full corpus. */
-  def langIdNgram(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    // classify on a 256-char prefix — the standard language-ID
-    // practice, and it bounds the per-doc work independent of doc
-    // size. The lowered prefix is materialized as its OWN projection
-    // first: an expression inside the transform() lambda re-evaluates
-    // per element, so lower(text) inline would re-lowercase the whole
-    // document once per bigram position (measured ~40% of this
-    // query's cost at sf0.1).
-    val bigrams = docs
+  /** doc_id + lang + distinct char-bigram array over the lowered
+    * 256-char prefix. The lowered prefix is materialized as its OWN
+    * projection first: an expression inside the transform() lambda
+    * re-evaluates per element, so lower(text) inline would
+    * re-lowercase the whole document once per bigram position
+    * (measured ~40% of this query's cost at sf0.1). TOTAL, not
+    * filtered ([[graft.ops.DedupOps]] shingledOf pattern): docs with
+    * a <2-char prefix get an EMPTY array via the when-guard — which
+    * both keeps sequence(1, len-1) away from its len<2 descending
+    * behavior AND keeps every doc in the one-pass scoring output
+    * (empty bigrams → zero overlap → 'und', as in the oracle). */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         substring(lower(col("text")), 1, 256).as("pre"))
-      // the >= 2 guard is load-bearing for cross-engine parity: Spark's
-      // sequence(1, len-1) DESCENDS when len < 2 ([1,0], [1,0,-1]),
-      // emitting spurious bigrams for 0/1-char docs where DuckDB's
-      // range(1, len) is empty. Filtered docs still appear in the
-      // output via the final left join ('und', as in the oracle).
-      .where(length(col("pre")) >= 2)
       .select(col("doc_id"), col("lang"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("pre")) - 1),
-          i => col("pre").substr(i, lit(2)))).as("bgs"))
-    // explode_outer, NOT explode: plain explode makes the optimizer
-    // infer `size(bgs) > 0 AND isnotnull(bgs)` and push it below the
-    // bigram projection, re-inlining (and re-evaluating) the whole
-    // array build per row in the filter. explode_outer infers nothing;
-    // the cheap isNotNull on the OUTPUT attribute can't be pushed
-    // through the Generate. Same rows (empty arrays → null bg →
-    // dropped), ~2× less per-row work.
-    val exploded = bigrams.select(col("doc_id"), col("lang"),
-      explode_outer(col("bgs")).as("bg"))
-      .where(col("bg").isNotNull)
-    // per-language profile: top 20 bigrams by document frequency over
-    // the 1-in-10 sampled docs — the explode here touches ~10% of the
-    // corpus instead of re-exploding all of it a second time
+        when(length(col("pre")) >= 2,
+          array_distinct(transform(
+            sequence(lit(1), length(col("pre")) - 1),
+            i => col("pre").substr(i, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+
+  /** The per-language top-20 bigram profile collapsed to ONE row:
+    * profs = array of struct(p_lang, pbgs), sorted by language. Built
+    * from the 1-in-10 hash-sampled docs exactly as before (explode →
+    * doc-frequency groupBy → per-lang row_number top-20), then two
+    * tiny aggregations fold the ≤ langs×20 rows into a single
+    * broadcastable row — the scoring pass consumes it as a 1-row
+    * broadcast nested-loop join instead of a corpus-keyed shuffle. */
+  private def ngramProfileRow(bigrams: DataFrame): DataFrame = {
     val sampled = bigrams
       .where(xhash60(col("doc_id").cast("string"), 5) % 10 === 0)
       .select(col("lang"), explode_outer(col("bgs")).as("bg"))
       .where(col("bg").isNotNull)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("df").desc, col("bg"))
-    val profile = sampled.groupBy(col("lang"), col("bg"))
+    // top-20 by (df DESC, bg ASC) as slice(array_sort(collect_list))
+    // over the (lang, bg) counts — one aggregation instead of the old
+    // row_number window + its lang-keyed exchange + a second groupBy
+    // (every stage here is an AQE barrier; the per-lang candidate set
+    // is ≤ |alphabet|² rows, so the struct sort is bounded). The
+    // (-df, bg) struct sorts ascending = df DESC, bg ASC — the exact
+    // old window order.
+    sampled.groupBy(col("lang"), col("bg"))
       .agg(count("*").as("df"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 20)
-      .select(col("lang").as("p_lang"), col("bg"))
-    // score every doc against every language profile
-    val scored = exploded.select(col("doc_id"), col("bg"))
-      .join(broadcast(profile), Seq("bg"))
-      .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count("*").as("overlap"))
-    val wBest = Window.partitionBy(col("doc_id"))
-      .orderBy(col("overlap").desc, col("p_lang"))
-    val best = scored.withColumn("rnk", row_number().over(wBest))
-      .where(col("rnk") === 1)
-      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("overlap"))
-    docs.select(col("doc_id"), col("lang").as("meta_lang"))
-      .join(best, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang").as("p_lang"))
+      .agg(transform(
+        slice(array_sort(collect_list(struct((-col("df")).as("neg_df"),
+          col("bg").as("bg")))), 1, 20),
+        s => s.getField("bg")).as("pbgs"))
+      .agg(array_sort(collect_list(struct(col("p_lang"), col("pbgs"))))
+        .as("profs"))
+      // the union of every profile's bigrams, alongside: scoring
+      // prefilters each doc's bigrams against it so the per-language
+      // membership loop runs over profile hits only
+      .select(col("profs"),
+        array_distinct(flatten(transform(col("profs"),
+          p => p.getField("pbgs")))).as("all_bgs"))
+  }
+
+  /** The profile COLLECTED (one bounded driver action — ≤ langs × 20
+    * strings by construction, the 1-row-scalar pattern of
+    * emb_kmeans_loop / MMR), sorted by language. Measured motivation:
+    * attaching the 1-row profile in-plan — BNLJ cross, broadcast-hash
+    * on a constant key, even checkpoint-then-aggregate — costs a flat
+    * ~1.2 s at sf0.1, and an interpreted HOF scoring kernel ~0.3 ms
+    * per row; with the profile as Scala data the scorer below compiles
+    * to per-language codegen'd array_intersect literals with no join
+    * at all. */
+  private[graft] def ngramProfileLit(spark: SparkSession, d: String): Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.Row
+    val row = ngramProfileRow(docBigrams(Tables.documents(spark, d))).head()
+    row.getSeq[Row](0).map(r => (r.getString(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+  }
+
+  /** Per-language overlap columns over the doc's bigram array:
+    * |bgs ∩ pbgs_lang| via codegen'd array_intersect against LITERAL
+    * profile arrays — identical to the old explode → profile join →
+    * count(*) per (doc, lang), since both sides are distinct. Feeds
+    * [[bestNgramFromOverlaps]]; the two stay separate projections so
+    * each intersect evaluates once. */
+  private[graft] def ngramOverlapCols(bgs: Column,
+      profs: Seq[(String, Seq[String])]): Seq[Column] =
+    profs.map { case (l, pb) =>
+      size(array_intersect(bgs, array(pb.map(lit): _*))).cast("long").as(s"ov_$l")
+    }
+
+  /** Scalar argmax over the materialized overlap columns:
+    * struct(overlap, lang), max 0 → (0, 'und'). The when-chain runs
+    * in ALPHABETICAL language order, so the first column equal to the
+    * max is the alphabetically-first tied language — the old
+    * row_number(overlap DESC, p_lang ASC) rule. All plain scalar
+    * comparisons: whole-stage codegen keeps the argmax inside the
+    * scan's projection. */
+  private[graft] def bestNgramFromOverlaps(langs: Seq[String]): Column = {
+    if (langs.isEmpty)
+      return struct(lit(0L).as("overlap"), lit("und").as("lang"))
+    val ovs = langs.map(l => col(s"ov_$l"))
+    val m = if (ovs.size == 1) ovs.head else greatest(ovs: _*)
+    val pred = langs.zip(ovs).foldLeft(when(m === 0L, lit("und"))) {
+      case (c, (l, ov)) => c.when(ov === m, lit(l))
+    }.otherwise(lit("und"))
+    struct(m.as("overlap"), pred.as("lang"))
+  }
+
+  def langIdNgram(spark: SparkSession, d: String): DataFrame = {
+    // r16 opt (guide §2.3/§2.4): the old shape exploded the corpus's
+    // bigrams, broadcast-joined the profile, shuffled (doc, lang)
+    // overlap counts, ran a per-doc window, and left-joined back to
+    // documents — the full corpus crossed three exchanges to score.
+    // Now the profile collapses to one bounded row, is collected and
+    // re-injected as literals ([[ngramProfileLit]]), and scoring is a
+    // map-only pass: one corpus scan with the per-doc argmax
+    // expression; the only corpus-sized exchange left is the final
+    // presentation sort.
+    val profs = ngramProfileLit(spark, d)
+    docBigrams(Tables.documents(spark, d))
+      .select(Seq(col("doc_id"), col("lang").as("meta_lang")) ++
+        ngramOverlapCols(col("bgs"), profs): _*)
       .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        bestNgramFromOverlaps(profs.map(_._1)).as("b"),
         col("meta_lang"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"),
+        col("b.overlap").as("overlap"), col("meta_lang"))
       .orderBy("doc_id")
   }
 
@@ -213,11 +308,29 @@ object TextAnalysisOps {
     * existing declared plans; the join is doc-keyed, the matrix is
     * ≤ (langs+1)² cells. */
   def langConfusion(spark: SparkSession, d: String): DataFrame = {
-    val sw = langId(spark, d)
-      .select(col("doc_id"), col("pred_lang").as("pred_sw"), col("meta_lang"))
-    val ng = langIdNgram(spark, d)
-      .select(col("doc_id"), col("pred_lang").as("pred_ng"))
-    sw.join(ng, Seq("doc_id"))
+    // r16 opt (guide §2.4): both classifiers are per-doc expressions
+    // now ([[bestStopLang]], [[bestNgramLang]]), so the confusion
+    // matrix needs no doc-keyed join of two full query outputs — ONE
+    // corpus scan computes both predictions side by side and the only
+    // exchange is the ≤ (langs+1)²-cell aggregation. The ngram
+    // profile subplan (sample → top-20 → 1 row) is shared verbatim
+    // with [[langIdNgram]].
+    val profs = ngramProfileLit(spark, d)
+    Tables.documents(spark, d)
+      .select(col("lang"), tokens(col("text")).as("tk"),
+        substring(lower(col("text")), 1, 256).as("pre"))
+      .select(col("lang"), col("tk"),
+        when(length(col("pre")) >= 2,
+          array_distinct(transform(
+            sequence(lit(1), length(col("pre")) - 1),
+            i => col("pre").substr(i, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(Seq(col("lang"),
+        bestStopLang(col("tk")).getField("lang").as("pred_sw")) ++
+        ngramOverlapCols(col("bgs"), profs): _*)
+      .select(col("lang").as("meta_lang"), col("pred_sw"),
+        bestNgramFromOverlaps(profs.map(_._1))
+          .getField("lang").as("pred_ng"))
       .groupBy(col("pred_sw"), col("pred_ng"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("pred_sw") === col("meta_lang"), 1L).otherwise(0L))
